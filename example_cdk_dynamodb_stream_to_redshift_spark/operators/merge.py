@@ -1,0 +1,175 @@
+"""Incremental CDC merge — the engine's core operator (ST2–ST8).
+
+Reference parity: the three plpgsql stored procedures
+sql/incremental_sync_members.sql / _quests.sql / _member_quests.sql:
+
+1. watermark = MAX(target.approximateUpdateTimestamp)            (A1, ST2)
+2. guard: NULL or 1970-01-01 watermark -> raise                  (ST8)
+3. stage rows from the extract with pk LIKE '<prefix>%' AND
+   event-time > watermark                                        (P2, P5)
+4. collapse to latest change per key                             (J4/A5, ST3)
+5. delete target rows whose key is staged                        (J3)
+6. insert staged rows except REMOVEs, stamped with syncTimestamp (ST4, ST5, S5)
+
+Late/duplicate events (ts <= watermark) are silently dropped (ST6), making
+replays idempotent: the watermark lives in the target table itself, so a
+crashed-and-retried batch re-derives the same staging set.
+
+Spark-first design notes (100 TB posture):
+- The merge is a PURE function target×extract -> new target; storage commit
+  is the caller's concern (storage.ParquetTable does atomic swap; a Delta
+  backend would use MERGE INTO inside foreachBatch).
+- The staged micro-batch is small; its key set is BROADCAST to the anti-join
+  so the (huge) target is never shuffled — the delete+insert rewrite touches
+  each target partition exactly once, map-side.
+- Latest-per-key dedup is a window over the staged batch only (never over
+  the target), partitioned by key — skew-free for uuid keys.
+- Divergence from the reference, on purpose: the reference's member_quest
+  delete joins on questId (sql/incremental_sync_member_quests.sql:47) — a
+  bug that deletes every member_quest sharing a quest with a staged row. We
+  merge on the row identity memberQuestId and document the divergence
+  (SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.dynamo import av_number, av_string, epoch_ms_to_timestamp, strip_prefix
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    """Recipe turning extract rows of one entity into staged target rows."""
+
+    name: str
+    key_col: str
+    pk_prefix: str
+    project: Callable[[DataFrame], DataFrame]  # adds entity columns from extract
+
+
+def _event_time() -> F.Column:
+    # TIMESTAMP 'epoch' + (ms/1000) * INTERVAL '1 second'
+    # (sql/incremental_sync_members.sql:28) — second precision, preserved.
+    return epoch_ms_to_timestamp(F.col("eventData.ApproximateCreationDateTime"))
+
+
+def _project_member(df: DataFrame) -> DataFrame:
+    return df.select(
+        strip_prefix(F.col("pk"), "M_").alias("memberId"),
+        F.col("sk").alias("memberName"),
+        _event_time().alias("approximateUpdateTimestamp"),
+        F.col("eventName"),
+        F.col("sequencenumber"),
+    )
+
+
+def _project_quest(df: DataFrame) -> DataFrame:
+    return df.select(
+        strip_prefix(F.col("pk"), "Q_").alias("questId"),
+        F.col("sk").alias("questName"),
+        _event_time().alias("approximateUpdateTimestamp"),
+        F.col("eventName"),
+        F.col("sequencenumber"),
+    )
+
+
+def _project_member_quest(df: DataFrame) -> DataFrame:
+    # Keys: pk='MQ#M_<memberId>', sk='MQ_<uuid>'; questId/dollarsEarned come
+    # from NewImage (sql/incremental_sync_member_quests.sql:26-31). NewImage
+    # is absent for REMOVE -> nulls, which never get inserted.
+    return df.select(
+        strip_prefix(F.col("sk"), "MQ_").alias("memberQuestId"),
+        strip_prefix(F.col("pk"), "MQ#M_").alias("memberId"),
+        av_string("eventData.NewImage.questId").alias("questId"),
+        av_number("eventData.NewImage.dollarsEarned").alias("dollarsEarned"),
+        _event_time().alias("approximateUpdateTimestamp"),
+        F.col("eventName"),
+        F.col("sequencenumber"),
+    )
+
+
+MEMBER_SPEC = MergeSpec("member", "memberId", "M_", _project_member)
+QUEST_SPEC = MergeSpec("quest", "questId", "Q_", _project_quest)
+MEMBER_QUEST_SPEC = MergeSpec("member_quest", "memberQuestId", "MQ#", _project_member_quest)
+
+ALL_SPECS = (MEMBER_SPEC, QUEST_SPEC, MEMBER_QUEST_SPEC)
+
+
+def read_watermark(target: DataFrame) -> dt.datetime | None:
+    """SELECT MAX(approximateUpdateTimestamp) FROM target (A1)."""
+    return target.agg(F.max("approximateUpdateTimestamp")).first()[0]
+
+
+def stage_changes(
+    extract: DataFrame, spec: MergeSpec, watermark: dt.datetime
+) -> DataFrame:
+    """Steps 3+4: filter to this entity's new changes, keep latest per key.
+
+    Ties on event time (second precision!) are broken by Kinesis sequence
+    number — the reference's NOT-IN form would keep BOTH rows of a tie
+    (sql/incremental_sync_members.sql:38-40); we keep exactly one,
+    deterministically.
+    """
+    routed = extract.filter(
+        F.col("pk").startswith(spec.pk_prefix)  # pk LIKE '<prefix>%' ESCAPE
+    )
+    staged = spec.project(routed).filter(
+        F.col("approximateUpdateTimestamp") > F.lit(watermark)
+    )
+    w = Window.partitionBy(spec.key_col).orderBy(
+        F.desc("approximateUpdateTimestamp"), F.desc("sequencenumber")
+    )
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "sequencenumber")
+    )
+
+
+def incremental_merge(
+    target: DataFrame,
+    extract: DataFrame,
+    spec: MergeSpec,
+    sync_ts: dt.datetime | None = None,
+    initial_load_guard: bool = True,
+) -> DataFrame:
+    """Pure merge: returns the new target contents (delete+insert semantics).
+
+    update = delete + insert (ST4); REMOVE rows delete and are not
+    re-inserted (ST5); syncTimestamp is stamped once per batch (F7).
+    """
+    watermark = read_watermark(target)
+    if watermark is None or watermark == _EPOCH:
+        if initial_load_guard:
+            # RAISE EXCEPTION 'Initial load has not been performed'
+            # (sql/incremental_sync_members.sql:13-15)
+            raise ValueError(
+                f"initial load has not been performed for {spec.name}: "
+                "watermark is NULL/epoch"
+            )
+        watermark = _EPOCH
+
+    staged = stage_changes(extract, spec, watermark)
+
+    # Micro-batches are small: broadcast the staged keys so the big target is
+    # anti-joined map-side, no target shuffle.
+    staged_keys = F.broadcast(staged.select(spec.key_col))
+    survivors = target.join(staged_keys, spec.key_col, "left_anti")
+
+    inserts = (
+        staged.filter(F.col("eventName") != F.lit("REMOVE"))
+        .withColumn(
+            "syncTimestamp",
+            F.lit(sync_ts).cast("timestamp") if sync_ts else F.current_timestamp(),
+        )
+        .select(*[f.name for f in target.schema.fields])
+    )
+    return survivors.unionByName(inserts)

@@ -1,0 +1,62 @@
+"""Parquet-backed table store with atomic version swap.
+
+The reference's targets are Redshift tables with transactional
+delete+insert. Without Delta in this image (SURVEY.md §7 step 5), we emulate
+a transactional rewrite on plain parquet: each commit writes a fresh
+versioned directory and flips a pointer file — readers always see a complete
+version, a crashed write is invisible. A Delta/Iceberg backend would replace
+this class 1:1 (MERGE INTO in foreachBatch) without touching merge logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class ParquetTable:
+    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def _current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh)["version"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return None
+
+    def read(self) -> DataFrame:
+        v = self._current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(
+            os.path.join(self.root, f"v{v}")
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Commit new contents: write v{n+1}, flip pointer, GC old versions."""
+        old = self._current_version()
+        new = (old or 0) + 1
+        out = os.path.join(self.root, f"v{new}")
+        df.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": new}, fh)
+        os.replace(tmp, self._pointer)  # atomic flip
+        if old is not None:
+            shutil.rmtree(os.path.join(self.root, f"v{old}"), ignore_errors=True)
+
+    def append(self, df: DataFrame) -> None:
+        current = self.read()
+        self.overwrite(current.unionByName(df))

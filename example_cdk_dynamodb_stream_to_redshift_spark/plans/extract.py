@@ -1,0 +1,79 @@
+"""The materialized-view-equivalent extract stage.
+
+Reference parity: ``member_quest_data_extract`` (scripts/setup_redshift.sh:90-104,
+sql/create_materialized_view.sql:18-32) — decode the Kinesis payload, extract
+the envelope scalars, parse the ``dynamodb`` sub-document into a navigable
+column, and keep the transport metadata.
+
+Spark-first shape: ONE ``from_json`` against the typed envelope schema
+replaces Redshift's six ``json_extract_path_text`` calls + ``json_parse``.
+Catalyst prunes unused struct fields from the parse, so downstream plans that
+touch only ``pk``/``eventName`` don't pay for the full envelope.
+
+Physical layout parity:
+- DISTKEY(5) (hash-distribute on eventID)   -> optional repartition(eventID)
+- SORTKEY(1) (zone-map on arrival ts)       -> sortWithinPartitions at write
+Both are write-time options on `write_extract`; at query time Catalyst inserts
+exchanges where needed, so the default path adds no gratuitous shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import ENVELOPE_SCHEMA
+
+# Mirrors the MV column list (scripts/setup_redshift.sh:90-104).
+EXTRACT_COLUMNS = [
+    "approximatearrivaltimestamp",
+    "partitionkey",
+    "shardid",
+    "sequencenumber",
+    "eventID",
+    "awsRegion",
+    "eventName",
+    "userIdentity",
+    "tableName",
+    "eventSource",
+    "pk",
+    "sk",
+    "eventData",
+]
+
+
+def build_extract(records: DataFrame) -> DataFrame:
+    """records (KINESIS_RECORD_SCHEMA shape, batch or streaming) -> extract.
+
+    Works identically on a streaming DataFrame — it is a pure projection.
+    """
+    decoded = F.decode(F.col("kinesis_data"), "UTF-8")  # from_varbyte(...,'utf-8')
+    env = F.from_json(decoded, ENVELOPE_SCHEMA)  # json_parse + extracts, in one
+    return records.select(
+        F.col("approximate_arrival_timestamp").alias("approximatearrivaltimestamp"),
+        F.col("partition_key").alias("partitionkey"),
+        F.col("shard_id").alias("shardid"),
+        F.col("sequence_number").alias("sequencenumber"),
+        env["eventID"].alias("eventID"),
+        env["awsRegion"].alias("awsRegion"),
+        env["eventName"].alias("eventName"),
+        env["userIdentity"].alias("userIdentity"),
+        env["tableName"].alias("tableName"),
+        env["eventSource"].alias("eventSource"),
+        env["dynamodb"]["Keys"]["pk"]["S"].alias("pk"),
+        env["dynamodb"]["Keys"]["sk"]["S"].alias("sk"),
+        env["dynamodb"].alias("eventData"),
+    )
+
+
+def write_extract(extract: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist the extract with the reference's physical layout hints:
+    distribute on eventID (DISTKEY 5), sort within partitions on arrival
+    timestamp (SORTKEY 1) so parquet row-group min/max stats prune time
+    predicates."""
+    (
+        extract.repartition(F.col("eventID"))
+        .sortWithinPartitions("approximatearrivaltimestamp")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,450 @@
+"""Driver-facing operator inventory: SURVEY.md §2 re-expressed on the
+driver's synthetic tables, each paired with a DuckDB oracle SQL string.
+
+Every entry maps a reference operator family (file:line cites into
+/root/reference) onto the TPC-H-ish schema so the driver can hash-compare
+Spark vs DuckDB at sf0.01. Naming contract: every computed column is aliased
+IDENTICALLY in the Spark plan and the oracle SQL.
+
+Determinism rules used throughout:
+- LIMIT queries always carry a unique tie-break key.
+- double SUMs go through DECIMAL(18,2) and back to double, so Spark's
+  partial-agg ordering and DuckDB's serial sum produce bit-identical values.
+- no wall-clock functions inside driver-checked queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class InventoryQuery:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, InventoryQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = InventoryQuery(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _dsum(col: str, alias: str) -> F.Column:
+    """Bit-stable SUM over doubles: exact decimal accumulation, double out."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Joins + aggregations (J1/J2 + A3/A4 + O3) — the reference's two reports
+# sql/queries.sql:22-45, re-keyed onto customer/orders and part/lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "rewards_by_member",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_dollars
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_dollars DESC, c_custkey
+    """,
+    "J1+A3+O3: 'Rewards Earned by Member' (sql/queries.sql:22-32) — inner "
+    "equi-join fact->dim, 2-key group, sum, order by aggregate.",
+)
+def rewards_by_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum("o_totalprice", "total_dollars"))
+        .orderBy(F.desc("total_dollars"), F.asc("c_custkey"))
+    )
+
+
+@register(
+    "rewards_by_quest",
+    """
+    SELECT p_partkey, p_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_dollars
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY total_dollars DESC, p_partkey
+    """,
+    "J2+A4+O3: 'Rewards Earned by Quest' (sql/queries.sql:35-45) — fact "
+    "joined to the part dimension, grouped sum ordered by total.",
+)
+def rewards_by_quest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(_dsum("l_extendedprice", "total_dollars"))
+        .orderBy(F.desc("total_dollars"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "region_customer_counts",
+    """
+    SELECT r_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    "J1 chain: 3-table star join (both dims broadcast; Catalyst reorders), "
+    "grouped count — the reference's join family at one more level.",
+)
+def region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K / sorts (O1, O2) — sql/queries.sql:1-19 lag monitors.
+# ---------------------------------------------------------------------------
+@register(
+    "recent_events_topk",
+    """
+    SELECT event_id, ts, event_type, user_id
+    FROM events ORDER BY ts DESC, event_id LIMIT 5
+    """,
+    "O1: top-5 most recent (sql/queries.sql:8 ORDER BY syncTimestamp DESC "
+    "LIMIT 5) — TakeOrderedAndProject, unique tiebreak on event_id.",
+)
+def recent_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "ts", "event_type", "user_id")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "event_lag_topk",
+    """
+    SELECT event_id, ts,
+           epoch_ms((SELECT max(ts) FROM events)) - epoch_ms(ts) AS lag_ms
+    FROM events ORDER BY lag_ms DESC, event_id LIMIT 5
+    """,
+    "O2+F11: worst 'sync lag' (sql/queries.sql:11-19) — interval arithmetic "
+    "vs a high-watermark, sorted desc, top-5. The watermark scalar is a "
+    "1-row aggregate broadcast-cross-joined to the fact (no window-over-all).",
+)
+def event_lag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("_max_ts"))
+    return (
+        events.crossJoin(F.broadcast(max_ts))
+        .select(
+            "event_id",
+            "ts",
+            (F.unix_millis(F.col("_max_ts")) - F.unix_millis(F.col("ts"))).alias(
+                "lag_ms"
+            ),
+        )
+        .orderBy(F.desc("lag_ms"), F.asc("event_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ungrouped aggregates (A1, A2) — watermark read + staged-count.
+# ---------------------------------------------------------------------------
+@register(
+    "watermark_max",
+    "SELECT max(o_orderdate) AS watermark FROM orders",
+    "A1: ungrouped scalar MAX — the sync watermark read "
+    "(sql/incremental_sync_members.sql:11).",
+)
+def watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.max("o_orderdate").alias("watermark"))
+
+
+@register(
+    "count_rows",
+    "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "A2: ungrouped COUNT(*) — staged-row count "
+    "(sql/incremental_sync_members.sql:33).",
+)
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "A6: COUNT/MIN/MAX diagnostics per group "
+    "(sql/incremental_sync_members.sql:61-65 sanity checks).",
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value", "total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P2-P6) + scalar functions (F1-F10).
+# ---------------------------------------------------------------------------
+@register(
+    "high_watermark_filter",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events WHERE ts > TIMESTAMP '2024-06-01 00:00:00'
+    ORDER BY event_id
+    """,
+    "P5: high-watermark timestamp range predicate "
+    "(sql/incremental_sync_members.sql:31) — pushed to the parquet scan.",
+)
+def high_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts") > F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "prefix_like_filter",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders WHERE o_orderpriority LIKE '1%' ORDER BY o_orderkey
+    """,
+    "P2: LIKE prefix routing (pk LIKE 'M^_%' ESCAPE '^', "
+    "sql/initial_load_members.sql:10) — prefix predicate pushdown.",
+)
+def prefix_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").like("1%"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scalar_function_suite",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(ts AS DATE) AS event_date,
+           make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS ts_sec,
+           regexp_replace(event_type, '^c', '') AS stripped_type,
+           CAST(floor(value) AS BIGINT) AS value_floor
+    FROM events ORDER BY event_id
+    """,
+    "F1/F3 json_extract_path_text -> get_json_object; F9 TRUNC(ts) -> "
+    "to_date; F10 epoch-seconds conversion (sql/incremental_sync_members.sql"
+    ":28); F5 prefix strip (sql/initial_load_members.sql:3); F6 casts.",
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.to_date("ts").alias("event_date"),
+        F.timestamp_seconds(F.expr("unix_millis(ts) div 1000")).alias("ts_sec"),
+        F.regexp_replace("event_type", "^c", "").alias("stripped_type"),
+        F.floor("value").cast("long").alias("value_floor"),
+    ).orderBy("event_id")
+
+
+@register(
+    "date_trunc_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-03-15' ORDER BY event_id
+    """,
+    "P6: TRUNC(timestamp) = CURRENT_DATE (sql/queries.sql:18), with a fixed "
+    "date for determinism.",
+)
+def date_trunc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.to_date("ts") == F.lit("2024-03-15").cast("date"))
+        .select("event_id", "ts")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / semi / anti joins (J3, J4, ST3) — the merge building blocks.
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    "J4/A5/ST3: latest-change-per-key collapse "
+    "(sql/incremental_sync_members.sql:38-40 NOT-IN dedup) as the canonical "
+    "window row_number()=1.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "J3: DELETE ... USING semi-join delete (sql/incremental_sync_members.sql"
+    ":44) — the survivor side is a left_anti join.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "J3 complement: the deleted side — left_semi join (EXISTS).",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "cdc_merge_latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    "ST2-ST5 as a batch query: treat events as a CDC stream keyed by "
+    "user_id ('error' = REMOVE). Latest change wins (ST3); a terminal REMOVE "
+    "deletes the key (ST5) — exactly the stored procedures' merge recipe "
+    "(sql/incremental_sync_members.sql:38-52).",
+)
+def cdc_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 — free via Spark; included for coverage).
+# ---------------------------------------------------------------------------
+@register(
+    "users_click_and_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+    "Set op: INTERSECT of two filtered projections.",
+)
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+@register(
+    "users_view_not_signup",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    ORDER BY user_id
+    """,
+    "Set op: EXCEPT (anti-semantics at set level).",
+)
+def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    signups = events.filter(F.col("event_type") == "signup").select("user_id")
+    return views.subtract(signups).orderBy("user_id")  # EXCEPT DISTINCT

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target the test rig (single JVM, ``local[N]``) but every knob is the
+one you would set on a real cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), shuffle partitions sized to the
+parallelism, UTC session timezone (parity with the DuckDB oracle), and Arrow
+enabled for the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    try:
+        cpus = int(env)
+    except ValueError:
+        cpus = 0
+    return cpus if cpus > 0 else (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "example_cdk_dynamodb_stream_to_redshift_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,40 @@
+"""Loaders for the driver's parquet tables.
+
+Plain ``spark.read.parquet`` — columnar scan with predicate pushdown and
+column pruning left to Catalyst. At cluster scale these paths would be a
+partitioned table root; the API is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read nanos as long and truncate to micros (same precision
+    # DuckDB / Python datetime deliver for ns timestamps).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division: ns magnitudes overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can see them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,99 @@
+"""Structured Streaming CDC pipeline.
+
+Reference parity: the operational loop of the reference is
+  REFRESH MATERIALIZED VIEW member_quest_data_extract;   -- pull new records
+  CALL incremental_sync_members|quests|member_quests();  -- merge into targets
+(scripts/setup_redshift.sh:123-131, scripts/test_sync_time.sh:69-106).
+
+Spark mapping (SURVEY.md §2.8):
+- the manual REFRESH        -> one Trigger.AvailableNow micro-batch (ST1)
+- the stored-proc merge     -> foreachBatch(batch -> extract -> merge) (ST2-ST8)
+- stream->extract projection is plans.extract.build_extract, shared verbatim
+  with the batch path.
+
+Each micro-batch: persist the batch's extract (the MV's materialized rows),
+then run the three entity merges against the Parquet-backed targets. The
+watermark lives in the targets themselves, so a replayed batch is idempotent
+(ST6) — exactly-once effect on at-least-once delivery.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import ALL_SPECS, incremental_merge
+from ..operators.storage import ParquetTable
+from ..plans.extract import build_extract
+from ..schemas import TARGET_SCHEMAS
+from ..sources.cdc_envelope import read_cdc_record_stream
+
+
+class CdcPipeline:
+    """File-source Structured Streaming pipeline: envelope JSON -> targets.
+
+    On a real deployment the source swaps to format("kinesis")/format("kafka")
+    with identical downstream columns (sources/cdc_envelope.py).
+    """
+
+    def __init__(self, spark: SparkSession, input_path: str, warehouse: str):
+        self.spark = spark
+        self.input_path = input_path
+        self.warehouse = warehouse
+        self.checkpoint = os.path.join(warehouse, "_checkpoint")
+        self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
+        self.targets = {
+            name: ParquetTable(spark, os.path.join(warehouse, name), schema)
+            for name, schema in TARGET_SCHEMAS.items()
+        }
+
+    # -- batch bootstrap (initial load) -----------------------------------
+    def initial_load(self, export_path: str, sync_ts: dt.datetime | None = None) -> None:
+        from ..plans.initial_load import initial_load_all
+        from ..sources.export_json import read_dynamodb_export
+
+        dump = read_dynamodb_export(self.spark, export_path)
+        dump.persist()
+        try:
+            for name, df in initial_load_all(dump, sync_ts).items():
+                self.targets[name].append(df)
+        finally:
+            dump.unpersist()
+
+    # -- streaming refresh ------------------------------------------------
+    def _merge_batch(self, records: DataFrame, batch_id: int) -> None:
+        extract = build_extract(records)
+        extract.persist()  # staged micro-batch reused by 3 merges + MV append
+        try:
+            sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            extract.write.mode("append").parquet(self.extract_path)
+            for spec in ALL_SPECS:
+                table = self.targets[spec.name]
+                merged = incremental_merge(table.read(), extract, spec, sync_ts)
+                table.overwrite(merged)
+        finally:
+            extract.unpersist()
+
+    def refresh(self) -> None:
+        """One REFRESH: process all newly-arrived records, then return (ST1)."""
+        stream = read_cdc_record_stream(self.spark, self.input_path)
+        query = (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    # -- reads ------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.targets[name].read()
+
+    def extract_table(self) -> DataFrame:
+        if not os.path.exists(self.extract_path):
+            raise FileNotFoundError(
+                "extract has not been materialized yet — run refresh() first"
+            )
+        return self.spark.read.parquet(self.extract_path)
