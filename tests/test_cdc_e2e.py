@@ -1,0 +1,227 @@
+"""CDC semantics tests (ST1-ST8, FIXTURES.md §5 scenarios) — batch merge
+unit tests plus the full streaming E2E mirroring scripts/test_sync_time.sh."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+    MEMBER_QUEST_SPEC,
+    MEMBER_SPEC,
+    incremental_merge,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.plans.extract import build_extract
+from example_cdk_dynamodb_stream_to_redshift_spark.plans.queries import (
+    recent_syncs,
+    rewards_by_member,
+    rewards_by_quest,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.schemas import MEMBER_SCHEMA
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.cdc_envelope import (
+    read_cdc_records,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+from .cdc_fixtures import (
+    envelope,
+    kinesis_record,
+    member_item,
+    member_quest_item,
+    quest_item,
+    write_jsonl,
+)
+
+BASE_MS = 1700000000000  # 2023-11-14T22:13:20Z
+OLD = dt.datetime(2023, 1, 1)
+
+
+def member_env(seq, eid, name_ev, uuid, name, ms):
+    img = None
+    if name_ev != "REMOVE":
+        img = {
+            "pk": {"S": f"M_{uuid}"},
+            "sk": {"S": name},
+            "memberId": {"S": uuid},
+            "memberName": {"S": name},
+        }
+    return kinesis_record(seq, envelope(eid, name_ev, f"M_{uuid}", name, ms, img))
+
+
+def mq_env(seq, eid, name_ev, uuid, member_uuid, quest_uuid, dollars, ms):
+    img = None
+    if name_ev != "REMOVE":
+        img = {
+            "pk": {"S": f"MQ#M_{member_uuid}"},
+            "sk": {"S": f"MQ_{uuid}"},
+            "questId": {"S": quest_uuid},
+            "dollarsEarned": {"N": dollars},
+        }
+    return kinesis_record(
+        seq, envelope(eid, name_ev, f"MQ#M_{member_uuid}", f"MQ_{uuid}", ms, img)
+    )
+
+
+@pytest.fixture()
+def seeded_member(spark):
+    """Member target seeded as if initial-loaded at OLD."""
+    return spark.createDataFrame(
+        [("m1", "Alice", OLD, "INITIAL_LOAD", OLD), ("m2", "Bob", OLD, "INITIAL_LOAD", OLD)],
+        MEMBER_SCHEMA,
+    )
+
+
+def extract_of(spark, tmp_path, records, name="batch"):
+    path = write_jsonl(str(tmp_path / f"{name}.json"), records)
+    return build_extract(read_cdc_records(spark, path))
+
+
+# ---- scenario 1: INSERT then MODIFY same key in one batch -> latest only ----
+def test_same_batch_latest_wins(spark, tmp_path, seeded_member):
+    ext = extract_of(
+        spark,
+        tmp_path,
+        [
+            member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+            member_env(2, "e2", "MODIFY", "m3", "Caroline", BASE_MS + 2000),
+        ],
+    )
+    out = incremental_merge(seeded_member, ext, MEMBER_SPEC, sync_ts=dt.datetime(2023, 12, 1))
+    rows = {r.memberId: r for r in out.collect()}
+    assert rows["m3"].memberName == "Caroline"
+    assert rows["m3"].eventName == "MODIFY"
+    assert len(rows) == 3
+
+
+# ---- scenario 2: MODIFY of existing key -> replaced, new syncTimestamp ----
+def test_modify_replaces(spark, tmp_path, seeded_member):
+    sync = dt.datetime(2023, 12, 1)
+    ext = extract_of(
+        spark, tmp_path, [member_env(1, "e1", "MODIFY", "m1", "Alicia", BASE_MS)]
+    )
+    out = incremental_merge(seeded_member, ext, MEMBER_SPEC, sync_ts=sync)
+    rows = {r.memberId: r for r in out.collect()}
+    assert rows["m1"].memberName == "Alicia"
+    assert rows["m1"].syncTimestamp == sync
+    assert rows["m2"].memberName == "Bob"  # untouched
+
+
+# ---- scenario 3: REMOVE -> deleted, not re-inserted ----
+def test_remove_deletes(spark, tmp_path, seeded_member):
+    ext = extract_of(
+        spark, tmp_path, [member_env(1, "e1", "REMOVE", "m2", "Bob", BASE_MS)]
+    )
+    out = incremental_merge(seeded_member, ext, MEMBER_SPEC, sync_ts=dt.datetime(2023, 12, 1))
+    assert {r.memberId for r in out.collect()} == {"m1"}
+
+
+# ---- scenario 4: event at/below watermark silently dropped (ST6) ----
+def test_late_event_dropped(spark, tmp_path, seeded_member):
+    late_ms = int(dt.datetime(2022, 6, 1).timestamp() * 1000)  # before OLD
+    ext = extract_of(
+        spark, tmp_path, [member_env(1, "e1", "MODIFY", "m1", "STALE", late_ms)]
+    )
+    out = incremental_merge(seeded_member, ext, MEMBER_SPEC, sync_ts=dt.datetime(2023, 12, 1))
+    rows = {r.memberId: r for r in out.collect()}
+    assert rows["m1"].memberName == "Alice"
+
+
+# ---- scenario 5: merge against empty target raises (ST8) ----
+def test_empty_target_guard(spark, tmp_path):
+    empty = spark.createDataFrame([], MEMBER_SCHEMA)
+    ext = extract_of(
+        spark, tmp_path, [member_env(1, "e1", "INSERT", "m1", "A", BASE_MS)]
+    )
+    with pytest.raises(ValueError, match="initial load"):
+        incremental_merge(empty, ext, MEMBER_SPEC)
+
+
+# ---- tie on event time (second precision) -> deterministic by seq ----
+def test_second_precision_tie_breaks_by_sequence(spark, tmp_path, seeded_member):
+    # 400ms apart: both floor to the same second (F10 integer division)
+    ext = extract_of(
+        spark,
+        tmp_path,
+        [
+            member_env(1, "e1", "MODIFY", "m1", "First", BASE_MS + 100),
+            member_env(2, "e2", "MODIFY", "m1", "Second", BASE_MS + 500),
+        ],
+    )
+    out = incremental_merge(seeded_member, ext, MEMBER_SPEC, sync_ts=dt.datetime(2023, 12, 1))
+    rows = {r.memberId: r for r in out.collect()}
+    assert rows["m1"].memberName == "Second"  # higher sequence number wins
+
+
+# ---- member_quest projection: NewImage navigation + N-string cast ----
+def test_member_quest_projection(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.schemas import MEMBER_QUEST_SCHEMA
+
+    target = spark.createDataFrame(
+        [("mq0", "m1", "q1", 5.0, OLD, "INITIAL_LOAD", OLD)], MEMBER_QUEST_SCHEMA
+    )
+    ext = extract_of(
+        spark, tmp_path, [mq_env(1, "e1", "INSERT", "mq9", "m1", "q1", "42.17", BASE_MS)]
+    )
+    out = incremental_merge(target, ext, MEMBER_QUEST_SPEC, sync_ts=dt.datetime(2023, 12, 1))
+    rows = {r.memberQuestId: r for r in out.collect()}
+    assert rows["mq9"].dollarsEarned == 42.17
+    assert rows["mq9"].memberId == "m1"
+    assert rows["mq9"].questId == "q1"
+
+
+# ---- full streaming E2E (scripts/test_sync_time.sh parity) ----
+def test_streaming_pipeline_e2e(spark, tmp_path):
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            member_item("m2", "Bob"),
+            quest_item("q1", "Walk 10,000 steps"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+            member_env(2, "e2", "MODIFY", "m3", "Caroline", BASE_MS + 2000),
+            member_env(3, "e3", "REMOVE", "m2", "Bob", BASE_MS + 3000),
+            mq_env(4, "e4", "INSERT", "mq2", "m3", "q1", "25.50", BASE_MS + 4000),
+        ],
+    )
+    pipe.refresh()
+
+    members = {r.memberId: r for r in pipe.table("member").collect()}
+    assert set(members) == {"m1", "m3"}
+    assert members["m3"].memberName == "Caroline"
+    assert pipe.table("member").filter("syncTimestamp IS NULL").count() == 0
+
+    # incremental second batch: stale event dropped, fresh one applied
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [
+            member_env(5, "e5", "MODIFY", "m3", "STALE", BASE_MS + 1500),
+            member_env(6, "e6", "MODIFY", "m1", "Alicia", BASE_MS + 9000),
+        ],
+    )
+    pipe.refresh()
+    members = {r.memberId: r.memberName for r in pipe.table("member").collect()}
+    assert members == {"m1": "Alicia", "m3": "Caroline"}
+
+    # the four reference reports run on the targets
+    mq, m, q = pipe.table("member_quest"), pipe.table("member"), pipe.table("quest")
+    rewards = {r.memberId: r.totalDollarsEarned for r in rewards_by_member(mq, m).collect()}
+    assert rewards == {"m1": 10.0, "m3": 25.5}
+    by_quest = {r.questId: r.totalDollarsEarned for r in rewards_by_quest(mq, q).collect()}
+    assert by_quest == {"q1": 35.5}
+    assert recent_syncs(m).count() == 2
+
+    # extract table (MV) accumulated all 6 records
+    assert pipe.extract_table().count() == 6
