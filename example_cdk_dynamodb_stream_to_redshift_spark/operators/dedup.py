@@ -1,0 +1,192 @@
+"""Deduplication operator family for training-data pipelines.
+
+Scale design (the point of each variant):
+- exact_dedup:      one hash-shuffle on a 32-byte fingerprint, then
+                    min-per-group — the cheapest possible global dedup.
+- ngram_jaccard:    exact near-dup via shingle inverted index. Cost is
+                    bounded by the inverted-index join fan-out; fine for
+                    verification and small corpora, quadratic in the worst
+                    case — the LSH variant is the scale path.
+- minhash_lsh:      shingle -> K minhashes -> B bands; only pairs sharing a
+                    band key are candidates (join on band key, linear-ish),
+                    then exact-Jaccard verification of candidates only.
+- simhash:          64-bit signature per doc (Pandas UDF), near-dups =
+                    signatures within Hamming distance d, found by the
+                    pigeonhole block trick (d+1 blocks, equi-join per block).
+- embedding cosine: see similarity.embedding_near_dup_pairs.
+
+Everything except simhash is pure built-in DataFrame ops (codegen'd);
+fingerprints use md5 so the DuckDB oracle can reproduce them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) -> canonical (min) id +
+    group size. Output: fp, canonical_id, n_dups."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus itself: keep the min-id row per fingerprint."""
+    canon = exact_dedup(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, id_col, "left_semi")
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Inverted index: (shingle_md5, id, n_shingles) — distinct shingles."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    return sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
+        "s", F.md5("s")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: inverted index on shingle hash -> self-equi-join on shingle (the
+    shuffle key is the 32-char hash: uniformly distributed, no skew) ->
+    count shared shingles per pair -> |A ∪ B| = |A| + |B| - shared.
+    """
+    idx = _shingle_index(df, text_col, id_col, n)
+    a = idx.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), F.col("s")
+    )
+    b = idx.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), F.col("s")
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jaccard = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[k] = min over shingles of
+    md5(k || shingle). md5-based hash family keeps the oracle reproducible;
+    at production scale you'd swap in xxhash64(shingle, seed_k) — same plan
+    shape, cheaper hash."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}|"), s)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the K-hash signature into B bands of K/B rows;
+    docs sharing any band key are candidate pairs.
+
+    The only shuffle is the equi-join on (band_idx, band_key) — a uniform
+    md5-derived key, so no skew; candidate count is tunable via (K, B).
+    Output: id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)])
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup: LSH candidates, then exact Jaccard
+    verification of the CANDIDATES ONLY (the standard scale recipe — the
+    all-pairs shingle join is never materialized)."""
+    cands = minhash_lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    pairs = (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jaccard = F.col("shared").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )

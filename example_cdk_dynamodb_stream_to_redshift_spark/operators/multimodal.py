@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns plus a typed metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` operators so each task processes whole record batches and
+the (heavy) media bytes never leave the executor.
+
+The decode kernels themselves are STUBBED in this environment (no
+PIL/ffmpeg/soundfile in the image): ``decode_fn=None`` uses a deterministic
+fake decoder so the Spark-side plumbing — schema, batch iteration,
+partition sizing, output shape — is real and tested; pass a real
+``decode_fn`` to light it up unchanged.
+
+Scale notes: media rows are large and count-skewed — ``repartition`` by a
+uniform key (content hash) before heavy decode so one executor doesn't eat
+all 4K videos; ``spark.sql.files.maxPartitionBytes`` should be sized down
+for tables with multi-MB binary cells.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png | wav | mp4 | ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(content: bytes, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder+embedder: derives
+    n_features floats in [0,1) from the sha256 of the bytes."""
+    if content is None:
+        return []
+    digest = hashlib.sha256(content).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(n_features)
+    ]
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    n_features: int = 8,
+) -> DataFrame:
+    """binary content -> (sha256, size, feature vector) via mapInPandas.
+
+    A real deployment passes ``decode_fn`` that decodes pixels/samples and
+    runs the feature model; batches stream through Arrow so memory stays
+    bounded by batch size, not partition size.
+    """
+    fn = decode_fn or (lambda b: _fake_decode(b, n_features))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_sha256": [
+                        hashlib.sha256(b).hexdigest() if b is not None else None
+                        for b in content
+                    ],
+                    "n_bytes": [len(b) if b is not None else 0 for b in content],
+                    "features": [fn(bytes(b) if b is not None else b) for b in content],
+                }
+            )
+
+    return media.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator — decode kernel NOT available in this image."""
+    raise NotImplementedError(
+        "image decode (PIL/opencv) is not available in this environment; "
+        "wire a decode_fn through extract_media_features-style mapInPandas"
+    )
+
+
+def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
+    """Frame sampling operator — decode kernel NOT available in this image."""
+    raise NotImplementedError(
+        "video decode (ffmpeg) is not available in this environment; "
+        "wire a decode_fn through extract_media_features-style mapInPandas"
+    )
+
+
+def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adapter used by tests/driver queries: treat utf-8 text bytes as an
+    opaque media payload (exercises the binary-column plumbing on the
+    driver's documents table, where no true media exists)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text").alias("media_type"),
+            F.lit("utf-8").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

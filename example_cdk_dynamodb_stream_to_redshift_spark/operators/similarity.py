@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard scale recipe:
+- brute-force cosine top-k: exact baseline. One narrow projection + top-k;
+  at cluster scale this is a full scan but zero shuffle (TakeOrderedAndProject
+  does per-partition top-k then merges k*partitions rows on the driver).
+- LSH-bucketed (random hyperplane / SRP): probe only the query's bucket(s) —
+  the 100 TB path. Signatures are precomputed once; the probe is a bucket
+  equi-join.
+
+Cosine has two formulations:
+- ``cosine`` — plain double math (production hot path, stays in codegen).
+- ``cosine_q6`` — inputs quantized to 1e-6 integers, dot/norms in exact int64
+  arithmetic, one final double division. Bit-identical across engines —
+  used by the DuckDB-oracle-checked queries (see tests: float folds differ
+  in the last ulp between engines; integer math doesn't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Vector = "list[float]"
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _q6(col: Column) -> Column:
+    """Quantize each component to round(x * 1e6) as int64."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+
+def _fold_sum(arr: Column, zero) -> Column:
+    return F.aggregate(arr, zero, lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Plain double cosine — the production path."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_q6(a: Column, b: Column) -> Column:
+    """Quantized cosine — bit-stable across engines (oracle path)."""
+    qa, qb = _q6(a), _q6(b)
+    d = _fold_sum(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"))
+    na = _fold_sum(F.transform(qa, lambda x: x * x), F.lit(0).cast("long"))
+    nb = _fold_sum(F.transform(qb, lambda x: x * x), F.lit(0).cast("long"))
+    return d.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` rows vs the single-row ``query``
+    DataFrame (column ``q``). Output: id, cos_sim — k rows, ties broken by id.
+
+    The query row is broadcast; the scan never shuffles. ``orderBy + limit``
+    compiles to TakeOrderedAndProject (per-partition heaps, driver merge of
+    k*partitions rows) — the right plan at any scale.
+    """
+    sim = cosine_q6 if exact_engine_parity else cosine
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            sim(F.col(vec_col), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (signed random projections) — the ANN scale path.
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy dependency at
+    plan-build time, reproducible across runs)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Bit-signature: bit_i = 1 if dot(vec, plane_i) >= 0 — packed into a
+    bigint bucket key. Cosine-similar vectors collide with high probability."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    dv = _dbl(vec)
+    bits = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = _fold_sum(F.zip_with(dv, p, lambda x, y: x * y), F.lit(0.0))
+        bits = bits + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bits
+
+
+def build_srp_index(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Precompute (id, vec, bucket). At scale: write this partitioned/bucketed
+    by ``bucket`` so probes are partition-pruned scans."""
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+
+
+def srp_topk(
+    index: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows whose bucket is within
+    ``max_hamming`` bits of the query's bucket (multi-probe SRP-LSH).
+
+    The candidate filter is `bit_count(bucket XOR qbucket) <= h` — evaluated
+    against the precomputed index; with a bucket-partitioned index this
+    prunes to a tiny fraction of the corpus before any cosine is computed.
+    """
+    q = query.select(
+        F.col("q"), srp_signature(F.col("q"), dim, n_planes, seed).alias("qbucket")
+    )
+    cand = index.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= max_hamming
+    )
+    return (
+        cand.select(
+            F.col(id_col), cosine(F.col(vec_col), F.col("q")).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    All-pairs formulation for correctness checking; the scale path pre-buckets
+    with build_srp_index and joins on bucket first (same verify step).
+    """
+    sim = cosine_q6 if exact_engine_parity else cosine
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

@@ -448,3 +448,9 @@ def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events.filter(F.col("event_type") == "view").select("user_id")
     signups = events.filter(F.col("event_type") == "signup").select("user_id")
     return views.subtract(signups).orderBy("user_id")  # EXCEPT DISTINCT
+
+
+# Register the training-data-pipeline inventory (dedup / similarity / text /
+# multimodal) into the same REGISTRY. Import at module bottom: inventory_ml
+# needs `register`, defined above.
+from . import inventory_ml  # noqa: E402,F401

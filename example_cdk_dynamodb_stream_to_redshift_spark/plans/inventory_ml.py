@@ -1,0 +1,353 @@
+"""Training-data-pipeline operator inventory: dedup, similarity search,
+text analysis, multimodal plumbing — each driver-checkable against a DuckDB
+oracle (or declared rows-only where genuinely non-SQL, e.g. Pandas-UDF
+simhash and multi-probe LSH).
+
+Oracle determinism strategy (validated empirically in tests/oracle.py):
+- all text primitives are string/int ops -> bitwise identical.
+- cosine goes through int64 quantization (operators.similarity.cosine_q6):
+  float folds differ between engines in the last ulp; integer dots don't.
+- hash family is md5 everywhere (same bytes -> same hex in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators.simhash import simhash_near_dup_pairs
+from ..sources.tables import load_table
+from .inventory import register
+
+_STOP_SQL = "'" + "','".join(TX.STOPWORDS) + "'"
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), "
+    "i -> md5(array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "doc_text_stats",
+    f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS n_tokens_bpe,
+      len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stop,
+      CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+    FROM documents ORDER BY doc_id
+    """,
+    "Text analysis: whitespace + BPE-ish regex token counting, stopword "
+    "ratio, average token length, punctuation count — per-row projections, "
+    "no shuffle, all JVM-side.",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        TX.stopword_count("text").alias("n_stop"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        TX.avg_token_length("text").alias("avg_token_len"),
+        TX.punct_count("text").alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS pc
+      FROM documents)
+    SELECT doc_id,
+      least(n / 100.0, 1.0) * 0.4
+      + greatest(1.0 - abs(sr - 0.04) * 5.0, 0.0) * 0.4
+      + (1.0 - least(pc / n, 1.0)) * 0.2 AS quality
+    FROM t ORDER BY doc_id
+    """,
+    "Quality scoring: length/stopword/punctuation heuristic in [0,1] "
+    "(fixed-weight IEEE double chain — deterministic cross-engine).",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "'" + "','".join(TX.LANG_MARKERS[lang]) + "'"
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({markers})))"
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+        {_lang_score_sql('en')} AS s_en, {_lang_score_sql('de')} AS s_de,
+        {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('es')} AS s_es,
+        {_lang_score_sql('zh')} AS s_zh
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+        WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+        WHEN s_fr > 0 AND s_fr >= greatest(s_es, s_zh) THEN 'fr'
+        WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+        WHEN s_zh > 0 THEN 'zh'
+        ELSE 'und'
+      END AS pred_lang
+    FROM s ORDER BY doc_id
+    """,
+    "Language-ID heuristic: marker-word profile scoring, argmax with "
+    "deterministic tie precedence.",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.lang_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+      md5(lower(trim(text))) AS fp,
+      list_min(list_transform(range(0, len(string_split(text,' ')) - 2),
+        i -> md5(array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' ')))) AS min_shingle_fp
+    FROM documents ORDER BY doc_id
+    """,
+    "Document fingerprinting: content md5 + min-shingle rolling-hash "
+    "fingerprint (1-hash MinHash).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        TX.min_shingle_fingerprint("text").alias("min_shingle_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY canonical_id
+    """,
+    "Exact dedup: hash-groupBy on content fingerprint, canonical min-id "
+    "per group — one shuffle on a uniform 32-byte key.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).orderBy("canonical_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    idx AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+    "N-gram Jaccard near-dup: shingle inverted index -> self-join -> "
+    "shared-count -> Jaccard >= 0.05 (29 true pairs at sf0.01).",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.05).orderBy("id_a", "id_b")
+
+
+def _minhash_sig_sql(k: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> md5(concat('{i}|', x))))"
+        for i in range(k)
+    )
+    return f"[{mins}]"
+
+
+@register(
+    "minhash_lsh_near_dups",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2),
+          i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))) AS s
+      FROM documents),
+    sig AS (SELECT doc_id, s, {_minhash_sig_sql(16)} AS g FROM sh),
+    bands AS (
+      SELECT doc_id, s, b.band,
+        md5(concat_ws('|', g[b.band*4 + 1], g[b.band*4 + 2],
+                           g[b.band*4 + 3], g[b.band*4 + 4])) AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE) AS jaccard
+      FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                JOIN sh y ON cand.id_b = y.doc_id)
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= 0.05 ORDER BY id_a, id_b
+    """,
+    "MinHash(16)+LSH(4 bands of 4): shingle->md5-minhash->band-bucket-join "
+    "candidates, exact-Jaccard verify of candidates only — the linear-ish "
+    "scale path for corpus dedup.",
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_near_dup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.05
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_near_dups",
+    None,  # Pandas-UDF signature: not SQL-expressible -> rows-only check
+    "SimHash(64-bit) near-dup pairs within Hamming distance 3 via the "
+    "pigeonhole block join (operators/simhash.py). Verified in pytest "
+    "against brute-force Hamming over all pairs.",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+_COS_Q6_SQL = """
+  CAST(list_sum(list_transform(list_zip(va, vb), s ->
+      CAST(round(CAST(s[1] AS DOUBLE) * 1000000) AS BIGINT)
+    * CAST(round(CAST(s[2] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)
+  / (sqrt(CAST(list_sum(list_transform(va, x ->
+      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+    * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE))
+   * sqrt(CAST(list_sum(list_transform(vb, x ->
+      CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+    * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)))
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT embedding AS vb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_COS_Q6_SQL} AS cos_sim
+      FROM (SELECT vec_id, embedding AS va FROM embeddings), q)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "ANN baseline: exact cosine top-10 vs the vec_id=0 query vector — "
+    "broadcast query, full scan, TakeOrderedAndProject (per-partition "
+    "heaps). Quantized int64 cosine for cross-engine bit-stability.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.brute_force_topk(emb, query, k=10, exact_engine_parity=True)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b, {_COS_Q6_SQL} AS cos_sim
+    FROM a JOIN b ON id_a < id_b
+    WHERE {_COS_Q6_SQL} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    "Embedding-cosine near-dup pairs (cos >= 0.4): all-pairs check form; "
+    "the scale path pre-buckets with SRP-LSH (srp_ann_topk) first.",
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.4, exact_engine_parity=True
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "srp_ann_topk",
+    None,  # approximate (bucket pruning) — rows-only; recall tested in pytest
+    "SRP-LSH ANN: 16 random-hyperplane bit signature, candidates within "
+    "Hamming<=6 of the query bucket, cosine top-10 of candidates only — "
+    "the partition-pruned scale path (operators/similarity.py).",
+)
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    index = SIM.build_srp_index(emb, dim=64, n_planes=16)
+    return SIM.srp_topk(index, query, dim=64, k=10, n_planes=16, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (text bytes as opaque media; decode kernels stubbed)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY media_id
+    """,
+    "Multimodal plumbing: text bytes as opaque binary payload — byte "
+    "length + content hash through the binary column path (real media "
+    "decode is a mapInPandas kernel, operators/multimodal.py).",
+)
+def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.text_as_media(docs)
+    return media.select(
+        "media_id",
+        F.octet_length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("media_id")
+
+
+@register(
+    "media_feature_extract",
+    None,  # mapInPandas + sha256 fake-decoder: rows-only check
+    "Multimodal feature extraction: binary content -> sha256 + stub feature "
+    "vector via Arrow-batched mapInPandas (operators/multimodal.py; decode "
+    "kernel stubbed per environment constraints, plumbing real).",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_media_features(MM.text_as_media(docs)).orderBy("media_id")
