@@ -1,0 +1,99 @@
+"""As-of (point-in-time) join — a temporal operator the reference's SQL
+surface lacks but every event/CDC pipeline eventually needs (e.g. "state of
+the dimension as of this event's timestamp", purchase->last-prior-view
+attribution).
+
+Spark has no ASOF JOIN primitive, and the naive formulation
+(range theta-join + per-left-row max) explodes to |L|x|R| candidate pairs.
+This implementation uses the union-tag-window pattern instead:
+
+1. tag left rows (side=1) and right rows (side=0) and union them into one
+   relation keyed by the join key with a common event-time column;
+2. one shuffle: window PARTITION BY key ORDER BY (time, side, tiebreak);
+3. ``last(value, ignorenulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT
+   carries the most recent right-side values forward onto each left row;
+4. keep side=1 rows.
+
+Cost is a single hash shuffle of |L|+|R| rows plus a per-partition sort —
+the same cost profile as a regular sort-merge join, independent of how many
+right rows precede each left row. At 100 TB this partitions by key exactly
+like any other shuffle (skewed hot keys are handled by AQE or pre-salting
+upstream); there is no broadcast requirement and no candidate blow-up.
+
+Ordering note: with ``allow_exact_match=True`` a right row at exactly the
+left row's timestamp is visible (right sorts first via side 0<1, i.e.
+``r.ts <= l.ts``); with ``False`` the left row sorts first (``r.ts < l.ts``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+    allow_exact_match: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row
+    with the same ``on`` key and ``right_time`` <= (or <) ``left_time``.
+
+    Left-join semantics: left rows with no prior right row get nulls.
+    ``right_tiebreak`` makes the pick deterministic when several right rows
+    share a timestamp (the max-tiebreak row wins).
+    """
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    null_l = F.lit(None).cast(
+        "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
+    ).alias("_l")
+
+    def _null_val(c: str):
+        return F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+
+    tb_left = (
+        F.lit(None).cast(right.schema[right_tiebreak].dataType)
+        if right_tiebreak
+        else F.lit(0)
+    ).alias("_tb")
+    tb_right = (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("_tb")
+
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        tb_left,
+        lstruct,
+        *[_null_val(c) for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        tb_right,
+        null_l,
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+
+    # side ordering encodes the <= vs < boundary at equal timestamps.
+    side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), side_order, F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    carried = tagged_left.unionByName(tagged_right)
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_r_{c}").alias(f"{prefix}{c}") for c in value_cols]
+    )

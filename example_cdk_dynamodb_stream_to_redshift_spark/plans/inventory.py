@@ -454,3 +454,4 @@ def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) into the same REGISTRY. Import at module bottom: inventory_ml
 # needs `register`, defined above.
 from . import inventory_ml  # noqa: E402,F401
+from . import inventory_analytics  # noqa: E402,F401

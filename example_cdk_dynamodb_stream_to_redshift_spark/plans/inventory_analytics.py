@@ -1,0 +1,317 @@
+"""Heavier analytics inventory: scan-dominated aggregation, big-big shuffle
+join, event-time windowing (tumbling + session), as-of join, distinct /
+approx-distinct aggregation, rollup, and the parameterized-SQL facade (S8).
+
+These extend the reference's join/agg/top-k family (sql/queries.sql:22-45)
+to the shapes a 100 TB warehouse actually runs. Same determinism rules as
+inventory.py: decimal-accumulated double sums, unique tie-breaks on every
+LIMIT/ORDER, no wall-clock functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Engine
+from ..operators.asof import asof_join
+from ..operators.sessions import sessionize
+from ..sources.tables import load_table
+from .inventory import register
+
+
+
+
+# ---------------------------------------------------------------------------
+# Scan-dominated aggregation (TPC-H Q1 shape): the canonical "does partial
+# aggregation + whole-stage codegen carry the scan" benchmark query.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS sum_disc_price,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape on the driver tables: predicate pushed to the parquet "
+    "scan, map-side partial hash-agg over ~6 groups, one tiny shuffle. The "
+    "scan-throughput headline query. Sums accumulate in DECIMAL for "
+    "cross-engine bit-stability; per-row products are IEEE-deterministic.",
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    sum_qty_dec = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+
+    def _qsum(col):  # quantize to 1e-6 grid -> exact integer accumulation
+        return (
+            F.sum(F.round(col * 1000000).cast("decimal(28,0)")).cast("double")
+            / 1000000
+        )
+
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty_dec.cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            _qsum(disc_price).alias("sum_disc_price"),
+            _qsum(charge).alias("sum_charge"),
+            (sum_qty_dec.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Big-big join (TPC-H Q3 shape): both sides filtered facts — the shuffle
+# join whose partitioning strategy dominates at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "top_orders_by_revenue",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shape: fact-fact equi-join on l_orderkey with selective "
+    "pushed filters on BOTH sides before the shuffle, grouped revenue, "
+    "top-10. At sf0.1 AQE picks broadcast for the filtered orders side; at "
+    "100 TB it degrades gracefully to sort-merge on the co-partitioned key "
+    "with skew-split — no plan change needed.",
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue_q = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1000000
+    ).cast("decimal(28,0)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(revenue_q).cast("double") / 1000000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing — the batch form of the Structured Streaming
+# operators (F.window / F.session_window are stream-portable).
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY hour_start
+    """,
+    "Tumbling event-time window (1h): F.window — identical operator to a "
+    "streaming windowed aggregation with a watermark; epoch-aligned so "
+    "date_trunc('hour') is the exact oracle. Partial agg then one shuffle "
+    "on ~720 window keys.",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("_w.start").alias("hour_start"), "n_events", "total_value")
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+             THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    "Gap-based sessionization (1h gap) via native F.session_window — the "
+    "same operator Structured Streaming uses for streaming sessions. "
+    "Oracle is the lag/cumsum formulation (break iff gap STRICTLY > 1h — "
+    "session_window merges an event landing exactly at last+gap; verified "
+    "in tests/test_analytics_ops.py). Timestamps are unique per user in "
+    "the fixture, so ordering is total.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", gap="1 hour").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: purchase -> last prior view attribution.
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_attribution_asof",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS asof_ts, v.event_id AS asof_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    ORDER BY p.event_id
+    """,
+    "As-of join (operators/asof.py): for each purchase, the user's latest "
+    "strictly-prior view. Union-tag-window implementation — one shuffle of "
+    "|L|+|R| rows on user_id, no range-join candidate blow-up; DuckDB ASOF "
+    "JOIN is the oracle. (ts unique per user -> deterministic.)",
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["ts", "event_id"],
+        right_tiebreak="event_id",
+        allow_exact_match=False,
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Distinct and approximate-distinct aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "Distinct aggregation: Catalyst expands to a two-phase partial-distinct "
+    "plan (Expand + two hash aggs) — no driver-side dedup.",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific -> rows-only check
+    "Approximate distinct (HyperLogLog++, rsd=0.01): the 100 TB-scale path "
+    "for cardinality — mergeable sketches, no exact-distinct Expand blow-up. "
+    "Accuracy vs exact COUNT(DISTINCT) asserted in pytest (<5% error).",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (multi-level aggregation in one pass).
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_event_daily",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(ts AS DATE), DATE '9999-12-31') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    ORDER BY event_type, day
+    """,
+    "ROLLUP(event_type, day): per-day, per-type subtotal, and grand total "
+    "in one Expand + hash-agg pass (vs 3 scans). Rollup NULLs mapped to "
+    "sentinels for deterministic cross-engine ordering/hashing.",
+)
+def rollup_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("9999-12-31").cast("date")).alias("day"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL facade (S8): execute-statement with named parameters.
+# ---------------------------------------------------------------------------
+@register(
+    "param_events_by_user",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE user_id = 7 ORDER BY event_id
+    """,
+    "S8+P4: the redshift-data execute-statement named-parameter contract "
+    "(scripts/test_sync_time.sh:86-87 'WHERE pk = :pk') via Engine.run_sql "
+    "-> spark.sql(args=...) — typed literal binding, pushdown-safe.",
+)
+def param_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark, sf_dir)
+    return eng.run_sql(
+        "SELECT event_id, ts, event_type, value FROM events "
+        "WHERE user_id = :uid ORDER BY event_id",
+        {"uid": 7},
+    )

@@ -1,0 +1,87 @@
+"""Edge-semantics tests for the analytics operators that the DuckDB oracle
+can't pin down: as-of boundary/tie-break behavior, session_window gap
+boundary, and HLL approx-distinct accuracy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.asof import asof_join
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.sessions import sessionize
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_exact_match_boundary(spark):
+    left = spark.createDataFrame([(1, _ts(10), "L")], "k int, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(5), 50)], "k int, t timestamp, v int"
+    )
+    inclusive = asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"]
+    ).collect()
+    assert inclusive[0]["asof_v"] == 100  # r.t <= l.t sees the equal-ts row
+
+    strict = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["v"], allow_exact_match=False,
+    ).collect()
+    assert strict[0]["asof_v"] == 50  # r.t < l.t skips it
+
+
+def test_asof_tiebreak_and_left_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(10))], "k int, t timestamp"
+    )
+    # two right rows at the same ts for k=1: max tiebreak (id=7) must win
+    right = spark.createDataFrame(
+        [(1, _ts(9), 3, 30), (1, _ts(9), 7, 70)], "k int, t timestamp, id int, v int"
+    )
+    out = {
+        r["k"]: r
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            value_cols=["v"], right_tiebreak="id",
+        ).collect()
+    }
+    assert out[1]["asof_v"] == 70
+    assert out[2]["asof_v"] is None  # left join: no right rows for k=2
+
+
+def test_session_gap_boundary(spark):
+    # session_window merges at exactly the gap (break is strictly >gap):
+    # +30:00 exactly -> same session; +30:01 -> new session
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),   # exactly gap -> merge
+        (1, dt.datetime(2024, 1, 1, 1, 0, 1)),    # gap + 1s -> break
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    sessions = sessionize(df, "user_id", "ts", gap="30 minutes").collect()
+    assert sorted(s["n_events"] for s in sessions) == [1, 2]
+
+
+def test_approx_distinct_accuracy(spark):
+    events = load_table(spark, SF_CORRECTNESS, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
