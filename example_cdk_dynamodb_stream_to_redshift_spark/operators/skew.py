@@ -1,0 +1,52 @@
+"""Skew mitigation for large joins: explicit key salting.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. Salting is the explicit,
+planner-independent variant for the pathological case AQE can't fix: ONE key
+so hot that even a split partition's build side overflows (e.g. the null-ish
+"unknown user" key owning 10% of a 100 TB fact table).
+
+``salted_join`` spreads each hot fact-side key over ``salt_buckets`` shuffle
+partitions by appending a deterministic per-row salt to the join key, and
+replicates the small side once per bucket (small-side blow-up = |dim| x
+buckets rows — acceptable precisely when the other side is the big one).
+Equi-join semantics are preserved exactly: every (fact row, dim row) key
+match meets in exactly one salt bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large`` with ``small`` on column ``on``, salting the large
+    side into ``salt_buckets`` sub-keys. Output columns = large ++ small
+    (minus the duplicate key), same as ``large.join(small, on, how)``.
+
+    ``how`` supports the fact-side-preserving joins (inner / left); right and
+    full joins would need the salt on the other side.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+
+    # Deterministic row-level salt: hash the whole large row (any unique-ish
+    # column mix works; full-row hash needs no uniqueness assumption).
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    large_s = large.withColumn("_salt", salt)
+
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+    )
+
+    joined = large_s.join(small_s, [on, "_salt"], how)
+    return joined.drop("_salt")
