@@ -316,6 +316,23 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.srp_topk(index, query, dim=64, k=10, n_planes=16, max_hamming=6)
 
 
+@register(
+    "ivf_ann_topk",
+    None,  # approximate (list pruning) — rows-only; exactness at full probe
+    #       and recall at nprobe=4 are asserted in tests/test_ivf_ann.py
+    "IVF ANN: k-means coarse quantizer (trained as DataFrame jobs, only the "
+    "KxD centroid matrix on the driver), inverted lists partitionable by "
+    "cid, probe nprobe=4 of K=8 lists, exact cosine inside "
+    "(operators/similarity.py). nprobe=K degrades to exact brute force.",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivf_topk(index, qvec, centroids, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (text bytes as opaque media; decode kernels stubbed)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,58 @@
+"""IVF ANN properties: full probe is exactly brute force; partial probe
+keeps useful recall while scanning a fraction of the lists."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators import similarity as SIM
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECTNESS
+
+K_CENTROIDS = 8
+
+
+@pytest.fixture(scope="module")
+def ivf(spark):
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=K_CENTROIDS, iters=3)
+    index = SIM.build_ivf_index(emb, centroids).persist()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    yield emb, centroids, index, qvec
+    index.unpersist()
+
+
+def test_full_probe_equals_brute_force(spark, ivf):
+    emb, centroids, index, qvec = ivf
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    brute = [r["vec_id"] for r in SIM.brute_force_topk(emb, query, k=10).collect()]
+    full = [
+        r["vec_id"]
+        for r in SIM.ivf_topk(index, qvec, centroids, k=10, nprobe=K_CENTROIDS).collect()
+    ]
+    assert full == brute
+
+
+def test_partial_probe_recall_and_pruning(spark, ivf):
+    emb, centroids, index, qvec = ivf
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    brute = {r["vec_id"] for r in SIM.brute_force_topk(emb, query, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ivf_topk(index, qvec, centroids, k=10, nprobe=4).collect()
+    }
+    assert len(approx & brute) / len(brute) >= 0.5  # recall@10
+
+    # the probe must actually prune: scanned lists hold < the full corpus
+    probed = index.filter(F.col("cid").isin(*range(4))).count()
+    assert index.count() > 0
+    assert probed < index.count()
+
+
+def test_index_covers_corpus_and_balances(spark, ivf):
+    emb, centroids, index, qvec = ivf
+    assert index.count() == emb.count()
+    sizes = [r["n"] for r in index.groupBy("cid").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) > 1  # k-means actually split the space
