@@ -147,6 +147,39 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_window",
+    """
+    WITH x AS (
+      SELECT unnest(list_transform(range(0, 4), i ->
+               make_timestamp(((epoch_ms(ts) // 900000) - i) * 900000 * 1000)))
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1 ORDER BY window_start
+    """,
+    "Sliding event-time window (1h window, 15m slide): F.window(w, s) — "
+    "each event lands in w/s = 4 overlapping windows (Spark Expand node). "
+    "Oracle enumerates the 4 epoch-aligned 15m grid starts per event. "
+    "Streaming-portable like the tumbling form.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("_w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
     "user_sessions",
     """
     WITH o AS (

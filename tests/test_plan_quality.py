@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of the
+contract at 100 TB (SCALE.md). A refactor that silently drops a pushed
+filter, breaks broadcast selection, or turns top-k into a global sort would
+still pass value checks at sf0.01 — these tests catch it."""
+
+from __future__ import annotations
+
+import pytest
+
+from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import REGISTRY
+
+from .conftest import SF_CORRECTNESS
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_CORRECTNESS)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "top_orders_by_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "top_orders_by_revenue")
+    # lineitem has 11 columns; the query needs 4 (key, price, discount, shipdate)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l)
+    assert read.count(":") - 1 <= 4, read  # struct<a:t,b:t,...> -> n fields
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["rewards_by_member", "rewards_by_quest", "region_customer_counts"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    for name in ["recent_events_topk", "top_orders_by_revenue", "event_lag_topk"]:
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_aggregates_have_map_side_partials(spark):
+    for name in ["lineitem_pricing_summary", "event_type_stats"]:
+        plan = _plan(spark, name)
+        assert "partial_" in plan, name  # partial agg before the exchange
+
+
+def test_sessionization_uses_native_merging_sessions(spark):
+    assert "MergingSessions" in _plan(spark, "user_sessions")
+
+
+def test_no_cartesian_products(spark):
+    # cross joins in the inventory are all broadcast-1-row by construction;
+    # a real CartesianProduct node means someone dropped a join key.
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        assert "CartesianProduct" not in _plan(spark, name), name
