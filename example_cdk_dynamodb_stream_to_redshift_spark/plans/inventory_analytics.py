@@ -329,6 +329,38 @@ def rollup_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema-on-read semi-structured navigation (SUPER parity, F3/F4) — Variant.
+# ---------------------------------------------------------------------------
+@register(
+    "props_variant_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ORDER BY event_id
+    """,
+    "F3/F4 true schema-on-read: Redshift json_parse -> SUPER navigation "
+    "(scripts/setup_redshift.sh:103, sql/incremental_sync_member_quests.sql"
+    ":29-31) as Spark 4 VariantType — parse_json once, variant_get typed "
+    "paths; binary-encoded variant beats re-parsing JSON text per path at "
+    "scan time (the 100 TB semi-structured path).",
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        events.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            F.try_variant_get(v, "$.k", "long").alias("k_num"),
+        )
+        .filter(F.col("k_str").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Parameterized SQL facade (S8): execute-statement with named parameters.
 # ---------------------------------------------------------------------------
 @register(

@@ -9,7 +9,12 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark("engine-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("spark-warehouse"))
+    spark = get_spark(
+        "engine-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
