@@ -140,13 +140,19 @@ def incremental_merge(
     spec: MergeSpec,
     sync_ts: dt.datetime | None = None,
     initial_load_guard: bool = True,
+    watermark: dt.datetime | None = None,
 ) -> DataFrame:
     """Pure merge: returns the new target contents (delete+insert semantics).
 
     update = delete + insert (ST4); REMOVE rows delete and are not
     re-inserted (ST5); syncTimestamp is stamped once per batch (F7).
+
+    ``watermark`` overrides the MAX(ts) read — used by the partition-scoped
+    path, where ``target`` is a pruned slice but the watermark must stay the
+    GLOBAL table maximum.
     """
-    watermark = read_watermark(target)
+    if watermark is None:
+        watermark = read_watermark(target)
     if watermark is None or watermark == _EPOCH:
         if initial_load_guard:
             # RAISE EXCEPTION 'Initial load has not been performed'

@@ -1,0 +1,185 @@
+"""Key-bucketed partitioned table store + partition-scoped CDC merge.
+
+`storage.ParquetTable` commits a full rewrite per merge — correct, atomic,
+and fine while the target is micro-batch-sized. At 100 TB the rewrite itself
+is the bottleneck: a micro-batch touching 10k keys must not rewrite 10^12
+rows. The standard pre-lakehouse answer (and what Delta/Iceberg do under the
+hood with finer granularity) is to partition the table by a hash bucket of
+the merge key and rewrite ONLY the buckets containing staged keys:
+
+- layout: ``root/_kb=<pmod(xxhash64(key), N)>/part-*.parquet`` — a stable
+  directory per key bucket (Hive-style partitioning, partition-pruned reads);
+- merge: stage the micro-batch (operators.merge.stage_changes — unchanged),
+  collect its distinct bucket ids (≤ N tiny ints), prune the target scan to
+  those buckets, run the same anti-join+union merge on that slice, and
+  commit with **dynamic partition overwrite** so untouched buckets' files
+  are never opened, let alone rewritten.
+
+Cost per micro-batch: read+write of touched buckets only ≈
+|batch keys| / N of the table (vs 100% for the full rewrite). N trades
+merge I/O against small-file pressure; at cluster scale pick N so a bucket
+≈ a few GB.
+
+Semantics are identical to `incremental_merge` on the whole table — proven
+in tests/test_partitioned_merge.py by running both paths on the same event
+sequences, plus asserting untouched buckets' files are byte-identical.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .merge import MergeSpec, incremental_merge
+
+BUCKET_COL = "_kb"
+
+
+def key_bucket(key_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class PartitionedParquetTable:
+    """Hash-bucket-partitioned parquet table keyed for partition-scoped
+    merges. Readers see the logical schema (bucket column stripped)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    def _is_empty(self) -> bool:
+        return not glob.glob(os.path.join(self.root, f"{BUCKET_COL}=*"))
+
+    def read(self) -> DataFrame:
+        if self._is_empty():
+            return self.spark.createDataFrame([], self.schema)
+        cols = [f.name for f in self.schema.fields]
+        return (
+            self.spark.read.schema(
+                T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(BUCKET_COL, T.IntegerType())]
+                )
+            )
+            .option("basePath", self.root)
+            .parquet(self.root)
+            .select(*cols)
+        )
+
+    def _read_with_bucket(self) -> DataFrame:
+        return self.read().withColumn(
+            BUCKET_COL, key_bucket(self.key_col, self.n_buckets)
+        )
+
+    def _write(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite: only partitions present in ``df``
+        are replaced on disk."""
+        (
+            df.withColumn(BUCKET_COL, key_bucket(self.key_col, self.n_buckets))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.root)
+        )
+
+    def overwrite_full(self, df: DataFrame) -> None:
+        self._write(df)
+
+    def append(self, df: DataFrame) -> None:
+        # append within touched buckets = merge of (existing ∪ new) rows
+        touched = self._touched_buckets(df)
+        existing = self.read().filter(
+            key_bucket(self.key_col, self.n_buckets).isin(touched)
+        ) if not self._is_empty() else self.spark.createDataFrame([], self.schema)
+        self._write(existing.unionByName(df.select(*[f.name for f in self.schema.fields])))
+
+    def _touched_buckets(self, staged: DataFrame) -> list[int]:
+        rows = (
+            staged.select(
+                key_bucket(self.key_col, self.n_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        )
+        return [r[BUCKET_COL] for r in rows]
+
+    def merge(
+        self,
+        extract: DataFrame,
+        spec: MergeSpec,
+        sync_ts: dt.datetime | None = None,
+        initial_load_guard: bool = True,
+    ) -> list[int]:
+        """Partition-scoped CDC merge; returns the touched bucket ids.
+
+        The watermark/staging/dedup/anti-join logic is the SAME
+        `incremental_merge` as the full-rewrite path — only the target slice
+        it runs against and the commit scope differ.
+        """
+        from .merge import _EPOCH, read_watermark, stage_changes
+
+        full = self.read()
+        watermark = read_watermark(full)
+        if watermark is None or watermark == _EPOCH:
+            if initial_load_guard:
+                # same ST8 behavior as the full-rewrite path
+                raise ValueError(
+                    f"initial load has not been performed for {spec.name}: "
+                    "watermark is NULL/epoch"
+                )
+            watermark = _EPOCH
+
+        staged = stage_changes(extract, spec, watermark)
+        staged.persist()
+        try:
+            touched = self._touched_buckets(staged)
+            if not touched:
+                return []
+            pruned = full.filter(
+                key_bucket(self.key_col, self.n_buckets).isin(touched)
+            )
+            # watermark override: the pruned slice's max(ts) is NOT the
+            # table watermark — pass the global one through.
+            merged = incremental_merge(
+                pruned,
+                extract,
+                spec,
+                sync_ts,
+                initial_load_guard=False,
+                watermark=watermark,
+            )
+            merged.persist()
+            try:
+                # dynamic overwrite only replaces partitions PRESENT in the
+                # output: a touched bucket whose rows were ALL deleted would
+                # keep its old files. Drop those directories explicitly.
+                still_present = set(self._touched_buckets(merged))
+                self._write(merged)
+                for b in touched:
+                    if b not in still_present:
+                        shutil.rmtree(
+                            os.path.join(self.root, f"{BUCKET_COL}={b}"),
+                            ignore_errors=True,
+                        )
+            finally:
+                merged.unpersist()
+        finally:
+            staged.unpersist()
+        return touched

@@ -38,16 +38,42 @@ class CdcPipeline:
     with identical downstream columns (sources/cdc_envelope.py).
     """
 
-    def __init__(self, spark: SparkSession, input_path: str, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        warehouse: str,
+        partitioned: bool = False,
+        n_buckets: int = 16,
+    ):
+        """``partitioned=True`` switches targets to the key-bucketed store
+        (operators/partitioned_store.py): merges rewrite only the hash
+        buckets containing staged keys — the 100 TB backend. Semantics are
+        identical (tests/test_partitioned_merge.py)."""
         self.spark = spark
         self.input_path = input_path
         self.warehouse = warehouse
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
-        self.targets = {
-            name: ParquetTable(spark, os.path.join(warehouse, name), schema)
-            for name, schema in TARGET_SCHEMAS.items()
-        }
+        if partitioned:
+            from ..operators.partitioned_store import PartitionedParquetTable
+
+            key_by_name = {spec.name: spec.key_col for spec in ALL_SPECS}
+            self.targets = {
+                name: PartitionedParquetTable(
+                    spark,
+                    os.path.join(warehouse, name),
+                    schema,
+                    key_by_name[name],
+                    n_buckets,
+                )
+                for name, schema in TARGET_SCHEMAS.items()
+            }
+        else:
+            self.targets = {
+                name: ParquetTable(spark, os.path.join(warehouse, name), schema)
+                for name, schema in TARGET_SCHEMAS.items()
+            }
 
     # -- batch bootstrap (initial load) -----------------------------------
     def initial_load(self, export_path: str, sync_ts: dt.datetime | None = None) -> None:
@@ -71,8 +97,11 @@ class CdcPipeline:
             extract.write.mode("append").parquet(self.extract_path)
             for spec in ALL_SPECS:
                 table = self.targets[spec.name]
-                merged = incremental_merge(table.read(), extract, spec, sync_ts)
-                table.overwrite(merged)
+                if hasattr(table, "merge"):  # partition-scoped backend
+                    table.merge(extract, spec, sync_ts)
+                else:
+                    merged = incremental_merge(table.read(), extract, spec, sync_ts)
+                    table.overwrite(merged)
         finally:
             extract.unpersist()
 

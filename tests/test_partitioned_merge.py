@@ -1,0 +1,165 @@
+"""Partition-scoped merge == full-rewrite merge, and untouched bucket
+partitions are physically left alone (their files never rewritten)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+    MEMBER_SPEC,
+    incremental_merge,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.partitioned_store import (
+    PartitionedParquetTable,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.plans.extract import build_extract
+from example_cdk_dynamodb_stream_to_redshift_spark.schemas import MEMBER_SCHEMA
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.cdc_envelope import (
+    read_cdc_records,
+)
+
+from .cdc_fixtures import envelope, kinesis_record, write_jsonl
+
+BASE_MS = 1700000000000
+OLD = dt.datetime(2023, 1, 1)
+SYNC = dt.datetime(2023, 11, 20, 12, 0, 0)
+N_BUCKETS = 8
+
+
+def member_env(seq, eid, name_ev, uuid, name, ms):
+    img = None
+    if name_ev != "REMOVE":
+        img = {
+            "pk": {"S": f"M_{uuid}"},
+            "sk": {"S": name},
+            "memberId": {"S": uuid},
+            "memberName": {"S": name},
+        }
+    return kinesis_record(seq, envelope(eid, name_ev, f"M_{uuid}", name, ms, img))
+
+
+def _seed_rows():
+    # 40 members spread across buckets, initial-loaded at OLD
+    return [(f"m{i}", f"name{i}", OLD, "INITIAL_LOAD", OLD) for i in range(40)]
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def extract(spark, tmp_path):
+    records = [
+        member_env(1, "e1", "MODIFY", "m3", "renamed3", BASE_MS),
+        member_env(2, "e2", "REMOVE", "m7", "name7", BASE_MS + 1000),
+        member_env(3, "e3", "INSERT", "m99", "brandnew", BASE_MS + 2000),
+    ]
+    path = write_jsonl(str(tmp_path / "batch.json"), records)
+    return build_extract(read_cdc_records(spark, path))
+
+
+def test_scoped_merge_equals_full_merge(spark, tmp_path, extract):
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+    touched = table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+
+    full = incremental_merge(seed, extract, MEMBER_SPEC, sync_ts=SYNC)
+    assert _sorted(table.read()) == _sorted(full)
+    assert 0 < len(touched) < N_BUCKETS  # scoped: a strict subset of buckets
+    # semantics spot-checks: REMOVE gone, MODIFY renamed, INSERT present
+    names = {r["memberId"]: r["memberName"] for r in table.read().collect()}
+    assert "m7" not in names and names["m3"] == "renamed3" and names["m99"] == "brandnew"
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path, extract):
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    root = str(tmp_path / "member")
+    table = PartitionedParquetTable(spark, root, MEMBER_SCHEMA, "memberId", N_BUCKETS)
+    table.overwrite_full(seed)
+
+    def files():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(root, "_kb=*", "*.parquet"))
+        }
+
+    before = files()
+    touched = table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    after = files()
+
+    touched_dirs = {f"_kb={b}" for b in touched}
+    for path, mtime in before.items():
+        bucket_dir = os.path.basename(os.path.dirname(path))
+        if bucket_dir not in touched_dirs:
+            assert path in after and after[path] == mtime, f"{path} was rewritten"
+    # and the touched buckets WERE rewritten
+    assert any(p not in before or after[p] != before[p] for p in after)
+
+
+def test_partitioned_pipeline_e2e_matches_default(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+    from .cdc_fixtures import member_item, member_quest_item, quest_item
+
+    export_dir = tmp_path / "export"
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            member_item("m2", "Bob"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    batch = [
+        member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+        member_env(2, "e2", "MODIFY", "m3", "Caroline", BASE_MS + 2000),
+        member_env(3, "e3", "REMOVE", "m2", "Bob", BASE_MS + 3000),
+    ]
+
+    tables = {}
+    for label, partitioned in (("plain", False), ("bucketed", True)):
+        stream_dir = tmp_path / f"stream_{label}"
+        stream_dir.mkdir()
+        write_jsonl(str(stream_dir / "b1.json"), batch)
+        pipe = CdcPipeline(
+            spark,
+            str(stream_dir),
+            str(tmp_path / f"wh_{label}"),
+            partitioned=partitioned,
+            n_buckets=N_BUCKETS,
+        )
+        pipe.initial_load(str(export_dir), sync_ts=OLD)
+        pipe.refresh()
+        tables[label] = {
+            # syncTimestamp is wall-clock-stamped per refresh -> excluded
+            name: _sorted(pipe.table(name).drop("syncTimestamp"))
+            for name in ("member", "quest", "member_quest")
+        }
+    assert tables["plain"] == tables["bucketed"]
+
+
+def test_scoped_merge_guard_and_watermark(spark, tmp_path, extract):
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    with pytest.raises(ValueError, match="initial load"):
+        table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+
+    # late event (ts <= watermark) must be dropped by the GLOBAL watermark
+    # even when its bucket holds older rows (the pruned-slice max is lower)
+    newer = dt.datetime(2023, 11, 16)  # after BASE_MS events
+    rows = [("m3", "name3", OLD, "INITIAL_LOAD", OLD),
+            ("w1", "wm", newer, "MODIFY", newer)]
+    table.overwrite_full(spark.createDataFrame(rows, MEMBER_SCHEMA))
+    touched = table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    assert touched == []  # all events predate the global watermark
+    assert {r["memberName"] for r in table.read().collect()} == {"name3", "wm"}
