@@ -317,6 +317,57 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_keep",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS pc,
+        md5(lower(trim(text))) AS fp
+      FROM documents),
+    c AS (
+      SELECT doc_id, n,
+        least(n / 100.0, 1.0) * 0.4
+        + greatest(1.0 - abs(sr - 0.04) * 5.0, 0.0) * 0.4
+        + (1.0 - least(pc / n, 1.0)) * 0.2 AS quality,
+        min(doc_id) OVER (PARTITION BY fp) AS canon
+      FROM t)
+    SELECT doc_id, quality FROM c
+    WHERE quality >= 0.5 AND n >= 10 AND doc_id = canon
+    ORDER BY doc_id
+    """,
+    "Composed corpus-cleaning pipeline in ONE pass: quality gate (>=0.5) x "
+    "min-length gate (>=10 tokens) x exact-dedup keep-canonical — the "
+    "training-data filter chain. Per-row projections + one window shuffle "
+    "on the content fingerprint; each gate is a pushed filter, nothing "
+    "materializes between stages.",
+)
+def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id",
+            TX.token_count("text").cast("double").alias("n"),
+            TX.quality_score("text").alias("quality"),
+            TX.fingerprint("text").alias("fp"),
+        )
+        .withColumn("canon", F.min("doc_id").over(w))
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("n") >= 10)
+            & (F.col("doc_id") == F.col("canon"))
+        )
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "ivf_ann_topk",
     None,  # approximate (list pruning) — rows-only; exactness at full probe
     #       and recall at nprobe=4 are asserted in tests/test_ivf_ann.py
