@@ -1,0 +1,117 @@
+"""Property-based checks (hypothesis) for the custom operators, against
+plain-Python reference implementations, plus CDC merge replay idempotence.
+
+Each example is tiny (Spark job per example), so max_examples is kept small;
+the generators still explore duplicate keys, equal timestamps, empty sides,
+and single-element groups — the edges a fixture file misses.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.asof import asof_join
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+    MEMBER_SPEC,
+    incremental_merge,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.sessions import sessionize
+from example_cdk_dynamodb_stream_to_redshift_spark.plans.extract import build_extract
+from example_cdk_dynamodb_stream_to_redshift_spark.schemas import MEMBER_SCHEMA
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.cdc_envelope import (
+    read_cdc_records,
+)
+
+from .cdc_fixtures import envelope, kinesis_record, write_jsonl
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=sec)
+
+
+_few = st.integers(min_value=0, max_value=3)
+_sec = st.integers(min_value=0, max_value=50)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.tuples(_few, _sec), max_size=8),
+    right=st.lists(st.tuples(_few, _sec, st.integers(0, 99)), max_size=8),
+)
+def test_asof_join_matches_python_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _ts(s), i) for i, (k, s) in enumerate(left)],
+        "k int, t timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(s), rid) for (k, s, rid) in right], "k int, t timestamp, rid int"
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            value_cols=["rid"], right_tiebreak="rid",
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        # reference: among right rows with same k and t <= left t, pick
+        # latest t, break ties by max rid
+        cands = [(rs, rid) for (rk, rs, rid) in right if rk == k and rs <= s]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, k, s, cands)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=st.lists(st.tuples(_few, _sec), min_size=1, max_size=12, unique=True))
+def test_sessionize_matches_python_reference(spark, events):
+    gap = 10  # seconds
+    df = spark.createDataFrame(
+        [(k, _ts(s)) for (k, s) in events], "user_id int, ts timestamp"
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, "user_id", "ts", gap="10 seconds").collect()
+    )
+    # reference: per key, sort times, break when diff > gap (strict)
+    expect = []
+    by_key: dict[int, list[int]] = {}
+    for k, s in events:
+        by_key.setdefault(k, []).append(s)
+    for k, times in by_key.items():
+        times.sort()
+        cur = [times[0]]
+        for t in times[1:]:
+            if t - cur[-1] > gap:
+                expect.append((k, _ts(cur[0]), _ts(cur[-1]), len(cur)))
+                cur = [t]
+            else:
+                cur.append(t)
+        expect.append((k, _ts(cur[0]), _ts(cur[-1]), len(cur)))
+    assert got == sorted(expect)
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """ST6: re-applying an already-merged batch changes nothing — the
+    watermark lives in the target, so replays are no-ops."""
+    target = spark.createDataFrame(
+        [("m1", "Alice", dt.datetime(2023, 1, 1), "INITIAL_LOAD", dt.datetime(2023, 1, 1))],
+        MEMBER_SCHEMA,
+    )
+    img = {"pk": {"S": "M_m2"}, "sk": {"S": "Bob"}, "memberId": {"S": "m2"},
+           "memberName": {"S": "Bob"}}
+    path = write_jsonl(
+        str(tmp_path / "b.json"),
+        [kinesis_record(1, envelope("e1", "INSERT", "M_m2", "Bob", 1700000000000, img))],
+    )
+    extract = build_extract(read_cdc_records(spark, path))
+    sync = dt.datetime(2023, 12, 1)
+
+    once = incremental_merge(target, extract, MEMBER_SPEC, sync_ts=sync)
+    twice = incremental_merge(once, extract, MEMBER_SPEC, sync_ts=sync)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 2
