@@ -40,6 +40,12 @@ HEADLINE = [
     "user_sessions",
     "purchase_attribution_asof",
     "distinct_users_per_type",
+    "user_running_spend",
+    "events_sliding_window",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dups",
+    "corpus_clean_keep",
+    "ann_bruteforce_topk",
 ]
 
 

@@ -106,17 +106,37 @@ def minhash_signatures(
     """MinHash signature per document: sig[k] = min over shingles of
     md5(k || shingle). md5-based hash family keeps the oracle reproducible;
     at production scale you'd swap in xxhash64(shingle, seed_k) — same plan
-    shape, cheaper hash."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}|"), s)))
-            )
-            for k in range(num_hashes)
-        ]
+    shape, cheaper hash.
+
+    Implementation note: shingles are EXPLODED once and the K minhashes are
+    grouped ``min`` aggregates — K md5s per shingle ROW. The tempting
+    all-in-one expression (K × array_min(transform(shingle_expr, md5)))
+    re-evaluates the shingle construction (itself O(tokens) per element)
+    inside every hash lane: O(K·n²) string work per document, measured 10×
+    slower end-to-end. The explode adds one narrow shuffle on the doc id
+    (map-side partial min, K×32-byte rows per doc) — the right trade at any
+    scale. Requires every doc to have ≥1 shingle (≥ shingle_n tokens);
+    shorter docs drop out of the signature (they have no shingle set for
+    Jaccard anyway). Shingle construction is O(tokens²) per doc (split
+    re-evaluated per slice) — fine for ≤~1k-token docs; for long documents
+    switch to posexplode(tokens) + lead() windows (one split per doc, one
+    extra shuffle)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_candidate_pairs(
@@ -148,12 +168,28 @@ def minhash_lsh_candidate_pairs(
     banded = sigs.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    # Bucket-grouped pair enumeration instead of a banded self-join: the
+    # signature pipeline is evaluated ONCE (a self-join would recompute it
+    # for each side), and pairs are enumerated inside each (band, key)
+    # bucket — whose size LSH keeps small by construction. The pathological
+    # all-identical corpus degenerates to one big bucket either way.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -11,6 +11,7 @@ LIMIT/ORDER, no wall-clock functions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as WindowSpec
 from pyspark.sql import functions as F
 
 from ..engine import Engine
@@ -326,6 +327,106 @@ def rollup_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions (running totals, ranking) and pivot.
+# ---------------------------------------------------------------------------
+@register(
+    "user_running_spend",
+    """
+    SELECT user_id, event_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+    FROM events ORDER BY user_id, event_seq
+    """,
+    "Analytic running aggregate: per-user cumulative value + event sequence "
+    "number — cumulative frames shuffle once on the key then stream within "
+    "partition. Decimal accumulation keeps the prefix sums bit-stable "
+    "regardless of either engine's internal frame algorithm.",
+)
+def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        WindowSpec.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(WindowSpec.unboundedPreceding, WindowSpec.currentRow)
+    )
+    wseq = WindowSpec.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(wseq).alias("event_seq"),
+    ).orderBy("user_id", "event_seq")
+
+
+@register(
+    "order_rank_in_priority",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+      rank()       OVER w AS price_rank,
+      dense_rank() OVER w AS price_dense_rank
+    FROM orders
+    WHERE o_totalprice > 400000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, price_rank, o_orderkey
+    """,
+    "Ranking family (rank / dense_rank) within a partition, fully "
+    "deterministic via the orderkey tie-break; selective filter first so "
+    "the window sorts a fraction of the table.",
+)
+def order_rank_in_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    w = WindowSpec.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    ).orderBy("o_orderpriority", "price_rank", "o_orderkey")
+
+
+@register(
+    "user_event_type_pivot",
+    """
+    SELECT user_id,
+      COUNT(*) FILTER (event_type = 'click')    AS n_click,
+      COUNT(*) FILTER (event_type = 'view')     AS n_view,
+      COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+      COUNT(*) FILTER (event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "Pivot (wide conditional aggregation): groupBy().pivot() with explicit "
+    "value list — one pass, one shuffle; explicit values keep the schema "
+    "static (no distinct-scan planning step, required for streaming and "
+    "sane at 100 TB).",
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
