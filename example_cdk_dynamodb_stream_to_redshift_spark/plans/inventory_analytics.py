@@ -254,6 +254,31 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distinct and approximate-distinct aggregation.
 # ---------------------------------------------------------------------------
 @register(
+    "latest_event_argmax",
+    """
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "Latest-per-key via max_by/arg_max — the aggregation-form alternative "
+    "to the row_number window (latest_event_per_user): ONE hash aggregate, "
+    "no per-partition sort, the cheaper plan when only specific columns of "
+    "the latest row are needed. (ts unique per user -> deterministic.)",
+)
+def latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "distinct_users_per_type",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

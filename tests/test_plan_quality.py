@@ -54,6 +54,23 @@ def test_sessionization_uses_native_merging_sessions(spark):
     assert "MergingSessions" in _plan(spark, "user_sessions")
 
 
+def test_bigbig_join_degrades_to_sort_merge_without_broadcast(spark):
+    # the 100 TB contract for top_orders_by_revenue (SCALE.md): with the
+    # broadcast path unavailable, the same declared plan must become a
+    # sort-merge join on the equi-key — never a nested-loop/cartesian.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "top_orders_by_revenue")
+        assert "SortMergeJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_no_cartesian_products(spark):
     # cross joins in the inventory are all broadcast-1-row by construction;
     # a real CartesianProduct node means someone dropped a join key.
