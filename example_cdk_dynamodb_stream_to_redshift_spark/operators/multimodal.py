@@ -100,20 +100,93 @@ def extract_media_features(
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — decode kernel NOT available in this image."""
-    raise NotImplementedError(
-        "image decode (PIL/opencv) is not available in this environment; "
-        "wire a decode_fn through extract_media_features-style mapInPandas"
-    )
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode->resize->re-encode (PIL/opencv not
+    in this image): output bytes derived from (content, w, h)."""
+    if content is None:
+        return b""
+    return hashlib.sha256(content + f"|{width}x{height}".encode()).digest()
 
 
-def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Frame sampling operator — decode kernel NOT available in this image."""
-    raise NotImplementedError(
-        "video decode (ffmpeg) is not available in this environment; "
-        "wire a decode_fn through extract_media_features-style mapInPandas"
-    )
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize operator: 1 row in -> 1 row out, content replaced by the
+    resized encoding, meta width/height updated. The pixel kernel is
+    pluggable (``resize_fn(content, w, h) -> bytes``); the default is the
+    clearly-marked deterministic fake. Plumbing — Arrow batching, schema,
+    meta rewrite — is real and tested either way."""
+    fn = resize_fn or _fake_resize
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                fn(bytes(b) if b is not None else None, width, height)
+                for b in pdf["content"]
+            ]
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict() if m is not None else {}),
+                 "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_frame(content: bytes, idx: int) -> bytes:
+    if content is None:
+        return b""
+    return hashlib.sha256(content + f"|frame{idx}".encode()).digest()
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int,
+    frame_fn: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Frame sampling: 1 video row in -> ceil(duration/every_ms) frame rows
+    out (the fan-out batch shape a real ffmpeg kernel needs). Frame count
+    comes from ``meta.duration_ms``; rows with no duration emit no frames.
+    The frame-extraction kernel is pluggable; default is the deterministic
+    fake."""
+    fn = frame_fn or _fake_frame
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                m = meta if isinstance(meta, dict) else (
+                    meta.asDict() if meta is not None else {}
+                )
+                duration = m.get("duration_ms") or 0
+                n = int(duration) // every_ms + (1 if duration else 0)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(fn(bytes(content) if content is not None else None, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(op, FRAME_SCHEMA)
 
 
 def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
