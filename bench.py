@@ -49,6 +49,68 @@ HEADLINE = [
 ]
 
 
+def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
+    """Streaming heartbeat: one AvailableNow refresh (parse -> extract ->
+    3-entity partition-scoped merge) over n_events synthetic envelopes.
+    Mirrors the reference's REFRESH MV + CALL sync loop."""
+    import datetime as dt
+    import json
+    import shutil
+    import tempfile
+
+    try:
+        from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+        root = tempfile.mkdtemp(prefix="bench_cdc_")
+        export_d, stream_d, wh = (
+            os.path.join(root, d) for d in ("export", "stream", "wh")
+        )
+        os.makedirs(export_d)
+        os.makedirs(stream_d)
+        av = lambda s: {"S": s}  # noqa: E731
+        with open(os.path.join(export_d, "p0.json"), "w") as fh:
+            for i in range(200):
+                fh.write(json.dumps({"Item": {
+                    "pk": av(f"M_m{i}"), "sk": av(f"name{i}"),
+                    "memberId": av(f"m{i}"), "memberName": av(f"name{i}")}}) + "\n")
+            fh.write(json.dumps({"Item": {"pk": av("Q_q0"), "sk": av("quest"),
+                                          "questId": av("q0")}}) + "\n")
+            fh.write(json.dumps({"Item": {
+                "pk": av("MQ#M_m0"), "sk": av("MQ_mq0"), "questId": av("q0"),
+                "dollarsEarned": {"N": "1.00"}}}) + "\n")
+        base_ms = 1700000000000
+        with open(os.path.join(stream_d, "b0.json"), "w") as fh:
+            for i in range(n_events):
+                uid = f"m{i % 500}"
+                env = {
+                    "eventID": f"e{i}", "awsRegion": "r",
+                    "eventName": "MODIFY" if i % 7 else "REMOVE",
+                    "userIdentity": None, "tableName": "t",
+                    "eventSource": "aws:dynamodb",
+                    "dynamodb": {
+                        "ApproximateCreationDateTime": base_ms + i * 1000,
+                        "Keys": {"pk": av(f"M_{uid}"), "sk": av(f"n{i}")},
+                        "NewImage": {"pk": av(f"M_{uid}"), "sk": av(f"n{i}"),
+                                     "memberId": av(uid), "memberName": av(f"n{i}")},
+                    },
+                }
+                fh.write(json.dumps({
+                    "approximate_arrival_timestamp": "2023-11-15T00:00:00.000Z",
+                    "partition_key": f"M_{uid}", "shard_id": "s0",
+                    "sequence_number": str(i).zfill(20),
+                    "kinesis_data": json.dumps(env)}) + "\n")
+
+        pipe = CdcPipeline(spark, stream_d, wh, partitioned=True, n_buckets=16)
+        pipe.initial_load(export_d, sync_ts=dt.datetime(2023, 1, 1))
+        t0 = time.perf_counter()
+        pipe.refresh()
+        elapsed = round(time.perf_counter() - t0, 4)
+        shutil.rmtree(root, ignore_errors=True)
+        return elapsed
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -72,6 +134,10 @@ def main() -> None:
         t0 = time.perf_counter()
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    cdc = _bench_cdc_refresh(spark, n_events=2000)
+    if cdc is not None:
+        timings["cdc_refresh_2k_events"] = cdc
 
     total = round(sum(timings.values()), 4)
     print(
