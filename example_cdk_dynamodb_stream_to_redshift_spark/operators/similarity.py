@@ -284,6 +284,52 @@ def ivf_topk(
     )
 
 
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH pre-bucketing: only pairs whose
+    bit signatures are within ``max_hamming`` get an exact cosine check.
+
+    Plan: signatures once (narrow projection), self-join on signature with
+    the Hamming filter in the join condition — at scale, replace the
+    signature theta-join with multi-probe bucket equi-joins (enumerate the
+    ≤ C(n_planes, max_hamming) masks) so the join key is exact; here the
+    corpus side fits broadcast. Recall vs the exact all-pairs form is
+    probabilistic: P(one plane disagrees) = acos(cos_sim)/pi, so size
+    ``max_hamming`` to the target threshold (~2 for cos>=0.95 true dups,
+    ~7/16 planes for a loose cos>=0.4 cut) — asserted empirically in
+    tests."""
+    idx = build_srp_index(emb, dim, n_planes, seed, id_col, vec_col)
+    a = idx.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = idx.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))) <= max_hamming),
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

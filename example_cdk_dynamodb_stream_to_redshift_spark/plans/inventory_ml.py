@@ -317,6 +317,24 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "srp_near_dup_pairs",
+    None,  # approximate (bucket pruning) — rows-only; recall vs the exact
+    #       all-pairs form is asserted in tests/test_analytics_ops.py
+    "Embedding near-dup at scale: SRP-LSH pre-bucketing prunes the pair "
+    "space BEFORE the cosine check — the scale path whose exact "
+    "counterpart is embedding_near_dup_pairs. The Hamming budget is "
+    "calibrated to the cosine threshold: P(plane disagrees) = "
+    "acos(cos)/pi, so cos>=0.4 needs ~6/16 expected disagreements "
+    "(hamming<=7), while true dups (cos>=0.95) need only <=2.",
+)
+def srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.srp_near_dup_pairs(
+        emb, dim=64, threshold=0.4, max_hamming=7
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "corpus_clean_keep",
     f"""
     WITH t AS (

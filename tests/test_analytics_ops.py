@@ -68,6 +68,29 @@ def test_session_gap_boundary(spark):
     assert sorted(s["n_events"] for s in sessions) == [1, 2]
 
 
+def test_srp_near_dup_recall(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # hamming budget matched to the threshold: cos 0.4 -> ~6/16 expected
+    # plane disagreements (see inventory_ml docstring)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.srp_near_dup_pairs(
+            emb, dim=64, threshold=0.4, max_hamming=7
+        ).collect()
+    }
+    assert approx <= exact  # pruning never invents pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.5  # recall of the scale path
+
+
 def test_approx_distinct_accuracy(spark):
     events = load_table(spark, SF_CORRECTNESS, "events")
     exact = {
