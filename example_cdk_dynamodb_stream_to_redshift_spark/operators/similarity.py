@@ -341,12 +341,38 @@ def embedding_near_dup_pairs(
 
     All-pairs formulation for correctness checking; the scale path pre-buckets
     with build_srp_index and joins on bucket first (same verify step).
-    """
-    sim = cosine_q6 if exact_engine_parity else cosine
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+
+    Per-vector work (quantization + norm) is hoisted BEFORE the pair join —
+    evaluated |V| times instead of |V|² (inside the join each pair would
+    re-quantize both 64-dim arrays; measured ~20× slower). The per-pair cost
+    is one dot-product fold. The final cos expression reproduces the oracle's
+    ``dot / (sqrt(na)·sqrt(nb))`` IEEE op order exactly."""
+    if exact_engine_parity:
+        qcol = _q6(F.col(vec_col))
+        zero = F.lit(0).cast("long")
+    else:
+        qcol = _dbl(F.col(vec_col))
+        zero = F.lit(0.0)
+    sq_norm = _fold_sum(F.transform(qcol, lambda x: x * x), zero)
+
+    def side(suffix: str) -> DataFrame:
+        return emb.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            qcol.alias(f"q{suffix}"),
+            F.sqrt(sq_norm.cast("double")).alias(f"n{suffix}"),
+        )
+
+    pairs = side("a").join(side("b"), F.col("id_a") < F.col("id_b"))
+    dot_pair = _fold_sum(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), zero
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot_pair.cast("double") / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
