@@ -121,12 +121,21 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (basis for MinHash/Jaccard)."""
+    """Word n-gram shingles as an array<string> (basis for MinHash/Jaccard).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — matching
+    the DuckDB oracle's ``range(0, len - (n-1))`` (empty range). Without the
+    guard, ``sequence(0, size-n)`` would generate a descending sequence for
+    short docs and ``slice`` would throw, crashing the whole job on one bad
+    row."""
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def min_shingle_fingerprint(col: Column | str, n: int = 3) -> Column:

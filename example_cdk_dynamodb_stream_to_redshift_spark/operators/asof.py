@@ -54,8 +54,20 @@ def asof_join(
         "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
     ).alias("_l")
 
-    def _null_val(c: str):
-        return F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+    # ALL value columns travel in ONE struct carried by a single
+    # last(ignorenulls): carrying columns independently would stitch fields
+    # from DIFFERENT right rows whenever a newer right row has a legitimate
+    # NULL in one value column (a struct of nulls is itself non-null, so the
+    # whole latest row wins or loses atomically).
+    rtype = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
+    rstruct = F.struct(*[F.col(c) for c in value_cols]).alias("_r")
+    null_r = F.lit(None).cast(rtype).alias("_r")
 
     tb_left = (
         F.lit(None).cast(right.schema[right_tiebreak].dataType)
@@ -70,7 +82,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         tb_left,
         lstruct,
-        *[_null_val(c) for c in value_cols],
+        null_r,
     )
     tagged_right = right.select(
         F.col(on).alias("_k"),
@@ -78,7 +90,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         tb_right,
         null_l,
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        rstruct,
     )
 
     # side ordering encodes the <= vs < boundary at equal timestamps.
@@ -89,11 +101,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    carried = tagged_left.unionByName(tagged_right)
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
+    carried = tagged_left.unionByName(tagged_right).withColumn(
+        "_r", F.last("_r", ignorenulls=True).over(w)
+    )
     return carried.filter(F.col("_side") == 1).select(
-        "_l.*", *[F.col(f"_r_{c}").alias(f"{prefix}{c}") for c in value_cols]
+        "_l.*", *[F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in value_cols]
     )

@@ -124,8 +124,12 @@ def stage_changes(
     staged = spec.project(routed).filter(
         F.col("approximateUpdateTimestamp") > F.lit(watermark)
     )
+    # sequencenumber is a Kinesis decimal STRING (can exceed int64 and vary
+    # in length) — order it numerically, not lexicographically, or '999'
+    # would beat '1000' and resurrect the stale change.
     w = Window.partitionBy(spec.key_col).orderBy(
-        F.desc("approximateUpdateTimestamp"), F.desc("sequencenumber")
+        F.desc("approximateUpdateTimestamp"),
+        F.desc(F.col("sequencenumber").cast("decimal(38,0)")),
     )
     return (
         staged.withColumn("_rn", F.row_number().over(w))

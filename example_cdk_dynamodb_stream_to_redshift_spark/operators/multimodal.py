@@ -176,7 +176,9 @@ def sample_video_frames(
                     meta.asDict() if meta is not None else {}
                 )
                 duration = m.get("duration_ms") or 0
-                n = int(duration) // every_ms + (1 if duration else 0)
+                # frames at t in [0, duration): exactly ceil(duration/every)
+                # — never ask the decode kernel for a frame at t == duration
+                n = -(-int(duration) // every_ms) if duration else 0
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)

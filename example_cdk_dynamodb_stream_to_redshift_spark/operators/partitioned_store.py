@@ -67,26 +67,24 @@ class PartitionedParquetTable:
     def _is_empty(self) -> bool:
         return not glob.glob(os.path.join(self.root, f"{BUCKET_COL}=*"))
 
-    def read(self) -> DataFrame:
+    def _read_raw(self) -> DataFrame:
+        """Logical columns + the ``_kb`` PARTITION column (from the
+        directory name — filters on it become PartitionFilters, i.e. real
+        directory pruning, unlike a recomputed hash-of-key predicate which
+        would scan every bucket)."""
+        raw_schema = T.StructType(
+            list(self.schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
+        )
         if self._is_empty():
-            return self.spark.createDataFrame([], self.schema)
-        cols = [f.name for f in self.schema.fields]
+            return self.spark.createDataFrame([], raw_schema)
         return (
-            self.spark.read.schema(
-                T.StructType(
-                    list(self.schema.fields)
-                    + [T.StructField(BUCKET_COL, T.IntegerType())]
-                )
-            )
+            self.spark.read.schema(raw_schema)
             .option("basePath", self.root)
             .parquet(self.root)
-            .select(*cols)
         )
 
-    def _read_with_bucket(self) -> DataFrame:
-        return self.read().withColumn(
-            BUCKET_COL, key_bucket(self.key_col, self.n_buckets)
-        )
+    def read(self) -> DataFrame:
+        return self._read_raw().select(*[f.name for f in self.schema.fields])
 
     def _write(self, df: DataFrame) -> None:
         """Dynamic partition overwrite: only partitions present in ``df``
@@ -103,12 +101,16 @@ class PartitionedParquetTable:
         self._write(df)
 
     def append(self, df: DataFrame) -> None:
-        # append within touched buckets = merge of (existing ∪ new) rows
+        # append within touched buckets = merge of (existing ∪ new) rows;
+        # existing rows come from a partition-pruned read of touched buckets
         touched = self._touched_buckets(df)
-        existing = self.read().filter(
-            key_bucket(self.key_col, self.n_buckets).isin(touched)
-        ) if not self._is_empty() else self.spark.createDataFrame([], self.schema)
-        self._write(existing.unionByName(df.select(*[f.name for f in self.schema.fields])))
+        cols = [f.name for f in self.schema.fields]
+        existing = (
+            self._read_raw()
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .select(*cols)
+        )
+        self._write(existing.unionByName(df.select(*cols)))
 
     def _touched_buckets(self, staged: DataFrame) -> list[int]:
         rows = (
@@ -135,8 +137,9 @@ class PartitionedParquetTable:
         """
         from .merge import _EPOCH, read_watermark, stage_changes
 
-        full = self.read()
-        watermark = read_watermark(full)
+        raw = self._read_raw()
+        cols = [f.name for f in self.schema.fields]
+        watermark = read_watermark(raw)
         if watermark is None or watermark == _EPOCH:
             if initial_load_guard:
                 # same ST8 behavior as the full-rewrite path
@@ -152,9 +155,9 @@ class PartitionedParquetTable:
             touched = self._touched_buckets(staged)
             if not touched:
                 return []
-            pruned = full.filter(
-                key_bucket(self.key_col, self.n_buckets).isin(touched)
-            )
+            # filter on the PARTITION column: directory-pruned read of the
+            # touched buckets only (PartitionFilters, asserted in tests)
+            pruned = raw.filter(F.col(BUCKET_COL).isin(touched)).select(*cols)
             # watermark override: the pruned slice's max(ts) is NOT the
             # table watermark — pass the global one through.
             merged = incremental_merge(
@@ -169,15 +172,23 @@ class PartitionedParquetTable:
             try:
                 # dynamic overwrite only replaces partitions PRESENT in the
                 # output: a touched bucket whose rows were ALL deleted would
-                # keep its old files. Drop those directories explicitly.
+                # keep its old files. Drop those directories BEFORE the
+                # watermark-advancing write: a crash in between leaves the
+                # watermark unmoved, so the replayed batch re-derives the
+                # same staging set and converges (deleting first is
+                # idempotent; writing first would advance the watermark and
+                # make the replay silently skip the deletions — resurrected
+                # rows forever). A crash inside _write itself can still
+                # tear across partitions — the residual gap a table format
+                # with a commit log (Delta/Iceberg) closes.
                 still_present = set(self._touched_buckets(merged))
-                self._write(merged)
                 for b in touched:
                     if b not in still_present:
                         shutil.rmtree(
                             os.path.join(self.root, f"{BUCKET_COL}={b}"),
                             ignore_errors=True,
                         )
+                self._write(merged)
             finally:
                 merged.unpersist()
         finally:

@@ -37,11 +37,15 @@ def salted_join(
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
 
-    # Deterministic row-level salt: hash the whole large row (any unique-ish
-    # column mix works; full-row hash needs no uniqueness assumption).
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets)
-    ).cast("int")
+    # Row-POSITION salt, not a content hash: the motivating hot key (a
+    # null-ish "unknown" key) typically has rows identical across all
+    # columns, and hashing content would send them all to ONE salt bucket —
+    # the exact pile-up salting exists to break. The salt value carries no
+    # semantics (the small side is replicated into every bucket), so
+    # nondeterminism across retries is harmless.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast(
+        "int"
+    )
     large_s = large.withColumn("_salt", salt)
 
     small_s = small.withColumn(

@@ -31,7 +31,11 @@ def initial_load_members(dump: DataFrame, sync_ts: dt.datetime | None = None) ->
         dump.filter(F.col("Item.pk.S").startswith("M_"))
         .select(
             strip_prefix(av_string("Item.pk"), "M_").alias("memberId"),
-            av_string("Item.memberName").alias("memberName"),
+            # name comes from the SORT KEY (item.sk."S",
+            # sql/initial_load_members.sql:4), same as the CDC projection —
+            # NOT the redundant memberName attribute, which only the
+            # generator lambda happens to write
+            av_string("Item.sk").alias("memberName"),
             _sync_lit(sync_ts).alias("approximateUpdateTimestamp"),
             F.lit("INITIAL_LOAD").alias("eventName"),
             _sync_lit(sync_ts).alias("syncTimestamp"),

@@ -94,7 +94,12 @@ class CdcPipeline:
         extract.persist()  # staged micro-batch reused by 3 merges + MV append
         try:
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-            extract.write.mode("append").parquet(self.extract_path)
+            # batch-id-scoped overwrite, NOT append: foreachBatch is
+            # at-least-once, and a replayed batch must overwrite its own
+            # subdirectory instead of appending duplicate MV rows.
+            extract.write.mode("overwrite").parquet(
+                os.path.join(self.extract_path, f"batch_id={batch_id}")
+            )
             for spec in ALL_SPECS:
                 table = self.targets[spec.name]
                 if hasattr(table, "merge"):  # partition-scoped backend
@@ -125,4 +130,6 @@ class CdcPipeline:
             raise FileNotFoundError(
                 "extract has not been materialized yet — run refresh() first"
             )
-        return self.spark.read.parquet(self.extract_path)
+        # batch_id is the replay-idempotence partition key, not part of the
+        # MV's logical schema
+        return self.spark.read.parquet(self.extract_path).drop("batch_id")

@@ -68,6 +68,50 @@ def test_session_gap_boundary(spark):
     assert sorted(s["n_events"] for s in sessions) == [1, 2]
 
 
+def test_shingles_short_doc_yields_empty_not_crash(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.functions.text import (
+        min_shingle_fingerprint,
+        shingles,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a full three-token sentence here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        F.size(shingles("text")).alias("n_sh"),
+        min_shingle_fingerprint("text").alias("fp"),
+    ).collect()}
+    assert rows[1]["n_sh"] == 0 and rows[1]["fp"] is None  # empty, like the oracle
+    assert rows[2]["n_sh"] > 0 and rows[2]["fp"] is not None
+    # the whole minhash pipeline survives a short doc in the corpus
+    assert DD.minhash_lsh_near_dup_pairs(docs).count() == 0
+
+
+def test_asof_null_value_columns_carried_atomically(spark):
+    import datetime as dt2
+
+    left = spark.createDataFrame(
+        [(1, dt2.datetime(2024, 1, 1, 0, 3))], "k int, t timestamp"
+    )
+    # newer right row has a legitimate NULL price; it must win ATOMICALLY
+    # (price=None, qty=7), never a stitched (price=5.0, qty=7)
+    right = spark.createDataFrame(
+        [
+            (1, dt2.datetime(2024, 1, 1, 0, 1), 5.0, 2),
+            (1, dt2.datetime(2024, 1, 1, 0, 2), None, 7),
+        ],
+        "k int, t timestamp, price double, qty int",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["price", "qty"],
+    ).collect()[0]
+    assert out["asof_qty"] == 7 and out["asof_price"] is None
+
+
 def test_srp_near_dup_recall(spark):
     from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
         similarity as SIM,

@@ -47,8 +47,9 @@ def test_frame_sampling_fanout(spark):
     by_id = {}
     for r in rows:
         by_id.setdefault(r["media_id"], []).append(r)
-    # duration 2500 @1000ms -> frames at 0,1000,2000; 1000 -> 0,1000
-    assert len(by_id[2]) == 3 and len(by_id[3]) == 2
+    # ceil(duration/every): 2500 @1000ms -> 0,1000,2000; 1000 -> just 0
+    # (no frame ever at t == duration)
+    assert len(by_id[2]) == 3 and len(by_id[3]) == 1
     assert sorted(r["ts_ms"] for r in by_id[2]) == [0, 1000, 2000]
     # media without duration emit no frames
     assert 1 not in by_id and 4 not in by_id

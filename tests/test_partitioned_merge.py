@@ -147,6 +147,23 @@ def test_partitioned_pipeline_e2e_matches_default(spark, tmp_path):
     assert tables["plain"] == tables["bucketed"]
 
 
+def test_pruned_read_uses_partition_filters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.partitioned_store import (
+        BUCKET_COL,
+    )
+
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA))
+    pruned = table._read_raw().filter(F.col(BUCKET_COL).isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # directory pruning, not a post-scan filter on a recomputed hash
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split("PartitionFilters")[1][:120]
+
+
 def test_scoped_merge_guard_and_watermark(spark, tmp_path, extract):
     table = PartitionedParquetTable(
         spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS

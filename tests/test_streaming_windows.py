@@ -78,15 +78,14 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
-    fact = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("p"))
+    # worst case the salt must break: IDENTICAL rows of one hot key (a
+    # content-derived salt would send them all to one bucket)
+    fact = spark.range(0, 1000).select(F.lit(1).alias("k"), F.lit(0).alias("p"))
     dim = spark.range(0, 2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     salted = salted_join(fact, dim, "k", salt_buckets=8)
-    # the single hot key must actually fan out over multiple salt buckets
+    # position-derived salt fans identical rows over multiple buckets
     n_buckets = (
-        fact.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("k"), F.col("p")), F.lit(8)),
-        )
+        fact.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
         .select("_salt")
         .distinct()
         .count()
