@@ -434,6 +434,32 @@ def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_stream_union_all",
+    """
+    SELECT user_id, ts, 'clickstream' AS src FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, 'purchases' AS src FROM events WHERE event_type = 'purchase'
+    ORDER BY ts, user_id, src
+    """,
+    "Set op: UNION ALL (bag semantics — no dedup exchange, a pure concat "
+    "of the two filtered scans).",
+)
+def event_stream_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def leg(etype: str, src: str) -> DataFrame:
+        return events.filter(F.col("event_type") == etype).select(
+            "user_id", "ts", F.lit(src).alias("src")
+        )
+
+    return (
+        leg("click", "clickstream")
+        .unionAll(leg("purchase", "purchases"))
+        .orderBy("ts", "user_id", "src")
+    )
+
+
+@register(
     "users_view_not_signup",
     """
     SELECT user_id FROM events WHERE event_type = 'view'

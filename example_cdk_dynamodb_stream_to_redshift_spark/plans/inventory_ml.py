@@ -317,6 +317,27 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_corpus_keep_first",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents GROUP BY md5(lower(trim(text))))
+    ORDER BY doc_id
+    """,
+    "The deduplicated corpus itself (not just the group stats): keep the "
+    "min-id row per content fingerprint — fingerprint groupBy + left_semi "
+    "join back, the exact shape a pipeline materializes before training.",
+)
+def dedup_corpus_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        DD.exact_dedup_keep_first(docs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "srp_near_dup_pairs",
     None,  # approximate (bucket pruning) — rows-only; recall vs the exact
     #       all-pairs form is asserted in tests/test_analytics_ops.py
