@@ -58,6 +58,7 @@ def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
     import shutil
     import tempfile
 
+    root = None
     try:
         from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
 
@@ -104,11 +105,13 @@ def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
         pipe.initial_load(export_d, sync_ts=dt.datetime(2023, 1, 1))
         t0 = time.perf_counter()
         pipe.refresh()
-        elapsed = round(time.perf_counter() - t0, 4)
-        shutil.rmtree(root, ignore_errors=True)
-        return elapsed
-    except Exception:
+        return round(time.perf_counter() - t0, 4)
+    except Exception as ex:  # a broken CDC path must be VISIBLE, not omitted
+        print(f"cdc_refresh bench FAILED: {ex!r}", file=sys.stderr)
         return None
+    finally:
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:

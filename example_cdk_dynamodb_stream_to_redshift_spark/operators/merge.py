@@ -124,12 +124,14 @@ def stage_changes(
     staged = spec.project(routed).filter(
         F.col("approximateUpdateTimestamp") > F.lit(watermark)
     )
-    # sequencenumber is a Kinesis decimal STRING (can exceed int64 and vary
-    # in length) — order it numerically, not lexicographically, or '999'
-    # would beat '1000' and resurrect the stale change.
+    # sequencenumber is a Kinesis decimal STRING — up to ~56 digits, which
+    # overflows every Spark numeric type (decimal maxes at 38 digits: the
+    # cast would NULL out / throw under ANSI). Zero-pad to a fixed width
+    # instead: for non-negative integers, lpad-to-56 lexicographic order ==
+    # numeric order, at any length mix.
     w = Window.partitionBy(spec.key_col).orderBy(
         F.desc("approximateUpdateTimestamp"),
-        F.desc(F.col("sequencenumber").cast("decimal(38,0)")),
+        F.desc(F.lpad("sequencenumber", 56, "0")),
     )
     return (
         staged.withColumn("_rn", F.row_number().over(w))

@@ -168,29 +168,41 @@ class PartitionedParquetTable:
                 initial_load_guard=False,
                 watermark=watermark,
             )
-            merged.persist()
+            # Stage `merged` to a TEMP directory first: it is lazily derived
+            # from the very bucket files the commit below deletes/replaces,
+            # and relying on the persist() cache surviving until the final
+            # write is not safe on a real cluster (eviction / executor loss
+            # would recompute from deleted files). The temp write fully
+            # materializes the result while every source file is intact.
+            staging = os.path.join(self.root, "_staging")
+            shutil.rmtree(staging, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(staging)
             try:
+                committed = self.spark.read.schema(self.schema).parquet(staging)
                 # dynamic overwrite only replaces partitions PRESENT in the
                 # output: a touched bucket whose rows were ALL deleted would
                 # keep its old files. Drop those directories BEFORE the
                 # watermark-advancing write: a crash in between leaves the
-                # watermark unmoved, so the replayed batch re-derives the
-                # same staging set and converges (deleting first is
-                # idempotent; writing first would advance the watermark and
-                # make the replay silently skip the deletions — resurrected
-                # rows forever). A crash inside _write itself can still
-                # tear across partitions — the residual gap a table format
-                # with a commit log (Delta/Iceberg) closes.
-                still_present = set(self._touched_buckets(merged))
+                # watermark unmoved* and the replayed batch re-derives the
+                # same staging set and converges (REMOVE of an absent row is
+                # a no-op; re-inserts rewrite the same values). A crash
+                # inside _write itself can still tear across partitions —
+                # the residual gap a table format with a commit log
+                # (Delta/Iceberg) closes.
+                # *If the emptied bucket held the global max event time the
+                # watermark can move BACKWARD — harmless here because the
+                # merge input is only this micro-batch, which re-applies
+                # idempotently; no earlier batch can leak through.
+                still_present = set(self._touched_buckets(committed))
                 for b in touched:
                     if b not in still_present:
                         shutil.rmtree(
                             os.path.join(self.root, f"{BUCKET_COL}={b}"),
                             ignore_errors=True,
                         )
-                self._write(merged)
+                self._write(committed)
             finally:
-                merged.unpersist()
+                shutil.rmtree(staging, ignore_errors=True)
         finally:
             staged.unpersist()
         return touched

@@ -65,57 +65,45 @@ def simhash_near_dup_pairs(
     """Pairs with Hamming(sig_a, sig_b) <= max_hamming via pigeonhole blocks.
 
     d+1 blocks of 64/(d+1) bits: a pair within distance d matches exactly on
-    >= 1 block. One explode per block, then pairs are enumerated INSIDE each
-    (block, value) bucket (groupBy + collect_list) — the Pandas-UDF
-    signature pipeline is evaluated exactly once, with no cache (the
-    previous d+1-way self-join needed a .cache() that leaked executor
-    storage for the app's lifetime) — then exact Hamming verify with
-    bit_count(XOR).
-    """
+    >= 1 block. Each block is a distributed equi-join on a 16-bit key with a
+    strict ``id_a < id_b`` guard (no self-pairs even for duplicate ids);
+    union + distinct, then exact Hamming verify with bit_count(XOR).
+
+    The banded self-join evaluates the signature pipeline for both sides
+    (2x the Pandas UDF) — deliberate: a cache would leak executor storage
+    for the app's lifetime, and enumerating pairs inside collected buckets
+    would build |bucket|^2 structs in ONE row (duplicate-heavy corpora have
+    a giant all-identical bucket — e.g. every empty doc shares one
+    signature — and that row OOMs an executor). The join form distributes
+    candidate pairs across the shuffle. Callers deduplicating repeatedly
+    should materialize ``simhash_signatures`` to a table once and join on
+    that."""
     sigs = simhash_signatures(df, text_col, id_col)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
 
-    def block(i):
-        return F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
+    def block(col, i):
+        return F.shiftrightunsigned(col, i * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
 
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("bi"), block(i).alias("bv"))
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    )
-    buckets = (
-        banded.groupBy("b.bi", "b.bv")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                F.slice("ms", i + 2, F.size("ms")),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    x["sig"].alias("sig_a"),
-                    y["id"].alias("id_b"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
+    cands = None
+    for i in range(n_blocks):
+        a = sigs.select(
+            F.col("id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            block(F.col("sig"), i).alias("blk"),
         )
-    )
+        b = sigs.select(
+            F.col("id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            block(F.col("sig"), i).alias("blk"),
+        )
+        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        cands = p if cands is None else cands.unionByName(p)
+
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
-        .distinct()
+        cands.distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )

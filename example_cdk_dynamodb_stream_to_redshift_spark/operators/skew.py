@@ -40,13 +40,20 @@ def salted_join(
     # Row-POSITION salt, not a content hash: the motivating hot key (a
     # null-ish "unknown" key) typically has rows identical across all
     # columns, and hashing content would send them all to ONE salt bucket —
-    # the exact pile-up salting exists to break. The salt value carries no
-    # semantics (the small side is replicated into every bucket), so
-    # nondeterminism across retries is harmless.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast(
-        "int"
+    # the exact pile-up salting exists to break.
+    #
+    # Retry safety: the salt joins the shuffle key, so it must be STABLE
+    # when a map task is recomputed after executor loss (else re-fetched
+    # reducers see different routing than already-fetched ones — rows
+    # duplicated/lost, the SPARK-23207 class of bug). monotonically
+    # _increasing_id depends on intra-partition row order, so we pin that
+    # order first with a full-row sortWithinPartitions (local sort, no
+    # shuffle): identical rows may swap positions across retries, but
+    # swapping identical rows yields the identical output.
+    large_s = large.sortWithinPartitions(*large.columns).withColumn(
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int"),
     )
-    large_s = large.withColumn("_salt", salt)
 
     small_s = small.withColumn(
         "_salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))

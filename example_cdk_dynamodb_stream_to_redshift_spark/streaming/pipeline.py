@@ -131,5 +131,28 @@ class CdcPipeline:
                 "extract has not been materialized yet — run refresh() first"
             )
         # batch_id is the replay-idempotence partition key, not part of the
-        # MV's logical schema
-        return self.spark.read.parquet(self.extract_path).drop("batch_id")
+        # MV's logical schema. Warehouses written before the batch_id layout
+        # have part files directly at the root — mixing the two layouts
+        # breaks Spark's partition discovery, so read each explicitly and
+        # union (legacy rows predate idempotent writes; nothing to dedup).
+        import glob as _glob
+
+        legacy = _glob.glob(os.path.join(self.extract_path, "part-*.parquet"))
+        batched_dirs = _glob.glob(os.path.join(self.extract_path, "batch_id=*"))
+        parts = []
+        if batched_dirs:
+            parts.append(
+                self.spark.read.option("basePath", self.extract_path)
+                .parquet(*batched_dirs)
+                .drop("batch_id")
+            )
+        if legacy:
+            parts.append(self.spark.read.parquet(*legacy))
+        if not parts:
+            raise FileNotFoundError(
+                "extract directory exists but holds no parquet data yet"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
