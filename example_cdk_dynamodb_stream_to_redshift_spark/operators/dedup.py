@@ -103,34 +103,49 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[k] = min over shingles of
-    md5(k || shingle). md5-based hash family keeps the oracle reproducible;
-    at production scale you'd swap in xxhash64(shingle, seed_k) — same plan
-    shape, cheaper hash.
+    """MinHash signature per document: hash lane k is the min over shingles
+    of an 8-hex-char WORD of md5 — lane k reads chars [8·(k%4), 8·(k%4)+8)
+    of md5(f"{k//4}|" + shingle), so K lanes cost only ceil(K/4) md5
+    invocations per shingle (md5 yields 128 bits = four independent 32-bit
+    words; one md5 per lane would be 4× the hash work for no recall gain).
+    The md5 family keeps the DuckDB oracle bit-reproducible; at production
+    scale you'd swap in xxhash64(shingle, seed_k) — same plan shape.
 
     Implementation note: shingles are EXPLODED once and the K minhashes are
-    grouped ``min`` aggregates — K md5s per shingle ROW. The tempting
-    all-in-one expression (K × array_min(transform(shingle_expr, md5)))
-    re-evaluates the shingle construction (itself O(tokens) per element)
-    inside every hash lane: O(K·n²) string work per document, measured 10×
-    slower end-to-end. The explode adds one narrow shuffle on the doc id
-    (map-side partial min, K×32-byte rows per doc) — the right trade at any
-    scale. Requires every doc to have ≥1 shingle (≥ shingle_n tokens);
-    shorter docs drop out of the signature (they have no shingle set for
-    Jaccard anyway). Shingle construction is O(tokens²) per doc (split
-    re-evaluated per slice) — fine for ≤~1k-token docs; for long documents
-    switch to posexplode(tokens) + lead() windows (one split per doc, one
-    extra shuffle)."""
+    grouped ``min`` aggregates. The tempting all-in-one expression
+    (K × array_min(transform(shingle_expr, md5))) re-evaluates the shingle
+    construction (itself O(tokens) per element) inside every hash lane:
+    O(K·n²) string work per document, measured 10× slower end-to-end. The
+    explode adds one narrow shuffle on the doc id (map-side partial min) —
+    the right trade at any scale. Docs with < shingle_n tokens have no
+    shingles and drop out of the signature (no shingle set for Jaccard
+    anyway). Shingle construction is O(tokens²) per doc (split re-evaluated
+    per slice) — fine for ≤~1k-token docs; for long documents switch to
+    posexplode(tokens) + lead() windows (one split per doc, one extra
+    shuffle)."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
     )
+    n_md5 = -(-num_hashes // 4)
+    # md5s materialize in a projection BEFORE the aggregate: column refs in
+    # the min() children guarantee one md5 evaluation per row per j, with no
+    # reliance on codegen subexpression elimination across aggregate lanes
+    hashed = ex.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"_m{j}")
+            for j in range(n_md5)
+        ],
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"_h{k}")
+        F.min(
+            F.substring(F.col(f"_m{k // 4}"), (k % 4) * 8 + 1, 8)
+        ).alias(f"_h{k}")
         for k in range(num_hashes)
     ]
     return (
-        ex.groupBy("id")
+        hashed.groupBy("id")
         .agg(*mins)
         .select(
             "id",

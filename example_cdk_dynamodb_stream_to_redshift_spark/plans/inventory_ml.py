@@ -189,8 +189,12 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(k: int) -> str:
+    # lane i = min over shingles of the (i%4)-th 8-hex-char word of
+    # md5(f"{i//4}|" + shingle) — mirrors operators.dedup.minhash_signatures
+    # (4 hash lanes per md5 invocation)
     mins = ", ".join(
-        f"list_min(list_transform(s, x -> md5(concat('{i}|', x))))"
+        "list_min(list_transform(s, x -> "
+        f"substr(md5(concat('{i // 4}|', x)), {(i % 4) * 8 + 1}, 8)))"
         for i in range(k)
     )
     return f"[{mins}]"
