@@ -1,0 +1,360 @@
+"""Wider SQL-surface inventory: generators (explode), analytic lead/lag,
+HAVING, scalar subqueries, CUBE grouping sets, conditional aggregation,
+ordered string aggregation, ntile bucketing, and exact percentiles.
+
+The reference's queries (sql/queries.sql) never leave the join/agg/top-k
+family; a user replacing Redshift with this engine keeps the rest of the
+warehouse SQL surface too, so each shape here is driver-checked against
+DuckDB like the core inventory. Same determinism rules as inventory.py:
+decimal-accumulated double sums, quantized interpolated stats, unique
+tie-breaks on every LIMIT, no wall-clock functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .inventory import register
+
+
+def _dec(col) -> F.Column:
+    return (col if isinstance(col, F.Column) else F.col(col)).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Generator / LATERAL VIEW: explode a tokenized text column. The row-exploding
+# operator every text pipeline needs; stays inside whole-stage codegen
+# (Generate node), shuffle carries (token, partial count) only.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_topk",
+    """
+    SELECT token, COUNT(*) AS n_tokens
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_tokens DESC, token
+    LIMIT 25
+    """,
+    "Explode/generator family: whitespace-tokenize documents.text, count "
+    "token frequencies, top-25. Generate -> partial hash-agg -> single "
+    "small shuffle; the shuffle carries one row per (task, token), never "
+    "the exploded rows themselves.",
+)
+def doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("token"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING: post-aggregation predicate (filter above the agg, pushed nowhere).
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_having",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 10
+    ORDER BY o_orderpriority
+    """,
+    "HAVING clause: group orders by priority, keep groups with >= 10 "
+    "orders. The predicate sits above the aggregate in the plan (a plain "
+    "Filter on agg output), distinct from pushed-down scan filters.",
+)
+def order_priority_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") >= 10)
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation: SUM(CASE WHEN ...) — one scan computing several
+# predicated aggregates at once (the idiom that replaces N filtered scans).
+# ---------------------------------------------------------------------------
+@register(
+    "returns_conditional_agg",
+    """
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty,
+      CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_qty,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "Conditional aggregation: returned vs kept quantity per line status in "
+    "ONE pass over lineitem — N predicated sums share a single scan and a "
+    "single two-phase hash-agg instead of N filtered subqueries.",
+)
+def returns_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", _dec("l_quantity")).otherwise(zero)
+            )
+            .cast("double")
+            .alias("returned_qty"),
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", _dec("l_quantity")).otherwise(zero)
+            )
+            .cast("double")
+            .alias("kept_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: compare every row against a global aggregate. Declared as
+# a cross join against a broadcast 1-row aggregate — the whole comparison
+# stays distributed; nothing is collected to the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_above_avg_price",
+    """
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_above,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_above
+    FROM orders, stats
+    WHERE o_totalprice > avg_price
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "Scalar-subquery shape: orders above the global average price, grouped "
+    "by priority. The 1-row average is broadcast-cross-joined (no driver "
+    "collect); avg accumulates in DECIMAL then divides once in double, so "
+    "the threshold is bit-identical across engines.",
+)
+def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_above"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 4 grouping sets of (event_type, event_day) in one Expand pass —
+# the generalization of the rollup already in inventory_analytics.
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_daily_cube",
+    """
+    SELECT event_type, event_day,
+           2 * GROUPING(event_type) + GROUPING(event_day) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS event_day, value FROM events) e
+    GROUP BY CUBE(event_type, event_day)
+    ORDER BY gid, event_type, event_day
+    """,
+    "CUBE grouping sets: counts + sums for (type, day), (type), (day), and "
+    "() in ONE scan via Expand — 4 grouping sets share a single shuffle "
+    "instead of a UNION of 4 aggregations. gid disambiguates NULL-as-ALL "
+    "from genuine NULL group keys.",
+)
+def event_type_daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", F.col("ts").cast("date").alias("event_day"), "value"
+    )
+    return (
+        base.cube("event_type", "event_day")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("event_day")).alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select("event_type", "event_day", "gid", "n_events", "total_value")
+        .orderBy("gid", "event_type", "event_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEAD/LAG analytic: inter-event gap per user. One hash shuffle on the key +
+# in-partition sort; state is a single previous row per partition stream.
+# ---------------------------------------------------------------------------
+@register(
+    "event_gap_topk",
+    """
+    SELECT user_id, event_id, gap_us FROM (
+      SELECT user_id, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events) g
+    WHERE gap_us IS NOT NULL
+    ORDER BY gap_us DESC, user_id, event_id
+    LIMIT 20
+    """,
+    "LAG window function: microsecond gap between consecutive events per "
+    "user, top-20 largest gaps. Exact integer microsecond arithmetic "
+    "(unix_micros / epoch_us) — no float time math; (user_id, event_id) "
+    "tie-break makes the LIMIT deterministic.",
+)
+def event_gap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .orderBy(F.desc("gap_us"), F.asc("user_id"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: per-user sorted distinct event-type profile.
+# collect_list is bounded here by the distinct type cardinality (tiny), so
+# per-group state is O(#types), not O(#events).
+# ---------------------------------------------------------------------------
+@register(
+    "user_event_type_profile",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_profile,
+           COUNT(*) AS n_types
+    FROM ut
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Ordered string_agg: comma-joined sorted distinct event types per user "
+    "(Spark: array_join(array_sort(collect_list)) over a pre-distinct "
+    "input). The distinct bounds per-group state to the type cardinality; "
+    "the deterministic sort inside the aggregate makes the string "
+    "order-stable across engines and partitionings.",
+)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    return (
+        ut.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias(
+                "type_profile"
+            ),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE bucketing: equal-frequency quartiles over a global order. A global
+# sort is inherent to ntile-over-everything; min/max per bucket are exact.
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_quartiles",
+    """
+    SELECT q, COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM (SELECT o_totalprice,
+                 ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+          FROM orders) b
+    GROUP BY q
+    ORDER BY q
+    """,
+    "NTILE(4) equal-frequency bucketing of order prices with per-bucket "
+    "count/min/max. The unique (o_totalprice, o_orderkey) order key makes "
+    "bucket assignment deterministic; min/max of doubles are exact (no "
+    "accumulation-order sensitivity).",
+)
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles, quantized. Spark `percentile` and DuckDB
+# `quantile_cont` both sort-and-interpolate; the two engines' interpolation
+# expressions can differ in the last ulp, so results are snapped to the
+# coarse grid the 2-decimal input data actually lives on.
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_percentiles",
+    """
+    SELECT
+      CAST(round(quantile_cont(o_totalprice, 0.25) * 10000) AS BIGINT) AS p25_q4,
+      CAST(round(quantile_cont(o_totalprice, 0.50) * 10000) AS BIGINT) AS p50_q4,
+      CAST(round(quantile_cont(o_totalprice, 0.75) * 10000) AS BIGINT) AS p75_q4,
+      COUNT(*) AS n_orders
+    FROM orders
+    """,
+    "Exact percentiles (p25/p50/p75) of order price. Interpolated values "
+    "land on a 2.5e-3 grid (2-decimal inputs, quarter fractions), so "
+    "quantizing to 1e-4 absorbs cross-engine interpolation ulp while "
+    "remaining an exact check. The 100 TB path swaps in approx_percentile "
+    "(mergeable t-digest-style sketch) — same query shape.",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def q(p: float, alias: str) -> F.Column:
+        return (
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(p)) * 10000)
+            .cast("long")
+            .alias(alias)
+        )
+
+    return orders.agg(
+        q(0.25, "p25_q4"),
+        q(0.50, "p50_q4"),
+        q(0.75, "p75_q4"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
