@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..streaming.joins import view_purchase_attribution
 from .inventory import register
 
 
@@ -317,6 +318,36 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
         .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval (band) join — the BATCH form of streaming/joins.interval_join,
+# oracle-checked here so the stream-stream operator's semantics are pinned
+# against SQL, not just against our own batch implementation.
+# ---------------------------------------------------------------------------
+@register(
+    "view_purchase_interval_join",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, view_id, view_ts, purchase_id, purchase_ts
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    """,
+    "Interval/band join: purchases within 30 min after a view by the same "
+    "user — equi-join on user_id with the time band as a residual "
+    "predicate, so the shuffle is keyed (never a cartesian). Identical "
+    "code runs as a watermark-bounded stream-stream join "
+    "(streaming/joins.py; tests assert stream == batch).",
+)
+def view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return view_purchase_attribution(load_table(spark, sf_dir, "events")).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"
     )
 
 

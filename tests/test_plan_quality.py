@@ -71,6 +71,39 @@ def test_bigbig_join_degrades_to_sort_merge_without_broadcast(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_generator_agg_has_map_side_partials(spark):
+    # explode -> count must combine map-side: the shuffle carries (token,
+    # partial count), never the exploded rows themselves.
+    plan = _plan(spark, "doc_token_topk")
+    assert "explode(split" in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in _plan(spark, "event_gap_topk")
+
+
+def test_cube_uses_single_expand_pass(spark):
+    # CUBE = one scan + Expand, not a union of 4 aggregations
+    plan = _plan(spark, "event_type_daily_cube")
+    assert "Expand" in plan
+    # one physical source scan feeds all four grouping sets
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_scalar_subquery_broadcasts_one_row(spark):
+    # the global-average comparison must broadcast the 1-row aggregate,
+    # never materialize a cartesian product
+    plan = _plan(spark, "orders_above_avg_price")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_keyed_not_cartesian(spark):
+    # band join keeps the user_id equi-key for the shuffle; the time band
+    # is a residual condition
+    plan = _plan(spark, "view_purchase_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_cartesian_products(spark):
     # cross joins in the inventory are all broadcast-1-row by construction;
     # a real CartesianProduct node means someone dropped a join key.
