@@ -46,6 +46,9 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "corpus_clean_keep",
     "ann_bruteforce_topk",
+    "doc_token_topk",
+    "view_purchase_interval_join",
+    "event_type_daily_cube",
 ]
 
 
