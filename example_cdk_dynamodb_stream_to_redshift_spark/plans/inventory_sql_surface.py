@@ -322,6 +322,82 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Outer joins — absent from the reference (SURVEY.md §2.4) but part of any
+# complete relational surface. Left: preserved-side rows with no match keep
+# NULL/zero aggregates; full: both sides preserved.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_counts_left",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS total_price
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    "LEFT OUTER join + COUNT(col): every customer appears, zero-order "
+    "customers keep n_orders = 0 and total 0 (COUNT over a nullable join "
+    "column counts matches only). Join strategy is left to AQE: the "
+    "preserved side constrains which side may be the broadcast build side.",
+)
+def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "supplier_customer_nations_full",
+    """
+    WITH sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey),
+         cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+                FROM customer GROUP BY c_nationkey)
+    SELECT COALESCE(sn.nationkey, cn.nationkey) AS nationkey,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           COALESCE(n_customers, 0) AS n_customers
+    FROM sn FULL OUTER JOIN cn ON sn.nationkey = cn.nationkey
+    ORDER BY nationkey
+    """,
+    "FULL OUTER join of two pre-aggregated sides: nations having only "
+    "suppliers or only customers survive with a zero on the missing side. "
+    "Pre-aggregation shrinks both inputs to nation cardinality before the "
+    "join — the scalable order of operations at any SF.",
+)
+def supplier_customer_nations_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        sn.join(cn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interval (band) join — the BATCH form of streaming/joins.interval_join,
 # oracle-checked here so the stream-stream operator's semantics are pinned
 # against SQL, not just against our own batch implementation.
