@@ -67,6 +67,7 @@ class CdcPipeline:
         self.merge_shuffle_partitions = merge_shuffle_partitions
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
+        self.quarantine_path = os.path.join(warehouse, "_quarantine")
         if partitioned:
             from ..operators.partitioned_store import PartitionedParquetTable
 
@@ -122,7 +123,31 @@ class CdcPipeline:
             self._merge_batch_inner(records, batch_id)
 
     def _merge_batch_inner(self, records: DataFrame, batch_id: int) -> None:
-        extract = build_extract(records)
+        from pyspark.sql import functions as F
+
+        from ..schemas import ENVELOPE_SCHEMA
+
+        # Dead-letter split (the engine's ACCEPTINVCHARS-grade tolerance,
+        # made observable): a record whose payload does not parse to an
+        # envelope bearing an eventID is not a DynamoDB change event. The
+        # reference's SQL would surface NULLs into the MV and silently drop
+        # the row at the pk-prefix filter; we keep the same target semantics
+        # but land the RAW record in a batch-scoped quarantine so bad
+        # producers are debuggable instead of invisible.
+        records.persist()
+        is_event = (
+            F.from_json(F.decode(F.col("kinesis_data"), "UTF-8"), ENVELOPE_SCHEMA)[
+                "eventID"
+            ].isNotNull()
+        )
+        bad = records.filter(~is_event).withColumn(
+            "kinesis_data", F.decode(F.col("kinesis_data"), "UTF-8")
+        )
+        # batch-id-scoped overwrite: idempotent under foreachBatch replay
+        bad.write.mode("overwrite").parquet(
+            os.path.join(self.quarantine_path, f"batch_id={batch_id}")
+        )
+        extract = build_extract(records.filter(is_event))
         extract.persist()  # staged micro-batch reused by 3 merges + MV append
         try:
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -141,6 +166,7 @@ class CdcPipeline:
                     table.overwrite(merged)
         finally:
             extract.unpersist()
+            records.unpersist()
 
     def refresh(self) -> None:
         """One REFRESH: process all newly-arrived records, then return (ST1)."""
@@ -156,6 +182,16 @@ class CdcPipeline:
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.targets[name].read()
+
+    def quarantine_table(self) -> DataFrame:
+        """Raw records whose payload failed envelope validation, with the
+        payload decoded to a readable string; batch_id column identifies the
+        micro-batch that rejected them."""
+        if not os.path.exists(self.quarantine_path):
+            raise FileNotFoundError("no batches have run yet — no quarantine")
+        return self.spark.read.option("basePath", self.quarantine_path).parquet(
+            os.path.join(self.quarantine_path, "batch_id=*")
+        )
 
     def extract_table(self) -> DataFrame:
         if not os.path.exists(self.extract_path):

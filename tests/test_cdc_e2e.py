@@ -225,3 +225,50 @@ def test_streaming_pipeline_e2e(spark, tmp_path):
 
     # extract table (MV) accumulated all 6 records
     assert pipe.extract_table().count() == 6
+
+
+# ---- dead-letter quarantine: corrupt payloads are visible, not silent ----
+def test_quarantine_collects_corrupt_payloads(spark, tmp_path):
+    import json as _json
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    good = member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000)
+    junk = dict(good)
+    junk["sequence_number"] = "9".zfill(20)
+    junk["kinesis_data"] = "{not json at all"          # unparseable payload
+    alien = dict(good)
+    alien["sequence_number"] = "8".zfill(20)
+    alien["kinesis_data"] = _json.dumps({"foo": "bar"})  # JSON, not an envelope
+    write_jsonl(str(stream_dir / "b1.json"), [good, junk, alien])
+    pipe.refresh()
+
+    # good row merged; corrupt rows neither merged nor lost
+    members = {r.memberId for r in pipe.table("member").collect()}
+    assert "m3" in members
+    quarantined = pipe.quarantine_table().collect()
+    assert len(quarantined) == 2
+    payloads = {r.kinesis_data for r in quarantined}
+    assert payloads == {"{not json at all", _json.dumps({"foo": "bar"})}
+    assert all(r.batch_id == 0 for r in quarantined)
+
+    # a clean follow-up batch leaves the earlier quarantine intact
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [member_env(2, "e2", "MODIFY", "m3", "Caroline", BASE_MS + 2000)],
+    )
+    pipe.refresh()
+    assert pipe.quarantine_table().count() == 2
+    assert {r.memberName for r in pipe.table("member").collect()} >= {"Caroline"}
