@@ -42,13 +42,19 @@ EXTRACT_COLUMNS = [
 ]
 
 
-def build_extract(records: DataFrame) -> DataFrame:
+def build_extract(records: DataFrame, raw_col: str | None = None) -> DataFrame:
     """records (KINESIS_RECORD_SCHEMA shape, batch or streaming) -> extract.
 
     Works identically on a streaming DataFrame — it is a pure projection.
+
+    ``raw_col``: optionally append the decoded payload string under this
+    name. Lets the caller split valid/invalid rows (a non-envelope payload
+    parses to all-NULL fields, so ``eventID IS NULL`` marks it) from ONE
+    parse instead of re-parsing the batch per consumer.
     """
     decoded = F.decode(F.col("kinesis_data"), "UTF-8")  # from_varbyte(...,'utf-8')
     env = F.from_json(decoded, ENVELOPE_SCHEMA)  # json_parse + extracts, in one
+    extra = [decoded.alias(raw_col)] if raw_col else []
     return records.select(
         F.col("approximate_arrival_timestamp").alias("approximatearrivaltimestamp"),
         F.col("partition_key").alias("partitionkey"),
@@ -63,6 +69,7 @@ def build_extract(records: DataFrame) -> DataFrame:
         env["dynamodb"]["Keys"]["pk"]["S"].alias("pk"),
         env["dynamodb"]["Keys"]["sk"]["S"].alias("sk"),
         env["dynamodb"].alias("eventData"),
+        *extra,
     )
 
 

@@ -125,31 +125,35 @@ class CdcPipeline:
     def _merge_batch_inner(self, records: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        from ..schemas import ENVELOPE_SCHEMA
-
         # Dead-letter split (the engine's ACCEPTINVCHARS-grade tolerance,
-        # made observable): a record whose payload does not parse to an
-        # envelope bearing an eventID is not a DynamoDB change event. The
-        # reference's SQL would surface NULLs into the MV and silently drop
-        # the row at the pk-prefix filter; we keep the same target semantics
-        # but land the RAW record in a batch-scoped quarantine so bad
-        # producers are debuggable instead of invisible.
-        records.persist()
-        is_event = (
-            F.from_json(F.decode(F.col("kinesis_data"), "UTF-8"), ENVELOPE_SCHEMA)[
-                "eventID"
-            ].isNotNull()
-        )
-        bad = records.filter(~is_event).withColumn(
-            "kinesis_data", F.decode(F.col("kinesis_data"), "UTF-8")
-        )
-        # batch-id-scoped overwrite: idempotent under foreachBatch replay
-        bad.write.mode("overwrite").parquet(
-            os.path.join(self.quarantine_path, f"batch_id={batch_id}")
-        )
-        extract = build_extract(records.filter(is_event))
-        extract.persist()  # staged micro-batch reused by 3 merges + MV append
+        # made observable): a payload that does not parse to an envelope
+        # bearing an eventID is not a DynamoDB change event. The reference's
+        # SQL would surface NULLs into the MV and silently drop the row at
+        # the pk-prefix filter; we keep the same target semantics but land
+        # the RAW payload in a batch-scoped quarantine so bad producers are
+        # debuggable instead of invisible. The batch is parsed ONCE: the
+        # tagged extract (valid + invalid rows, plus the decoded payload)
+        # is cached, and both the quarantine probe and the 3 merges read
+        # that cache — no second from_json pass over the batch.
+        tagged = build_extract(records, raw_col="_raw")
+        tagged.persist()
+        extract = tagged.filter(F.col("eventID").isNotNull()).drop("_raw")
         try:
+            bad = tagged.filter(F.col("eventID").isNull()).select(
+                "approximatearrivaltimestamp",
+                "partitionkey",
+                "shardid",
+                "sequencenumber",
+                F.col("_raw").alias("kinesis_data"),
+            )
+            # isEmpty on the cache is a LIMIT-1 probe; the all-valid batch
+            # (the overwhelmingly common case) skips the write job entirely.
+            # Replay-safe: a replayed batch re-derives the same bad set and
+            # overwrites its own batch_id subdirectory.
+            if not bad.isEmpty():
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(self.quarantine_path, f"batch_id={batch_id}")
+                )
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             # batch-id-scoped overwrite, NOT append: foreachBatch is
             # at-least-once, and a replayed batch must overwrite its own
@@ -165,8 +169,7 @@ class CdcPipeline:
                     merged = incremental_merge(table.read(), extract, spec, sync_ts)
                     table.overwrite(merged)
         finally:
-            extract.unpersist()
-            records.unpersist()
+            tagged.unpersist()
 
     def refresh(self) -> None:
         """One REFRESH: process all newly-arrived records, then return (ST1)."""
