@@ -48,13 +48,17 @@ def build_extract(records: DataFrame, raw_col: str | None = None) -> DataFrame:
     Works identically on a streaming DataFrame — it is a pure projection.
 
     ``raw_col``: optionally append the decoded payload string under this
-    name. Lets the caller split valid/invalid rows (a non-envelope payload
-    parses to all-NULL fields, so ``eventID IS NULL`` marks it) from ONE
-    parse instead of re-parsing the batch per consumer.
+    name — NULL for valid envelopes, populated only when the payload failed
+    to parse (``eventID IS NULL`` marks it). Lets the caller split
+    valid/invalid rows from ONE parse instead of re-parsing the batch per
+    consumer, while the (overwhelmingly common) valid rows pay nothing to
+    carry the column through a cache.
     """
     decoded = F.decode(F.col("kinesis_data"), "UTF-8")  # from_varbyte(...,'utf-8')
     env = F.from_json(decoded, ENVELOPE_SCHEMA)  # json_parse + extracts, in one
-    extra = [decoded.alias(raw_col)] if raw_col else []
+    extra = (
+        [F.when(env["eventID"].isNull(), decoded).alias(raw_col)] if raw_col else []
+    )
     return records.select(
         F.col("approximate_arrival_timestamp").alias("approximatearrivaltimestamp"),
         F.col("partition_key").alias("partitionkey"),

@@ -17,10 +17,12 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.joins import view_purchase_attribution
-from .inventory import register
+from .inventory import _dsum, register
 
 
 def _dec(col) -> F.Column:
+    """decimal(18,2) cast for sums whose INPUT needs a CASE/COALESCE wrap —
+    plain whole-column sums use inventory._dsum directly."""
     return (col if isinstance(col, F.Column) else F.col(col)).cast("decimal(18,2)")
 
 
@@ -79,7 +81,7 @@ def order_priority_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            _dsum("o_totalprice", "total_price"),
         )
         .filter(F.col("n_orders") >= 10)
         .orderBy("o_orderpriority")
@@ -167,7 +169,7 @@ def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_above"),
+            _dsum("o_totalprice", "total_above"),
         )
         .orderBy("o_orderpriority")
     )
@@ -203,7 +205,7 @@ def event_type_daily_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("event_type") * 2 + F.grouping("event_day")).alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
+            _dsum("value", "total_value"),
         )
         .select("event_type", "event_day", "gid", "n_events", "total_value")
         .orderBy("gid", "event_type", "event_day")

@@ -82,10 +82,25 @@ def deduped(
     ts: str = "ts",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Exact dedup by ``keys``. Streaming: state bounded by the watermark
-    (duplicates arriving later than ``watermark`` after the original are
-    not caught — the documented at-most-lateness contract); batch: plain
-    dropDuplicates."""
+    """Exact dedup by ``keys``. Streaming: ``dropDuplicatesWithinWatermark``
+    keeps the FIRST-ARRIVED row per key, with state bounded by the
+    watermark (duplicates arriving later than ``watermark`` after the
+    original are not caught — the documented at-most-lateness contract).
+
+    Batch keeps the earliest row by (``ts``, remaining columns) per key —
+    deterministic, unlike ``dropDuplicates`` which keeps an arbitrary
+    partition-order-dependent row. The two modes agree whenever producers
+    emit in event-time order (the CDC case); a duplicate key re-sent with
+    a DIFFERENT payload out of order is the one case where first-arrival
+    and earliest-event-time can pick different rows."""
     if df.isStreaming:
         return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
-    return df.dropDuplicates(keys)
+    from pyspark.sql import Window
+
+    order_cols = [ts] + [c for c in df.columns if c not in keys and c != ts]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

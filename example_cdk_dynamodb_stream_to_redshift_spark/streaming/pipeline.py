@@ -91,7 +91,14 @@ class CdcPipeline:
     @contextmanager
     def _batch_sized_shuffle(self):
         """Temporarily cap shuffle width to the micro-batch-appropriate
-        setting (see __init__); restored even on merge failure."""
+        setting (see __init__); restored even on merge failure.
+
+        Scope caveat: ``spark.sql.shuffle.partitions`` is session-global, so
+        the cap applies to ANY query planned on this session while a merge
+        is in flight, and two pipelines interleaving on one session could
+        restore each other's value. Run CDC pipelines on a dedicated
+        session (the deployment shape anyway), or pass
+        ``merge_shuffle_partitions=None`` to opt out."""
         if self.merge_shuffle_partitions is None:
             yield
             return
@@ -189,9 +196,26 @@ class CdcPipeline:
     def quarantine_table(self) -> DataFrame:
         """Raw records whose payload failed envelope validation, with the
         payload decoded to a readable string; batch_id column identifies the
-        micro-batch that rejected them."""
-        if not os.path.exists(self.quarantine_path):
-            raise FileNotFoundError("no batches have run yet — no quarantine")
+        micro-batch that rejected them. A healthy pipeline that has never
+        seen a bad payload returns an EMPTY DataFrame (the quarantine dir is
+        only created when bad rows exist) — monitors can distinguish
+        'nothing quarantined' from a query error."""
+        import glob as _glob
+
+        from pyspark.sql import types as T
+
+        if not _glob.glob(os.path.join(self.quarantine_path, "batch_id=*")):
+            empty_schema = T.StructType(
+                [
+                    T.StructField("approximatearrivaltimestamp", T.TimestampType()),
+                    T.StructField("partitionkey", T.StringType()),
+                    T.StructField("shardid", T.StringType()),
+                    T.StructField("sequencenumber", T.StringType()),
+                    T.StructField("kinesis_data", T.StringType()),
+                    T.StructField("batch_id", T.IntegerType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty_schema)
         return self.spark.read.option("basePath", self.quarantine_path).parquet(
             os.path.join(self.quarantine_path, "batch_id=*")
         )

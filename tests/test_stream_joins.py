@@ -90,3 +90,21 @@ def test_stream_dedup_within_watermark_equals_batch(spark, dup_events_dir):
     assert _sorted_rows(streamed.select("event_id")) == _sorted_rows(
         batch.select("event_id")
     )
+
+
+def test_batch_dedup_is_deterministic_keep_earliest(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), "first"),
+        (1, dt.datetime(2024, 1, 1, 11, 0, 0), "resend"),
+        (2, dt.datetime(2024, 1, 2, 9, 0, 0), "only"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, payload string")
+    # repeated runs over different partitionings pick the same (earliest) row
+    for n in (1, 4, 16):
+        out = {
+            r.event_id: r.payload
+            for r in deduped(df.repartition(n), ["event_id"]).collect()
+        }
+        assert out == {1: "first", 2: "only"}
