@@ -47,12 +47,17 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# features are DOUBLE: each stub feature is (32-bit int)/2^32 — a dyadic
+# rational that doubles carry exactly, so the DuckDB oracle can reproduce
+# the values bit-for-bit (a float32 column would round them and break the
+# cross-engine check). A real embedder plugged in via decode_fn may narrow
+# this to float32 without touching the plumbing.
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("content_sha256", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 

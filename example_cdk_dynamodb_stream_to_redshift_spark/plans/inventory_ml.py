@@ -452,13 +452,40 @@ def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _feature_word_sql(i: int) -> str:
+    # feature i = int(hexdigest[8i:8i+8], 16) / 2^32 — the fake decoder's
+    # exact arithmetic (operators/multimodal.py:_fake_decode): a 32-bit int
+    # divided by 2^32 is dyadic, so the double is identical cross-engine.
+    return (
+        f"CAST(CAST('0x' || substr(h, {8 * i + 1}, 8) AS BIGINT) AS DOUBLE)"
+        f" / 4294967296.0 AS f{i}"
+    )
+
+
 @register(
     "media_feature_extract",
-    None,  # mapInPandas + sha256 fake-decoder: rows-only check
+    f"""
+    WITH f AS (
+      SELECT doc_id AS media_id, sha256(text) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents)
+    SELECT media_id, h AS content_sha256, n_bytes,
+           {', '.join(_feature_word_sql(i) for i in range(8))}
+    FROM f ORDER BY media_id
+    """,
     "Multimodal feature extraction: binary content -> sha256 + stub feature "
     "vector via Arrow-batched mapInPandas (operators/multimodal.py; decode "
-    "kernel stubbed per environment constraints, plumbing real).",
+    "kernel stubbed per environment constraints, plumbing real). The vector "
+    "is flattened to fixed scalar columns f0..f7 for the check: scalars "
+    "canon-sort cleanly and the stub features are dyadic rationals DuckDB "
+    "reproduces exactly; the array form stays the internal API.",
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_media_features(MM.text_as_media(docs)).orderBy("media_id")
+    feats = MM.extract_media_features(MM.text_as_media(docs))
+    return feats.select(
+        "media_id",
+        "content_sha256",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
