@@ -18,10 +18,33 @@ Cosine has two formulations:
 
 from __future__ import annotations
 
+import math
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 Vector = "list[float]"
+
+
+def srp_hamming_budget(threshold: float, n_planes: int, sigmas: float = 4.5) -> int:
+    """Hamming budget for SRP candidate filtering, from the binomial tail —
+    data-independent, no peeking at the corpus.
+
+    A pair at exactly ``cos = threshold`` disagrees on each plane with
+    p = acos(threshold)/pi, so its Hamming distance over ``n_planes`` is
+    Binomial(n_planes, p). Budget = mean + ``sigmas``·sd caps the per-pair
+    false-negative probability at ~Phi(-sigmas) (3.4e-6 at 4.5σ) for the
+    worst pair AT the threshold; pairs above it are strictly safer. Misses
+    concentrate exactly at the threshold boundary where 'near-dup' is
+    already a judgment call — raise ``sigmas`` to push ε down further at
+    the cost of a weaker prune."""
+    p = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    mu = n_planes * p
+    sd = math.sqrt(n_planes * p * (1.0 - p))
+    return min(n_planes, int(math.ceil(mu + sigmas * sd)))
 
 
 def _dbl(col: Column) -> Column:
@@ -116,8 +139,66 @@ def srp_signature(
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])
         d = _fold_sum(F.zip_with(dv, p, lambda x, y: x * y), F.lit(0.0))
-        bits = bits + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        # shiftleft, not a lit: 1 << 63 overflows a signed long literal
+        bits = bits + F.when(
+            d >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return bits
+
+
+def srp_signature_words(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+    """Wide SRP signature packed into array<long> words (word w holds planes
+    [64w, 64w+64)). Used by the Hamming prefilter, where more planes =
+    tighter binomial concentration = a smaller σ-margin on the budget
+    (see srp_hamming_budget).
+
+    Implemented as an Arrow-batched pandas_udf: the signature is one
+    (batch × dim) @ (dim × n_planes) matrix product, which numpy does in a
+    single BLAS call per batch. The expression-tree formulation (n_planes
+    separate zip_with folds) re-evaluates the cast array per fold with no
+    CSE — measured ~25× slower at 256 planes, the same pitfall that hit
+    minhash. Signatures only ever compare against signatures from the same
+    function, so no cross-engine bit parity is required of them (the
+    borderline d≈0 sign may differ from a sequential fold — irrelevant to
+    the Hamming-distribution guarantees)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(_hyperplanes(dim, n_planes, seed)).T  # dim × n_planes
+    n_words = -(-n_planes // 64)
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(col: pd.Series) -> pd.Series:
+        mat = np.asarray(col.tolist(), dtype=np.float64)  # batch × dim
+        bits = (mat @ planes_t) >= 0.0  # batch × n_planes
+        words = np.zeros((len(mat), n_words), dtype=np.uint64)
+        for w in range(n_words):
+            blk = bits[:, w * 64 : (w + 1) * 64]
+            words[:, w] = blk.astype(np.uint64) @ weights[: blk.shape[1]]
+        out = words.view(np.int64)  # reinterpret: bit 63 wraps, no overflow
+        return pd.Series(list(out))
+
+    return sig(vec)
+
+
+def hamming_words(a: Column, b: Column, n_words: int | None = None) -> Column:
+    """Hamming distance between two packed array<long> signatures.
+
+    Pass ``n_words`` when known: the statically-unrolled bit_count sum
+    stays inside whole-stage codegen, while the higher-order aggregate
+    fallback is interpreted per row — measured ~4× slower on a 4-word
+    filter over 2M pairs."""
+    if n_words is not None:
+        out = None
+        for w in range(1, n_words + 1):
+            t = F.bit_count(F.element_at(a, w).bitwiseXOR(F.element_at(b, w)))
+            out = t if out is None else out + t
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def build_srp_index(
@@ -148,23 +229,35 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows whose bucket is within
-    ``max_hamming`` bits of the query's bucket (multi-probe SRP-LSH).
+    """Approximate top-k via mask-enumerated multi-probe: the query's bucket
+    is expanded driver-side into every bucket within ``max_hamming`` bits
+    (sum of C(n_planes, 0..h) probe masks), and candidates come from a
+    broadcast EQUI-join of the index against that probe set — not a
+    bit_count filter over the whole scan. With the index written
+    partitioned/bucketed by ``bucket``, the equi-join key feeds partition
+    pruning / dynamic pruning, so a probe touches only the matching
+    fraction of the corpus on disk; a non-equi `bit_count(xor) <= h`
+    predicate can never prune storage.
 
-    The candidate filter is `bit_count(bucket XOR qbucket) <= h` — evaluated
-    against the precomputed index; with a bucket-partitioned index this
-    prunes to a tiny fraction of the corpus before any cosine is computed.
+    The single query row is collected to the driver (it is one vector by
+    definition, same contract as ivf_topk's query_vec) to enumerate masks.
     """
-    q = query.select(
+    qrow = query.select(
         F.col("q"), srp_signature(F.col("q"), dim, n_planes, seed).alias("qbucket")
+    ).first()
+    qbucket = qrow["qbucket"]
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, max_hamming + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+    probes = index.sparkSession.createDataFrame(
+        [(qbucket ^ m,) for m in masks], "bucket long"
     )
-    cand = index.crossJoin(F.broadcast(q)).filter(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= max_hamming
-    )
+    qcol = F.array(*[F.lit(float(x)) for x in qrow["q"]])
     return (
-        cand.select(
-            F.col(id_col), cosine(F.col(vec_col), F.col("q")).alias("cos_sim")
-        )
+        index.join(F.broadcast(probes), "bucket")
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -288,65 +381,88 @@ def srp_near_dup_pairs(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 64,
     seed: int = 42,
-    max_hamming: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding near-dup pairs via SRP-LSH pre-bucketing: only pairs whose
-    bit signatures are within ``max_hamming`` get an exact cosine check.
-
-    Plan: signatures once (narrow projection), self-join on signature with
-    the Hamming filter in the join condition — at scale, replace the
-    signature theta-join with multi-probe bucket equi-joins (enumerate the
-    ≤ C(n_planes, max_hamming) masks) so the join key is exact; here the
-    corpus side fits broadcast. Recall vs the exact all-pairs form is
-    probabilistic: P(one plane disagrees) = acos(cos_sim)/pi, so size
-    ``max_hamming`` to the target threshold (~2 for cos>=0.95 true dups,
-    ~7/16 planes for a loose cos>=0.4 cut) — asserted empirically in
-    tests."""
-    idx = build_srp_index(emb, dim, n_planes, seed, id_col, vec_col)
-    a = idx.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("bucket").alias("ba"),
-    )
-    b = idx.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("bucket").alias("bb"),
-    )
-    cand = a.join(
-        b,
-        (F.col("id_a") < F.col("id_b"))
-        & (F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))) <= max_hamming),
-    )
-    return (
-        cand.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= F.lit(threshold))
-    )
-
-
-def embedding_near_dup_pairs(
-    emb: DataFrame,
-    threshold: float = 0.95,
+    max_hamming: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_engine_parity: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+    """Bucket-FIRST embedding near-dup: pigeonhole block equi-joins generate
+    candidates, exact cosine verifies candidates only. The true-dup
+    (high-threshold) scale path.
 
-    All-pairs formulation for correctness checking; the scale path pre-buckets
-    with build_srp_index and joins on bucket first (same verify step).
+    Plan: the ``n_planes``-bit signature is split into ``max_hamming + 1``
+    contiguous blocks; two signatures within Hamming ``max_hamming`` MUST
+    agree exactly on at least one block (pigeonhole), so candidates come
+    from a self EQUI-join on (block_idx, block_value) — shuffle-keyed,
+    never a BroadcastNestedLoop/theta join. A cheap whole-signature Hamming
+    cut runs inside the join residual; surviving distinct pairs fetch
+    vectors and get the exact cosine check.
 
-    Per-vector work (quantization + norm) is hoisted BEFORE the pair join —
-    evaluated |V| times instead of |V|² (inside the join each pair would
-    re-quantize both 64-dim arrays; measured ~20× slower). The per-pair cost
-    is one dot-product fold. The final cos expression reproduces the oracle's
-    ``dot / (sqrt(na)·sqrt(nb))`` IEEE op order exactly."""
+    Selectivity is threshold-driven: at true-dup thresholds (cos >= 0.95,
+    max_hamming ~2-4 of 64) a block carries 64/(h+1) >= 12 bits, so a
+    random pair matches a block with p <= 2^-12 and the candidate set is a
+    vanishing fraction of n². At LOOSE thresholds the required budget (see
+    srp_hamming_budget) forces narrow blocks and the pigeonhole admits
+    ~everything — use embedding_near_dup_pairs, whose chunked scan +
+    Hamming prefilter is the honest plan there. Recall: misses require ALL
+    h+1 blocks to differ, bounded by P(Hamming > max_hamming) — the
+    binomial tail of srp_hamming_budget.
+    """
+    if n_planes > 64:
+        raise ValueError("block path packs the signature in one long: n_planes <= 64")
+    if max_hamming is None:
+        max_hamming = srp_hamming_budget(threshold, n_planes)
+    n_blocks = max_hamming + 1
+    bounds = [round(i * n_planes / n_blocks) for i in range(n_blocks + 1)]
+    sig = F.element_at(srp_signature_words(F.col(vec_col), dim, n_planes, seed), 1)
+    idx = emb.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("sig"), bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("val"),
+        )
+        for i in range(n_blocks)
+    ]
+    blocked = idx.select(
+        "id", "sig", F.explode(F.array(*block_structs)).alias("bk")
+    ).select("id", "sig", "bk.blk", "bk.val")
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "blk", "val"
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "blk", "val"
+    )
+    cands = (
+        a.join(
+            b,
+            ["blk", "val"],
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= max_hamming
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sides = _pair_sides(emb, id_col, vec_col, exact_engine_parity)
+    verified = cands.join(sides("a"), "id_a").join(sides("b"), "id_b")
+    return verified.select(
+        "id_a", "id_b", _pair_cos(exact_engine_parity)
+    ).filter(F.col("cos_sim") >= F.lit(threshold))
+
+
+def _pair_sides(emb, id_col, vec_col, exact_engine_parity, sig: Column | None = None):
+    """Per-side projection for pair joins with per-vector work HOISTED:
+    quantization, norm (and the optional prefilter signature) are evaluated
+    |V| times, never |V|² (inside the join each pair would re-quantize both
+    64-dim arrays; measured ~20× slower)."""
     if exact_engine_parity:
         qcol = _q6(F.col(vec_col))
         zero = F.lit(0).cast("long")
@@ -356,23 +472,84 @@ def embedding_near_dup_pairs(
     sq_norm = _fold_sum(F.transform(qcol, lambda x: x * x), zero)
 
     def side(suffix: str) -> DataFrame:
+        extra = [sig.alias(f"_sig_{suffix}")] if sig is not None else []
         return emb.select(
             F.col(id_col).alias(f"id_{suffix}"),
             qcol.alias(f"q{suffix}"),
             F.sqrt(sq_norm.cast("double")).alias(f"n{suffix}"),
+            *extra,
         )
 
-    pairs = side("a").join(side("b"), F.col("id_a") < F.col("id_b"))
+    return side
+
+
+def _pair_cos(exact_engine_parity: bool) -> Column:
+    """cos over hoisted pair sides; reproduces the oracle's
+    ``dot / (sqrt(na)·sqrt(nb))`` IEEE op order exactly."""
+    zero = F.lit(0).cast("long") if exact_engine_parity else F.lit(0.0)
     dot_pair = _fold_sum(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y), zero
     )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (dot_pair.cast("double") / (F.col("na") * F.col("nb"))).alias(
-                "cos_sim"
-            ),
+    return (dot_pair.cast("double") / (F.col("na") * F.col("nb"))).alias("cos_sim")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
+    dim: int | None = None,
+    prefilter_planes: int = 0,
+    n_chunks: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold),
+    exact, as a distributed CHUNKED pair scan with an optional SRP Hamming
+    prefilter — the honest plan for loose thresholds.
+
+    Why not bucket-first here: on zero-mean corpora a loose threshold (e.g.
+    0.4) sits in the bulk of the cosine distribution, and the Hamming
+    budget guaranteeing recall (srp_hamming_budget) admits a large constant
+    fraction of random pairs — measured on the driver corpus: ≥46% of all
+    pairs at 64 planes, and a pigeonhole block join's candidate volume
+    EXCEEDS the pair count. No LSH layout beats a scan there; what scale
+    needs instead is (a) pair generation that is not a broadcast
+    nested-loop — here a shuffle EQUI-join on a chunk key: the right side
+    hashes into ``n_chunks`` buckets, the left replicates once per bucket
+    (sequence+explode), so tasks split the n²/2 work evenly with bounded
+    memory and no full-side broadcast — and (b) cheap rejection before the
+    O(dim) dot: with ``prefilter_planes`` > 0 (multiples of 64), a packed
+    SRP signature cuts pairs whose Hamming exceeds the binomial budget
+    (at 256 planes / cos 0.4: ~83% of dot products skipped for a <4e-6
+    per-pair miss bound at the threshold itself). ``prefilter_planes=0``
+    keeps the operator exactly-exact: bit-for-bit the all-pairs result.
+
+    At TRUE-dup thresholds use srp_near_dup_pairs: its block equi-join
+    prunes the pair space itself, not just the per-pair arithmetic.
+    """
+    sig = None
+    budget = 0
+    if prefilter_planes:
+        if dim is None:
+            raise ValueError("dim is required when prefilter_planes > 0")
+        budget = srp_hamming_budget(threshold, prefilter_planes)
+        sig = srp_signature_words(F.col(vec_col), dim, prefilter_planes, seed)
+    sides = _pair_sides(emb, id_col, vec_col, exact_engine_parity, sig=sig)
+    a = sides("a").withColumn(
+        "_cb", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+    )
+    b = sides("b").withColumn(
+        "_cb", F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_chunks)).cast("int")
+    )
+    pairs = a.join(b, "_cb").filter(F.col("id_a") < F.col("id_b"))
+    if prefilter_planes:
+        pairs = pairs.filter(
+            hamming_words(
+                F.col("_sig_a"), F.col("_sig_b"), -(-prefilter_planes // 64)
+            )
+            <= F.lit(budget)
         )
-        .filter(F.col("cos_sim") >= F.lit(threshold))
+    return pairs.select("id_a", "id_b", _pair_cos(exact_engine_parity)).filter(
+        F.col("cos_sim") >= F.lit(threshold)
     )

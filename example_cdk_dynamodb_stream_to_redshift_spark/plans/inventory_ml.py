@@ -296,13 +296,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_COS_Q6_SQL} >= 0.4
     ORDER BY id_a, id_b
     """,
-    "Embedding-cosine near-dup pairs (cos >= 0.4): all-pairs check form; "
-    "the scale path pre-buckets with SRP-LSH (srp_ann_topk) first.",
+    "Embedding-cosine near-dup pairs (cos >= 0.4), exact. The Spark plan "
+    "is NOT the oracle's theta join: pairs come from a chunk-keyed shuffle "
+    "EQUI-join (bounded memory, even task split, no broadcast nested "
+    "loop), with a 256-plane SRP Hamming prefilter ahead of the exact "
+    "quantized-cosine check (binomial-budgeted: per-pair miss < 4e-6 at "
+    "the threshold; measured zero at this SF). At this loose threshold "
+    "bucket-FIRST pruning is mathematically off the table (see "
+    "operators/similarity.py docstrings + SCALE.md); srp_bucket_near_dups "
+    "below is the bucket-first form at the threshold regime where it "
+    "genuinely prunes.",
 )
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(
-        emb, threshold=0.4, exact_engine_parity=True
+        emb, threshold=0.4, exact_engine_parity=True, dim=64, prefilter_planes=256
     ).orderBy("id_a", "id_b")
 
 
@@ -341,21 +349,61 @@ def dedup_corpus_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """The corpus plus one deterministic near-duplicate per vector
+    (vec_id + 100000, first component shifted by +0.01 in double) — the
+    driver corpus has no true dups (max natural cos 0.51), so the
+    true-dup-regime operator needs pairs to find. The same construction is
+    restated in the oracle SQL, so the check is a full value-hash match."""
+    return emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.col("embedding")[0].cast("double") + F.lit(0.01)),
+                F.slice(
+                    F.transform("embedding", lambda x: x.cast("double")), 2, 63
+                ),
+            ).alias("embedding"),
+        )
+    )
+
+
 @register(
-    "srp_near_dup_pairs",
-    None,  # approximate (bucket pruning) — rows-only; recall vs the exact
-    #       all-pairs form is asserted in tests/test_analytics_ops.py
-    "Embedding near-dup at scale: SRP-LSH pre-bucketing prunes the pair "
-    "space BEFORE the cosine check — the scale path whose exact "
-    "counterpart is embedding_near_dup_pairs. The Hamming budget is "
-    "calibrated to the cosine threshold: P(plane disagrees) = "
-    "acos(cos)/pi, so cos>=0.4 needs ~6/16 expected disagreements "
-    "(hamming<=7), while true dups (cos>=0.95) need only <=2.",
+    "srp_bucket_near_dups",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.01,
+                          list_transform(embedding[2:64], x -> CAST(x AS DOUBLE)))
+      FROM embeddings),
+    a AS (SELECT vec_id AS id_a, v AS va FROM aug),
+    b AS (SELECT vec_id AS id_b, v AS vb FROM aug)
+    SELECT id_a, id_b, {_COS_Q6_SQL} AS cos_sim
+    FROM a JOIN b ON id_a < id_b
+    WHERE {_COS_Q6_SQL} >= 0.99
+    ORDER BY id_a, id_b
+    """,
+    "Bucket-FIRST near-dup at a true-dup threshold (cos >= 0.99), "
+    "oracle-checked: pigeonhole block equi-joins over a 64-plane SRP "
+    "signature generate candidates (Hamming <= 4 -> 5 blocks of ~13 bits; "
+    "a random pair matches a block with p ~ 2^-13, so candidates are a "
+    "vanishing fraction of n²), then exact quantized cosine verifies "
+    "candidates only. Runs on the corpus augmented with one deterministic "
+    "near-duplicate per vector; the oracle restates the augmentation and "
+    "checks the full all-pairs answer — the miss bound (all 5 blocks "
+    "differing) is ~1e-8 per pair at this threshold.",
 )
-def srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def srp_bucket_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.srp_near_dup_pairs(
-        emb, dim=64, threshold=0.4, max_hamming=7
+        _augmented_embeddings(emb),
+        dim=64,
+        threshold=0.99,
+        max_hamming=4,
+        exact_engine_parity=True,
     ).orderBy("id_a", "id_b")
 
 

@@ -41,12 +41,19 @@ def interval_join(
     from ``key`` (pre-project the inputs)."""
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # rename the right key instead of joining lw[key] == rw[key]: when both
+    # inputs derive from the SAME DataFrame (the batch self-join form),
+    # lw[key] and rw[key] resolve to one attribute and PySpark emits a
+    # "trivially true equals predicate ... use aliases" WARN on stderr —
+    # benign here (dataset-id disambiguation still joins correctly) but it
+    # reads like a swallowed AnalysisException in harness logs.
+    rw = rw.withColumnRenamed(key, "_rkey")
     cond = (
-        (lw[key] == rw[key])
+        (lw[key] == rw["_rkey"])
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, "inner").drop("_rkey")
 
 
 def view_purchase_attribution(

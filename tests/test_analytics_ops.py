@@ -112,27 +112,53 @@ def test_asof_null_value_columns_carried_atomically(spark):
     assert out["asof_qty"] == 7 and out["asof_price"] is None
 
 
-def test_srp_near_dup_recall(spark):
+def test_embedding_near_dup_prefilter_is_lossless_here(spark):
+    # the chunked pair scan must return the identical pair set with and
+    # without the SRP Hamming prefilter (binomial budget: per-pair miss
+    # < 4e-6 at the threshold; zero on this corpus)
     from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
         similarity as SIM,
     )
 
-    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
-    exact = {
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    plain = {
         (r["id_a"], r["id_b"])
         for r in SIM.embedding_near_dup_pairs(emb, threshold=0.4).collect()
     }
-    # hamming budget matched to the threshold: cos 0.4 -> ~6/16 expected
-    # plane disagreements (see inventory_ml docstring)
-    approx = {
+    filtered = {
         (r["id_a"], r["id_b"])
-        for r in SIM.srp_near_dup_pairs(
-            emb, dim=64, threshold=0.4, max_hamming=7
+        for r in SIM.embedding_near_dup_pairs(
+            emb, threshold=0.4, dim=64, prefilter_planes=256
         ).collect()
     }
-    assert approx <= exact  # pruning never invents pairs
-    if exact:
-        assert len(approx) / len(exact) >= 0.5  # recall of the scale path
+    assert plain == filtered and len(plain) > 0
+
+
+def test_srp_block_near_dup_matches_brute_force(spark):
+    # bucket-first (pigeonhole block equi-join) path at a true-dup
+    # threshold: exact same pairs as the brute-force scan on a corpus
+    # augmented with synthetic near-duplicates
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as SIM,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_ml import (
+        _augmented_embeddings,
+    )
+
+    aug = _augmented_embeddings(load_table(spark, SF_CORRECTNESS, "embeddings"))
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.srp_near_dup_pairs(
+            aug, dim=64, threshold=0.99, max_hamming=4
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(aug, threshold=0.99).collect()
+    }
+    assert blocked == brute and len(brute) >= 500
 
 
 def test_approx_distinct_accuracy(spark):

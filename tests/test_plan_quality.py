@@ -129,3 +129,18 @@ def test_quartiles_have_no_global_window_sort(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             raise AssertionError(f"row_number window crept back in: {line}")
+
+
+def test_near_dup_pair_joins_are_equi_not_nested_loop(spark):
+    # the pair-generating joins must be shuffle/broadcast EQUI-joins on a
+    # chunk or block key — a BroadcastNestedLoopJoin (the old
+    # `id_a < id_b`-only theta join) broadcasts a whole table side and
+    # cannot scale; same for a CartesianProduct.
+    for name in ["embedding_near_dup_pairs", "srp_bucket_near_dups"]:
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # chunk key drives the scan pair join; block key drives the bucket join
+    assert "_cb" in _plan(spark, "embedding_near_dup_pairs")
+    srp_plan = _plan(spark, "srp_bucket_near_dups")
+    assert "blk" in srp_plan and "val" in srp_plan
