@@ -18,6 +18,7 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .dialect import rewrite as rewrite_redshift
 from .sources.tables import register_views
 
 
@@ -31,9 +32,21 @@ class Engine:
         register_views(spark, sf_dir)
 
     def run_sql(
-        self, sql: str, params: Mapping[str, Any] | None = None
+        self,
+        sql: str,
+        params: Mapping[str, Any] | None = None,
+        dialect: str | None = None,
     ) -> DataFrame:
-        """Mirror of execute-statement with named parameters (``:name``)."""
+        """Mirror of execute-statement with named parameters (``:name``).
+
+        ``dialect="redshift"`` first rewrites the text through the
+        Redshift-dialect shim (dialect.py) so the reference's SQL artifacts
+        — sql/queries.sql, stored-proc statement bodies — run verbatim.
+        """
+        if dialect == "redshift":
+            sql = rewrite_redshift(sql)
+        elif dialect is not None:
+            raise ValueError(f"unknown dialect: {dialect!r}")
         if params:
             return self.spark.sql(sql, args=dict(params))
         return self.spark.sql(sql)
