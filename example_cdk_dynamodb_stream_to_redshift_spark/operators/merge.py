@@ -126,12 +126,16 @@ def stage_changes(
     )
     # sequencenumber is a Kinesis decimal STRING — up to ~56 digits, which
     # overflows every Spark numeric type (decimal maxes at 38 digits: the
-    # cast would NULL out / throw under ANSI). Zero-pad to a fixed width
-    # instead: for non-negative integers, lpad-to-56 lexicographic order ==
-    # numeric order, at any length mix.
+    # cast would NULL out / throw under ANSI). Numeric order without ANY
+    # width assumption: strip leading zeros, then order by (length, value)
+    # — for non-negative integers a longer digit string is always the
+    # larger number, and equal lengths compare lexicographically. A fixed
+    # lpad width would silently truncate (and so invert) anything longer.
+    seq_stripped = F.regexp_replace(F.col("sequencenumber"), "^0+", "")
     w = Window.partitionBy(spec.key_col).orderBy(
         F.desc("approximateUpdateTimestamp"),
-        F.desc(F.lpad("sequencenumber", 56, "0")),
+        F.desc(F.length(seq_stripped)),
+        F.desc(seq_stripped),
     )
     return (
         staged.withColumn("_rn", F.row_number().over(w))

@@ -19,10 +19,24 @@ from pyspark.sql import types as T
 
 
 class ParquetTable:
-    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        keep_versions: int = 2,
+    ):
+        """``keep_versions``: how many committed versions stay on disk
+        (>= 2). Deleting only the (n - keep)th version on each commit gives
+        lazy DataFrames handed out by ``read()`` a one-commit grace window —
+        a snapshot captured just before a refresh still executes afterwards
+        instead of dying with FileNotFound. Readers older than the window
+        are invalidated by the next commit (documented contract; a real
+        lakehouse backend would version via Delta/Iceberg snapshots)."""
         self.spark = spark
         self.root = root
         self.schema = schema
+        self.keep_versions = max(2, keep_versions)
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -45,7 +59,8 @@ class ParquetTable:
         )
 
     def overwrite(self, df: DataFrame) -> None:
-        """Commit new contents: write v{n+1}, flip pointer, GC old versions."""
+        """Commit new contents: write v{n+1}, flip pointer, GC versions
+        older than the keep window (see __init__)."""
         old = self._current_version()
         new = (old or 0) + 1
         out = os.path.join(self.root, f"v{new}")
@@ -54,8 +69,9 @@ class ParquetTable:
         with open(tmp, "w") as fh:
             json.dump({"version": new}, fh)
         os.replace(tmp, self._pointer)  # atomic flip
-        if old is not None:
-            shutil.rmtree(os.path.join(self.root, f"v{old}"), ignore_errors=True)
+        expired = new - self.keep_versions
+        if expired >= 1:
+            shutil.rmtree(os.path.join(self.root, f"v{expired}"), ignore_errors=True)
 
     def append(self, df: DataFrame) -> None:
         current = self.read()

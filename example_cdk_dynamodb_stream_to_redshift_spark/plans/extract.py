@@ -41,11 +41,41 @@ EXTRACT_COLUMNS = [
     "eventData",
 ]
 
+# Declared column lengths from the MV DDL (scripts/setup_redshift.sh:95-102):
+# Redshift's ::varchar(n)/::char(n) casts TRUNCATE, so an oversized value
+# silently shortens; we enforce the same bound (SURVEY F6).
+MV_DECLARED_LENGTHS = {
+    "eventID": 30,  # varchar(30)
+    "awsRegion": 36,  # character(36)
+    "eventName": 20,  # varchar(20)
+    "userIdentity": 20,  # varchar(20)
+    "tableName": 20,  # varchar(20)
+    "eventSource": 100,  # varchar(100)
+    "pk": 50,  # varchar(50)
+    "sk": 50,  # varchar(50)
+}
+
 
 def build_extract(records: DataFrame, raw_col: str | None = None) -> DataFrame:
     """records (KINESIS_RECORD_SCHEMA shape, batch or streaming) -> extract.
 
     Works identically on a streaming DataFrame — it is a pure projection.
+
+    Null semantics (SURVEY F1), layered over the quarantine contract:
+
+    - payload unparseable, or JSON without an ``eventID`` (not a change
+      event): ALL scalars NULL — ``eventID IS NULL`` is the quarantine
+      marker. Intentional divergence from Redshift, which would surface
+      such rows with ''-scalars and silently drop them at the pk-prefix
+      filter; we make bad producers observable (streaming/pipeline.py).
+    - envelope present but an individual field missing / json-null: that
+      field extracts as '' — exactly ``json_extract_path_text``'s
+      missing-path return — so e.g. an envelope without ``userIdentity``
+      lands '' in the MV, as Redshift does.
+
+    Each scalar is truncated to its declared varchar length
+    (MV_DECLARED_LENGTHS) after the coalesce, in Redshift's cast order —
+    ``::varchar(n)`` TRUNCATES, so an oversized pk shortens identically.
 
     ``raw_col``: optionally append the decoded payload string under this
     name — NULL for valid envelopes, populated only when the payload failed
@@ -56,22 +86,32 @@ def build_extract(records: DataFrame, raw_col: str | None = None) -> DataFrame:
     """
     decoded = F.decode(F.col("kinesis_data"), "UTF-8")  # from_varbyte(...,'utf-8')
     env = F.from_json(decoded, ENVELOPE_SCHEMA)  # json_parse + extracts, in one
-    extra = (
-        [F.when(env["eventID"].isNull(), decoded).alias(raw_col)] if raw_col else []
-    )
+    is_envelope = env["eventID"].isNotNull()
+
+    def scalar(field: F.Column, name: str) -> F.Column:
+        # '' for missing-in-envelope, NULL for quarantine rows, truncated
+        # to the declared width — json_extract_path_text(...)::varchar(n)
+        return F.when(
+            is_envelope,
+            F.substring(F.coalesce(field, F.lit("")), 1, MV_DECLARED_LENGTHS[name]),
+        ).alias(name)
+
+    extra = [F.when(~is_envelope, decoded).alias(raw_col)] if raw_col else []
     return records.select(
         F.col("approximate_arrival_timestamp").alias("approximatearrivaltimestamp"),
         F.col("partition_key").alias("partitionkey"),
         F.col("shard_id").alias("shardid"),
         F.col("sequence_number").alias("sequencenumber"),
-        env["eventID"].alias("eventID"),
-        env["awsRegion"].alias("awsRegion"),
-        env["eventName"].alias("eventName"),
-        env["userIdentity"].alias("userIdentity"),
-        env["tableName"].alias("tableName"),
-        env["eventSource"].alias("eventSource"),
-        env["dynamodb"]["Keys"]["pk"]["S"].alias("pk"),
-        env["dynamodb"]["Keys"]["sk"]["S"].alias("sk"),
+        F.substring(env["eventID"], 1, MV_DECLARED_LENGTHS["eventID"]).alias(
+            "eventID"
+        ),
+        scalar(env["awsRegion"], "awsRegion"),
+        scalar(env["eventName"], "eventName"),
+        scalar(env["userIdentity"], "userIdentity"),
+        scalar(env["tableName"], "tableName"),
+        scalar(env["eventSource"], "eventSource"),
+        scalar(env["dynamodb"]["Keys"]["pk"]["S"], "pk"),
+        scalar(env["dynamodb"]["Keys"]["sk"]["S"], "sk"),
         env["dynamodb"].alias("eventData"),
         *extra,
     )

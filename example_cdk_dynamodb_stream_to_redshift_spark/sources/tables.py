@@ -18,11 +18,18 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read nanos as long and truncate to micros (same precision
-    # DuckDB / Python datetime deliver for ns timestamps).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # DuckDB / Python datetime deliver for ns timestamps). session.get_spark
+    # sets this at build time; the guarded set below only fires on foreign
+    # sessions (e.g. the driver harness builds its own) — loaders should not
+    # repeatedly mutate shared-session conf (cross-query side effects).
+    if spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: ns magnitudes overflow double precision

@@ -189,6 +189,27 @@ class CdcPipeline:
         )
         query.awaitTermination()
 
+    def start(self, processing_time: str = "60 seconds"):
+        """CONTINUOUS operation (ST1's other half): the reference runs its
+        REFRESH+sync loop on a 1-minute EventBridge schedule forever
+        (lib/example-cdk-dynamodb-stream-to-redshift-stack.ts:145); here
+        that cadence is a ``processingTime`` trigger on the same
+        foreachBatch merge. Shares the checkpoint with ``refresh()``, so
+        the two modes can be interleaved — batches are never reprocessed.
+
+        Returns the running StreamingQuery; the caller owns its lifecycle
+        (``stop()`` / ``awaitTermination()``). Idempotence story is
+        identical to refresh(): watermark-in-target merges make replayed
+        batches no-ops, so crash/restart at any point is safe.
+        """
+        stream = read_cdc_record_stream(self.spark, self.input_path)
+        return (
+            stream.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.targets[name].read()

@@ -272,3 +272,149 @@ def test_quarantine_collects_corrupt_payloads(spark, tmp_path):
     pipe.refresh()
     assert pipe.quarantine_table().count() == 2
     assert {r.memberName for r in pipe.table("member").collect()} >= {"Caroline"}
+
+
+# ---- json_extract_path_text parity: '' vs NULL, declared-length truncation
+def test_extract_redshift_null_semantics_and_truncation(spark):
+    import json as _json
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.schemas import (
+        KINESIS_RECORD_SCHEMA,
+    )
+
+    arrival = dt.datetime(2023, 11, 15)
+    long_pk = "M_" + "x" * 70  # > varchar(50)
+
+    def rec(seq, payload: str):
+        return (arrival, "pk", "shard-0", str(seq).zfill(20), payload.encode())
+
+    no_user_identity = {
+        "eventID": "e" * 40,  # > varchar(30)
+        "awsRegion": "us-east-1",
+        "eventName": "MODIFY",
+        # userIdentity MISSING entirely (the reference fixture always has
+        # the key; a real envelope may omit it)
+        "tableName": "activity",
+        "eventSource": "aws:dynamodb",
+        "dynamodb": {
+            "ApproximateCreationDateTime": 1700000000000,
+            "Keys": {"pk": {"S": long_pk}, "sk": {"S": "name"}},
+        },
+    }
+    recs = spark.createDataFrame(
+        [
+            rec(1, _json.dumps(no_user_identity)),
+            rec(2, "{broken json"),
+            rec(3, _json.dumps({"foo": "bar"})),  # JSON, not an envelope
+        ],
+        KINESIS_RECORD_SCHEMA,
+    )
+    rows = {r["sequencenumber"]: r for r in build_extract(recs).collect()}
+
+    env_row = rows["1".zfill(20)]
+    # missing field in a valid envelope -> '' (json_extract_path_text on a
+    # missing path), never NULL
+    assert env_row["userIdentity"] == ""
+    # declared widths truncate exactly like Redshift's ::varchar(n) casts
+    assert env_row["eventID"] == "e" * 30
+    assert env_row["pk"] == long_pk[:50] and len(env_row["pk"]) == 50
+    assert env_row["eventName"] == "MODIFY"
+
+    # non-envelope payloads keep NULL scalars — the quarantine marker
+    for seq in ("2".zfill(20), "3".zfill(20)):
+        assert rows[seq]["eventID"] is None
+        assert rows[seq]["userIdentity"] is None
+        assert rows[seq]["pk"] is None
+
+
+# ---- continuous mode: the 1-minute EventBridge loop as processingTime ----
+def test_continuous_mode_processes_successive_batches(spark, tmp_path):
+    import time
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [member_env(1, "e1", "INSERT", "m2", "Bob", BASE_MS + 1000)],
+    )
+    query = pipe.start(processing_time="1 seconds")
+    try:
+
+        def wait_for(pred, deadline=60.0):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                if pred():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(
+            lambda: {r.memberId for r in pipe.table("member").collect()}
+            == {"m1", "m2"}
+        ), "first batch not merged by continuous trigger"
+
+        # second file arrives while the query keeps running — no manual
+        # refresh() call; the processingTime trigger must pick it up
+        write_jsonl(
+            str(stream_dir / "b2.json"),
+            [member_env(2, "e2", "MODIFY", "m2", "Bobby", BASE_MS + 2000)],
+        )
+        assert wait_for(
+            lambda: {
+                r.memberId: r.memberName for r in pipe.table("member").collect()
+            }.get("m2")
+            == "Bobby"
+        ), "second batch not merged by continuous trigger"
+    finally:
+        query.stop()
+        query.awaitTermination()
+
+    # checkpoint is shared with AvailableNow mode: a follow-up manual
+    # refresh() reprocesses nothing (no duplicate MV rows)
+    pipe.refresh()
+    assert pipe.extract_table().count() == 2
+
+
+def test_sequence_tiebreak_survives_oversized_sequence_numbers(spark, tmp_path):
+    # Kinesis sequence numbers run to ~56 digits; a fixed-width lpad would
+    # silently truncate (and invert) anything longer. The (length, value)
+    # ordering must rank a 60-digit number above any shorter one.
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+        MEMBER_SPEC,
+        stage_changes,
+    )
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(str(export_dir / "p0.json"), [member_item("m1", "A")])
+
+    big = int("9" * 60)  # longer than any fixed pad width
+    small = 7
+    envs = [
+        member_env(small, "e1", "MODIFY", "m1", "FromSmallSeq", BASE_MS + 1000),
+        member_env(big, "e2", "MODIFY", "m1", "FromBigSeq", BASE_MS + 1000),
+    ]
+    # same second-precision event time -> the sequence number is the ONLY
+    # tie-break; the 60-digit one must win
+    write_jsonl(str(stream_dir / "b.json"), envs)
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.cdc_envelope import (
+        read_cdc_records,
+    )
+
+    extract = build_extract(read_cdc_records(spark, str(stream_dir)))
+    staged = stage_changes(extract, MEMBER_SPEC, OLD).collect()
+    assert len(staged) == 1
+    assert staged[0]["memberName"] == "FromBigSeq"

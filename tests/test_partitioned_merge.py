@@ -180,3 +180,21 @@ def test_scoped_merge_guard_and_watermark(spark, tmp_path, extract):
     touched = table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
     assert touched == []  # all events predate the global watermark
     assert {r["memberName"] for r in table.read().collect()} == {"name3", "wm"}
+
+
+def test_parquet_table_keeps_one_prior_version_for_lazy_readers(spark, tmp_path):
+    # a DataFrame handed out before a refresh must stay executable for one
+    # commit (lazy plans resolve files at action time, not at read() time)
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.storage import (
+        ParquetTable,
+    )
+
+    table = ParquetTable(spark, str(tmp_path / "t"), MEMBER_SCHEMA)
+    table.overwrite(spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA))
+    snapshot = table.read()  # lazy handle against v1
+    table.overwrite(table.read().limit(1))  # commit v2
+    assert snapshot.count() == len(_seed_rows())  # v1 still on disk
+    table.overwrite(table.read())  # commit v3 -> v1 GC'd
+    import os
+    versions = {d for d in os.listdir(str(tmp_path / "t")) if d.startswith("v")}
+    assert versions == {"v2", "v3"}

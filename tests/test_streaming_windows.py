@@ -92,3 +92,16 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert n_buckets > 4
     assert salted.count() == 1000  # k=1 matches exactly one dim row
+
+
+def test_salted_join_unique_key_path_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(200)], "rid int, k int, v string"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, d string")
+    plain = sorted((r.rid, r.k, r.v, r.d) for r in fact.join(dim, "k").collect())
+    salted = sorted(
+        (r.rid, r.k, r.v, r.d)
+        for r in salted_join(fact, dim, "k", salt_buckets=8, unique_key="rid").collect()
+    )
+    assert salted == plain
