@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed to full materialization (count of the result — results
-are small aggregates/top-ks, so the count forces the whole plan without
-driver-collect overhead dominating).
+Each query is timed to FULL result materialization (Arrow toPandas() of
+the result). count() would let Catalyst prune the aggregate expressions
+and top-level sorts right out of the plan — wildly undercounting heavy
+aggregates; plain collect() pays row-at-a-time pickling on the two
+~100k-row result sets. Arrow transfer executes the complete plan while
+keeping driver overhead proportional to result bytes.
 """
 
 from __future__ import annotations
@@ -138,8 +141,9 @@ def main() -> None:
         q = REGISTRY[name]
         df = q.spark_fn(spark, sf_dir)
         t0 = time.perf_counter()
-        df.count()
+        n = len(df.toPandas())
         timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
 
     cdc = _bench_cdc_refresh(spark, n_events=2000)
     if cdc is not None:

@@ -24,7 +24,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from pyspark.sql import Window
+
+from ..functions.text import fingerprint, shingles, tokens
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, s) word-n-gram shingle ROWS (duplicates kept): posexplode the
+    token array once, then n-1 ``lead`` windows stitch each n-gram.
+
+    This is the scale form of shingle construction: ONE split per
+    document and codegen'd string concat per shingle. The one-expression
+    form (functions.text.shingles) re-evaluates its array subtrees inside
+    the interpreted transform lambda — measured 4-5× slower end-to-end at
+    sf0.1 even after hoisting the split, because higher-order lambdas
+    never enter whole-stage codegen. The window shuffle it costs is keyed
+    by doc id (uniform) and every downstream consumer shuffles by id
+    anyway. Docs with < n tokens emit no rows."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", k).over(w) for k in range(1, n)]
+    return (
+        tok.select(
+            "id",
+            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "s")
+    )
+
+
+def distinct_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh): the distinct shingle SET per document, as an array —
+    shingle_rows + a collect_set aggregate (set semantics make the
+    collection order irrelevant). Docs with < n tokens drop out."""
+    return shingle_rows(df, text_col, id_col, n).groupBy("id").agg(
+        F.collect_set("s").alias("sh")
+    )
 
 
 def exact_dedup(
@@ -51,10 +92,9 @@ def exact_dedup_keep_first(
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Inverted index: (shingle_md5, id, n_shingles) — distinct shingles."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    sh = distinct_shingle_sets(df, text_col, id_col, n).withColumn(
+        "n_sh", F.size("sh")
+    )
     return sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
         "s", F.md5("s")
     )
@@ -119,14 +159,11 @@ def minhash_signatures(
     explode adds one narrow shuffle on the doc id (map-side partial min) —
     the right trade at any scale. Docs with < shingle_n tokens have no
     shingles and drop out of the signature (no shingle set for Jaccard
-    anyway). Shingle construction is O(tokens²) per doc (split re-evaluated
-    per slice) — fine for ≤~1k-token docs; for long documents switch to
-    posexplode(tokens) + lead() windows (one split per doc, one extra
-    shuffle)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-    )
+    anyway). Shingle construction goes through shingle_rows (posexplode +
+    lead, one split per doc); duplicates are NOT removed first — min over
+    duplicates equals min over the distinct set, so the dedup shuffle
+    would be pure waste."""
+    ex = shingle_rows(df, text_col, id_col, shingle_n)
     n_md5 = -(-num_hashes // 4)
     # md5s materialize in a projection BEFORE the aggregate: column refs in
     # the min() children guarantee one md5 evaluation per row per j, with no
@@ -224,10 +261,7 @@ def minhash_lsh_near_dup_pairs(
     cands = minhash_lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-    )
+    sets = distinct_shingle_sets(df, text_col, id_col, shingle_n)
     pairs = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
