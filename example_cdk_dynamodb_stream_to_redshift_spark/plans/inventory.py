@@ -482,3 +482,4 @@ def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import inventory_ml  # noqa: E402,F401
 from . import inventory_analytics  # noqa: E402,F401
 from . import inventory_sql_surface  # noqa: E402,F401
+from . import inventory_pipeline  # noqa: E402,F401

@@ -1,0 +1,253 @@
+"""Training-data-pipeline composition operators, round 2: PII scrubbing,
+distinctive-term extraction (tf/df scoring), train/test contamination
+detection, and embedding normalize+int8-quantize — each oracle-checked.
+
+Determinism rules (same as inventory_ml): integer/string ops everywhere
+possible; the only floats are SINGLE IEEE divisions of small exact
+integers (tf/df) or correctly-rounded unit-normalizations — one rounding
+each, bit-identical across engines. No transcendental functions in
+checked outputs (ln/exp differ in the last ulp between libm builds; the
+tf/df score is the monotone idf-free core of tf-idf ranking, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+from ..sources.tables import load_table
+from .inventory import register
+
+# Simple, lookaround-free patterns that parse identically under Java
+# regex (Spark) and RE2-ish engines (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Redact email addresses and phone numbers from ``text_col`` in place;
+    append ``n_redactions`` (how many spans were masked). Pure codegen
+    regexp ops — scales as a per-row projection, no shuffle."""
+    email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    phone_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), 0))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, replacement),
+        PHONE_RE,
+        replacement,
+    )
+    return df.withColumn("n_redactions", email_hits + phone_hits).withColumn(
+        text_col, cleaned
+    )
+
+
+@register(
+    "pii_scrub_docs",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-0199 thanks' AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[PII]', 'g'),
+                       '{PHONE_RE}', '[PII]', 'g') AS clean,
+        len(regexp_extract_all(text, '{EMAIL_RE}'))
+          + len(regexp_extract_all(text, '{PHONE_RE}')) AS n_redactions
+      FROM seeded)
+    SELECT doc_id, md5(clean) AS clean_md5, n_redactions
+    FROM scrubbed ORDER BY doc_id
+    """,
+    "PII scrubbing: regex-redact emails/phones, count masked spans. The "
+    "corpus is deterministically seeded with synthetic PII inside the "
+    "query (the driver corpus contains none) so the check is non-trivial; "
+    "output is md5(clean_text) so the full redacted text is value-checked "
+    "without shipping it. Per-row codegen regexes — shuffle-free at any "
+    "scale.",
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 thanks"),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(seeded)
+        .select("doc_id", F.md5("text").alias("clean_md5"), "n_redactions")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_distinctive_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE term <> '' GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, score
+    FROM scored WHERE rn = 1 ORDER BY doc_id
+    """,
+    "Distinctive-term extraction (tf-idf family): term frequency per doc "
+    "joined with corpus document frequency, score = tf/df (the monotone "
+    "idf-free core — a single exact-integer IEEE division, so the ranking "
+    "is bit-stable cross-engine where ln(N/df) would not be), top term "
+    "per doc. Plan: explode -> two partial-agg shuffles (doc-term and "
+    "term) -> broadcastable df-side join -> per-doc window. The df table "
+    "is vocabulary-sized, naturally broadcast at any corpus scale.",
+)
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id")
+    )
+
+
+def contamination(
+    train: DataFrame, test: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test-set rows whose normalized content fingerprint also appears in
+    the training set — the standard pre-training leakage check. One
+    semi-join on a uniform 128-bit key; the train side reduces to its
+    distinct fingerprints first, so the shuffle carries fingerprints, not
+    documents."""
+    train_fps = train.select(fingerprint(text_col).alias("fp")).distinct()
+    return (
+        test.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .join(train_fps, "fp", "left_semi")
+        .select(id_col)
+    )
+
+
+@register(
+    "train_test_contamination",
+    """
+    WITH test AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+                  WHERE doc_id % 10 = 0),
+         train AS (
+           SELECT DISTINCT md5(lower(trim(text))) AS fp FROM (
+             SELECT text FROM documents WHERE doc_id % 10 <> 0
+             UNION ALL
+             -- deterministic leakage seed: every 20th doc also leaks its
+             -- text into the training split (the corpus itself has no
+             -- cross-split duplicates, which would make this a 0-row check)
+             SELECT text FROM documents WHERE doc_id % 20 = 0))
+    SELECT test.doc_id FROM test
+    WHERE fp IN (SELECT fp FROM train)
+    ORDER BY doc_id
+    """,
+    "Train/test contamination: held-out docs (doc_id % 10 = 0) whose "
+    "exact-dedup fingerprint also occurs in the training split — the "
+    "leakage audit every pretraining pipeline runs. The training split is "
+    "deterministically seeded with every 20th held-out text so the check "
+    "has positive rows. Semi-join on md5 fingerprints (train side "
+    "pre-distincted to fingerprint cardinality, so the shuffle carries "
+    "fingerprints, not documents).",
+)
+def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    )
+    return contamination(train, test).orderBy("doc_id")
+
+
+@register(
+    "embedding_norm_quantize",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, q,
+        sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM qv),
+    q8s AS (
+      SELECT vec_id,
+        list_transform(q,
+          x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS BIGINT)) AS q8
+      FROM n)
+    SELECT vec_id,
+      list_sum(q8) AS q8_sum,
+      list_min(q8) AS q8_min,
+      list_max(q8) AS q8_max,
+      len(list_filter(q8, x -> x <> 0)) AS q8_nnz
+    FROM q8s ORDER BY vec_id
+    """,
+    "Embedding normalize + int8 quantization (the storage/serving format "
+    "for ANN indexes): unit-L2 normalize, scale to [-127, 127], round. "
+    "The norm accumulates over 1e-6-quantized int64 components "
+    "(order-independent integer sum — a double fold's accumulation order "
+    "differs between engines in the last ulp), then one sqrt and one "
+    "division per component, each correctly rounded identically in both "
+    "engines. Checked via integer summaries (sum/min/max/nnz) of the "
+    "quantized vector — canon-sortable scalars. Pure per-row projection: "
+    "shuffle-free, scales linearly.",
+)
+def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    out = emb.select(F.col("vec_id"), qv.alias("q"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    # nrm materializes as a COLUMN before the per-element division — an
+    # expression referenced inside the transform lambda would re-evaluate
+    # the whole norm fold once per component (the no-CSE pitfall)
+    out = out.select("vec_id", "q", nrm.alias("_nrm")).select(
+        "vec_id",
+        F.transform(
+            "q",
+            lambda x: F.round(x.cast("double") / F.col("_nrm") * 127).cast("long"),
+        ).alias("q8"),
+    )
+    return out.select(
+        "vec_id",
+        F.aggregate("q8", F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
+        F.array_min("q8").alias("q8_min"),
+        F.array_max("q8").alias("q8_max"),
+        F.size(F.filter("q8", lambda x: x != 0)).alias("q8_nnz"),
+    ).orderBy("vec_id")
