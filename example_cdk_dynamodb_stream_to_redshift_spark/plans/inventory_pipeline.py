@@ -187,6 +187,49 @@ def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(train, test).orderBy("doc_id")
 
 
+def deterministic_sample(
+    df: DataFrame, rate_pct: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible ``rate_pct``% sample: keep rows whose md5(key) starts
+    below the threshold in its first 8 hex chars. Unlike ``df.sample``
+    (seeded per-partition, changes with partitioning/retries), the hash
+    gate is a pure row property — the same rows are selected on any
+    cluster layout, any engine, any rerun; it is also a pushable filter."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    return df.filter(bucket.cast("long") % 100 < rate_pct)
+
+
+@register(
+    "stratified_sample_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 100 < 20)
+    SELECT source, COUNT(*) AS n_sampled, min(doc_id) AS first_id,
+           max(doc_id) AS last_id
+    FROM s GROUP BY source ORDER BY source
+    """,
+    "Deterministic stratified sampling: a reproducible 20% hash-gated "
+    "sample (md5 threshold on the row key — identical selection on any "
+    "partitioning, engine, or rerun, unlike seeded df.sample) audited per "
+    "source stratum. The gate is a per-row predicate: pushable, "
+    "shuffle-free; only the per-stratum audit aggregates.",
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(docs, rate_pct=20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "embedding_norm_quantize",
     """
