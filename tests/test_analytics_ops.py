@@ -178,3 +178,28 @@ def test_approx_distinct_accuracy(spark):
     assert set(exact) == set(approx)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+def test_grouped_map_standardize_matches_window_form(spark):
+    # applyInPandas (whole-group kernel) and the Window-expression plan
+    # must agree; the window form is the preferred plan when the kernel is
+    # incremental — this pins the grouped-map template's semantics
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.grouped import (
+        standardize_within_group,
+        standardize_within_group_native,
+    )
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    a = {
+        r["doc_id"]: r["z"]
+        for r in standardize_within_group(docs, "source", "n_chars").collect()
+    }
+    b = {
+        r["doc_id"]: r["z"]
+        for r in standardize_within_group_native(docs, "source", "n_chars").collect()
+    }
+    assert a.keys() == b.keys() and len(a) == 500
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    # single-row groups standardize to 0.0
+    one = spark.createDataFrame([(1, "solo", 42)], "id int, g string, v int")
+    assert standardize_within_group(one, "g", "v").first()["z"] == 0.0
