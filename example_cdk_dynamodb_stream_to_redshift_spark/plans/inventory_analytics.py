@@ -506,3 +506,39 @@ def param_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE user_id = :uid ORDER BY event_id",
         {"uid": 7},
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history (beyond-reference: the reference's merge keeps latest
+# state only — sql/incremental_sync_members.sql:42-47 deletes the prior row;
+# this keeps every version as a validity interval).
+# ---------------------------------------------------------------------------
+@register(
+    "user_state_history",
+    """
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, is_current
+    """,
+    "SCD Type 2: each event opens a half-open validity interval per user, "
+    "closed by the next event (operators/scd.scd2_history — one lead window "
+    "keyed by the entity key, one skew-free shuffle; event_id tie-break "
+    "keeps replays deterministic).",
+)
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        events.select("user_id", F.col("event_type").alias("state"), "ts",
+                      "event_id"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tie_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id", "state", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from", "is_current")

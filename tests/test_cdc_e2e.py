@@ -418,3 +418,58 @@ def test_sequence_tiebreak_survives_oversized_sequence_numbers(spark, tmp_path):
     staged = stage_changes(extract, MEMBER_SPEC, OLD).collect()
     assert len(staged) == 1
     assert staged[0]["memberName"] == "FromBigSeq"
+
+
+def test_scd2_member_history_from_change_stream(spark, tmp_path):
+    # Beyond-reference SCD Type 2: the reference's merge would leave only
+    # the latest member row (deleting history); scd2_history keeps every
+    # version as a half-open validity interval, and a REMOVE closes the
+    # last interval without emitting a row.
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+        MEMBER_SPEC,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.scd import (
+        as_of,
+        scd2_history,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.cdc_envelope import (
+        read_cdc_records,
+    )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    envs = [
+        member_env(1, "e1", "INSERT", "m1", "Alice", BASE_MS),
+        member_env(2, "e2", "MODIFY", "m1", "Alicia", BASE_MS + 60_000),
+        member_env(3, "e3", "REMOVE", "m1", "", BASE_MS + 120_000),
+        member_env(4, "e4", "INSERT", "m2", "Bob", BASE_MS),
+    ]
+    write_jsonl(str(stream_dir / "b.json"), envs)
+    extract = build_extract(read_cdc_records(spark, str(stream_dir)))
+    changes = MEMBER_SPEC.project(extract)
+
+    hist = scd2_history(
+        changes,
+        key_cols=["memberId"],
+        ts_col="approximateUpdateTimestamp",
+        tie_cols=["sequencenumber"],
+        event_col="eventName",
+    )
+    rows = {(r["memberId"], r["memberName"]): r for r in hist.collect()}
+    assert set(rows) == {("m1", "Alice"), ("m1", "Alicia"), ("m2", "Bob")}
+
+    alice, alicia = rows[("m1", "Alice")], rows[("m1", "Alicia")]
+    # intervals tile: Alice closes exactly where Alicia opens
+    assert alice["valid_to"] == alicia["valid_from"]
+    # the REMOVE closed Alicia's interval and emitted no row
+    assert alicia["valid_to"] is not None and alicia["is_current"] == 0
+    # a fully removed key has no current version
+    assert not [r for (k, _), r in rows.items() if k == "m1" and r["is_current"]]
+    assert rows[("m2", "Bob")]["is_current"] == 1
+
+    # point-in-time: between the rename and the remove, m1 was "Alicia"
+    snap = {
+        r["memberId"]: r["memberName"]
+        for r in as_of(hist, alicia["valid_from"]).collect()
+    }
+    assert snap == {"m1": "Alicia", "m2": "Bob"}
