@@ -542,3 +542,43 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (the inverse of user_event_type_pivot): wide metric columns
+# back to (key, metric, value) rows — the shape exports and ML feature
+# stores want. Narrow-to-wide-to-narrow must round-trip exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "user_event_type_unpivot",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    "Unpivot (DataFrame.unpivot -> Expand): melts the pivoted wide table "
+    "back to long rows. Expand is a zero-shuffle map-side operator (each "
+    "input row fans out to K rows); dropping the pivot's null-fill zeros "
+    "recovers the original long form exactly — asserted by the oracle being "
+    "the direct GROUP BY.",
+)
+def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "view", "purchase", "signup", "error"]
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+    return (
+        wide.unpivot(
+            ["user_id"], [f"n_{t}" for t in types], "event_type", "n"
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)  # pivot null-fill zeros are not source rows
+        .orderBy("user_id", "event_type")
+    )

@@ -537,3 +537,68 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher rules, Rae et al. 2021 §A1.1):
+# heavily repetitious text is a strong low-quality signal. Integer counts
+# only — ratios stay host-side so the cross-engine hash is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    w AS (SELECT doc_id, len(l) AS n_words,
+                 len(list_distinct(l)) AS n_distinct_words FROM t),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(len(l) - 1),
+                                       i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+          FROM t),
+    c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
+    a AS (SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+          FROM c GROUP BY doc_id)
+    SELECT w.doc_id, n_words, n_distinct_words,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(top_bigram_count, 0) AS top_bigram_count,
+           CASE WHEN 5 * COALESCE(top_bigram_count, 0) <= COALESCE(n_bigrams, 0)
+                 AND 2 * n_distinct_words > n_words THEN 1 ELSE 0 END AS keep
+    FROM w LEFT JOIN a ON w.doc_id = a.doc_id
+    ORDER BY w.doc_id
+    """,
+    "Gopher-style repetition filter: duplicate-word fraction (per-row "
+    "codegen'd array ops) + top-bigram share (shingle_rows -> two grouped "
+    "aggregates, all shuffles keyed by uniform doc_id — scales to docs too "
+    "long for per-row arrays). keep = top bigram <= 20% of bigrams AND "
+    "distinct words > 50% — integer comparisons, no float drift.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    word_stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
+    )
+    bg_counts = (
+        DD.shingle_rows(docs, "text", "doc_id", 2)
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("id").agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    zero = F.lit(0).cast("bigint")
+    joined = word_stats.join(
+        bg_stats, word_stats.doc_id == bg_stats.id, "left"
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+        F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+    )
+    keep = (
+        (F.lit(5) * F.col("top_bigram_count") <= F.col("n_bigrams"))
+        & (F.lit(2) * F.col("n_distinct_words") > F.col("n_words"))
+    ).cast("int")
+    return joined.withColumn("keep", keep).orderBy("doc_id")
