@@ -537,3 +537,44 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.75, "p75_q4"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form behind CUBE/ROLLUP: an explicit,
+# asymmetric set list ((type, day), (day)) that neither CUBE nor ROLLUP can
+# express. Same Expand physical operator: both sets share ONE scan and ONE
+# shuffle instead of a UNION of two aggregations.
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_grouping_sets",
+    """
+    SELECT event_type, event_day,
+           2 * GROUPING(event_type) + GROUPING(event_day) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS event_day, value FROM events) e
+    GROUP BY GROUPING SETS ((event_type, event_day), (event_day))
+    ORDER BY gid, event_type, event_day
+    """,
+    "Explicit GROUPING SETS ((type, day), (day)) via DataFrame.groupingSets "
+    "— asymmetric set list CUBE/ROLLUP cannot express, one Expand + one "
+    "shuffle; gid disambiguates NULL-as-ALL from genuine NULL keys.",
+)
+def event_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", F.col("ts").cast("date").alias("event_day"), "value"
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "event_day"], ["event_day"]],
+            "event_type", "event_day",
+        )
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("event_day")).alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "total_value"),
+        )
+        .select("event_type", "event_day", "gid", "n_events", "total_value")
+        .orderBy("gid", "event_type", "event_day")
+    )

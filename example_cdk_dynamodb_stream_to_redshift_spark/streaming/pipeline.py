@@ -257,6 +257,37 @@ class CdcPipeline:
             os.path.join(self.quarantine_path, "batch_id=*")
         )
 
+    def history_table(self, name: str) -> DataFrame:
+        """SCD Type 2 history of one entity, derived from the accumulated
+        extract (beyond-reference: the targets keep latest state only —
+        sql/incremental_sync_members.sql:42-47 deletes the prior row; this
+        view keeps every version as a validity interval).
+
+        MV-over-extract semantics: the extract IS the full ordered change
+        log (batch-id-scoped idempotent appends), so the history is a pure
+        window over it — one lead() keyed by the entity key, no state to
+        maintain or migrate, and a replayed batch changes nothing. At
+        100 TB, materialize this with the same partition-scoped rewrite the
+        merge uses, restricted to keys present in the micro-batch (only
+        their open intervals can close)."""
+        from ..operators.merge import ALL_SPECS as _SPECS
+        from ..operators.scd import scd2_history
+
+        from pyspark.sql import functions as F
+
+        spec = next(s for s in _SPECS if s.name == name)
+        routed = self.extract_table().filter(
+            F.col("pk").startswith(spec.pk_prefix)
+        )
+        changes = spec.project(routed)
+        return scd2_history(
+            changes,
+            key_cols=[spec.key_col],
+            ts_col="approximateUpdateTimestamp",
+            tie_cols=["sequencenumber"],
+            event_col="eventName",
+        )
+
     def extract_table(self) -> DataFrame:
         if not os.path.exists(self.extract_path):
             raise FileNotFoundError(

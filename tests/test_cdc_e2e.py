@@ -473,3 +473,34 @@ def test_scd2_member_history_from_change_stream(spark, tmp_path):
         for r in as_of(hist, alicia["valid_from"]).collect()
     }
     assert snap == {"m1": "Alicia", "m2": "Bob"}
+
+
+def test_pipeline_history_table_spans_refreshes(spark, tmp_path):
+    # history_table derives SCD2 versions from the accumulated extract, so
+    # versions from different micro-batches stitch into one timeline.
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "p0.json"),
+        [member_item("m1", "Alice"), quest_item("q1", "Q"),
+         member_quest_item("mq1", "m1", "q1", "1")],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    write_jsonl(str(stream_dir / "b1.json"),
+                [member_env(1, "e1", "MODIFY", "m1", "Alicia", BASE_MS + 1000)])
+    pipe.refresh()
+    write_jsonl(str(stream_dir / "b2.json"),
+                [member_env(2, "e2", "MODIFY", "m1", "Alize", BASE_MS + 60_000)])
+    pipe.refresh()
+
+    hist = sorted(
+        pipe.history_table("member").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["memberName"] for r in hist] == ["Alicia", "Alize"]
+    # cross-batch interval stitching: batch-1's version closes at batch-2's
+    assert hist[0]["valid_to"] == hist[1]["valid_from"]
+    assert (hist[0]["is_current"], hist[1]["is_current"]) == (0, 1)

@@ -144,3 +144,42 @@ def test_near_dup_pair_joins_are_equi_not_nested_loop(spark):
     assert "_cb" in _plan(spark, "embedding_near_dup_pairs")
     srp_plan = _plan(spark, "srp_bucket_near_dups")
     assert "blk" in srp_plan and "val" in srp_plan
+
+
+def test_grouping_sets_uses_single_expand_pass(spark):
+    # GROUPING SETS ((type, day), (day)) = one scan + Expand, not a UNION
+    # of two aggregations
+    plan = _plan(spark, "event_type_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Union" not in plan
+
+
+def test_unpivot_is_map_side_expand(spark):
+    # melting wide -> long is Expand (row fan-out), which must not add an
+    # exchange beyond the pivot aggregation's own shuffle + the final sort
+    plan = _plan(spark, "user_event_type_unpivot")
+    assert "Expand" in plan
+    # two-stage pivot aggregation (2 hash exchanges) + final sort (1 range
+    # exchange); the unpivot Expand itself must add none
+    assert plan.count(") Exchange") <= 3
+
+
+def test_scd2_history_is_one_window_shuffle(spark):
+    # SCD2 = one lead() window keyed by the entity key: exactly one hash
+    # exchange on user_id feeding the window sort, plus the final orderBy's
+    # range exchange — never a global (partition-less) window
+    plan = _plan(spark, "user_state_history")
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_shuffles_keyed_by_doc(spark):
+    # duplicate-word stats are per-row array ops; bigram aggregation keys
+    # every exchange by (doc) id — no global collect, no cartesian
+    plan = _plan(spark, "doc_repetition_stats")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "id" in line, line
