@@ -294,3 +294,71 @@ def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q8").alias("q8_max"),
         F.size(F.filter("q8", lambda x: x != 0)).alias("q8_nnz"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram-level decontamination (GPT-3 appendix C / PaLM style): a held-out
+# doc is contaminated if it shares ANY word-13-gram with the training split
+# — catches partial/near leakage that whole-doc fingerprints miss.
+# ---------------------------------------------------------------------------
+_DECON_N = 13
+
+
+def _ngram_sql(n: int) -> str:
+    terms = " || ' ' || ".join(f"l[i + {k}]" for k in range(1, n + 1))
+    return (
+        f"unnest(list_transform(range(len(l) - {n - 1}), i -> {terms}))"
+    )
+
+
+@register(
+    "ngram_decontamination",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    test_sh AS (
+      SELECT DISTINCT doc_id, md5({_ngram_sql(_DECON_N)}) AS g
+      FROM t WHERE doc_id % 10 = 0),
+    train_sh AS (
+      SELECT DISTINCT md5(g) AS g FROM (
+        SELECT {_ngram_sql(_DECON_N)} AS g FROM t WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT {_ngram_sql(_DECON_N)} AS g FROM t WHERE doc_id % 20 = 0))
+    SELECT doc_id, COUNT(*) AS n_shared_ngrams
+    FROM test_sh JOIN train_sh USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "13-gram decontamination: held-out docs sharing any word-13-gram with "
+    "the training split (deterministically seeded with every 20th held-out "
+    "text, as in train_test_contamination). Inverted-index plan: both "
+    "sides' shingles dedup to md5 keys BEFORE the equi-join, so the "
+    "shuffle carries 32-byte hashes, never documents; per-doc overlap "
+    "counts come from the joined index rows. Hot n-grams (boilerplate) "
+    "skew the join key — AQE skew-join splits them; no pair enumeration "
+    "ever materializes.",
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text")
+        .unionByName(docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"))
+    )
+    test_sh = (
+        shingle_rows(test, "text", "doc_id", _DECON_N)
+        .select("id", F.md5("s").alias("g"))
+        .distinct()
+    )
+    train_sh = (
+        shingle_rows(train, "text", "doc_id", _DECON_N)
+        .select(F.md5("s").alias("g"))
+        .distinct()
+    )
+    return (
+        test_sh.join(train_sh, "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
