@@ -362,3 +362,64 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): training pipelines concatenate docs
+# and slice every `budget` tokens; a doc can straddle a sequence boundary.
+# Packing is shard-local — exactly like real per-worker packing — so shards
+# parallelize and each window partition is bounded (100 docs).
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+_PACK_SHARD = 100
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS tok_offset
+      FROM t)
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // {_PACK_BUDGET} AS first_seq,
+           (tok_offset + n_tokens - 1) // {_PACK_BUDGET} AS last_seq
+    FROM c ORDER BY doc_id
+    """,
+    "Sequence packing for training: shard-local token-offset cumsum (one "
+    "window keyed by shard — bounded partitions, grows-with-data "
+    "parallelism), then each doc's spanned sequence range is pure integer "
+    "division on the offset. Concat-and-chunk semantics: docs straddle "
+    "boundaries, first_seq/last_seq name the slices.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset div {_PACK_BUDGET}").alias("first_seq"),
+        F.expr(f"(tok_offset + n_tokens - 1) div {_PACK_BUDGET}").alias("last_seq"),
+    ).orderBy("doc_id")
