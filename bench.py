@@ -59,6 +59,11 @@ HEADLINE = [
     "doc_distinctive_terms",
     "pii_scrub_docs",
     "stratified_sample_by_source",
+    "doc_repetition_stats",
+    "ngram_decontamination",
+    "user_state_history",
+    "sequence_packing",
+    "dedup_clusters",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Connected components over an edge list — the missing last step of
+corpus dedup: near-dup PAIRS (minhash/simhash/embedding) only say "a~b";
+to actually drop duplicates you need the transitive closure (a~b, b~c =>
+{a,b,c} is one cluster) and one canonical survivor per cluster.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two groupBy-min + join passes over the edge list, and the edge set
+contracts toward star graphs rooted at each component's minimum id in
+O(log n) rounds — this is the published shuffle-bounded CC algorithm for
+exactly this shape of cluster (dedup graphs: many tiny components, a few
+big ones), unlike label propagation whose round count is the graph
+DIAMETER (a 10k-long chain of near-dup shards = 10k rounds).
+
+Scale notes (100 TB posture):
+- every round shuffles by node id only — uniform key, no skew amplifier;
+  a high-degree node (common template dup'd 1M times) is handled by the
+  groupBy-min partial aggregation (map-side combine), never by fan-out.
+- lineage is truncated every round with an eager localCheckpoint —
+  without it the plan doubles per iteration and the DAG scheduler, not
+  the data, becomes the bottleneck by round ~15. On a real cluster swap
+  in ``df.checkpoint()`` against reliable storage for executor-loss
+  recovery; local[32] has no executor loss, so the cheap form is used.
+- convergence is detected with a distinct-subtract count per round
+  (edges are already distinct, so subtract is one extra shuffle on data
+  that has ALREADY contracted); rounds are capped by ``max_iter`` with a
+  loud failure rather than a silent partial answer.
+
+Reference scope: the reference app (damc-dev/example-cdk-dynamodb-stream-
+to-redshift) has no dedup surface; this extends the engine for
+training-data pipelines per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve the edge list to ``(node, component)`` where ``component``
+    is the minimum node id reachable from ``node`` (the canonical-doc
+    convention: min id survives). Nodes appearing only as isolated
+    endpoints of self-loops still map to themselves; nodes absent from
+    the edge list are absent from the output (join the corpus back with
+    a coalesce to keep singletons — see plans.inventory_ml.dedup_clusters).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    selfmap = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    if e.isEmpty():
+        return selfmap.select("node", F.col("node").alias("component"))
+
+    for _ in range(max_iter):
+        # -- large-star: every neighbor v > u re-points at m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient u > v; all small neighbors AND u re-point at
+        #    m = min of the small neighborhood (m < u always, so no least())
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mn = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        e_next = (
+            oriented.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the star edges stopped moving (set equality;
+        # both sides distinct, counts compared after the cheap subtract)
+        if e_next.exceptAll(e).isEmpty() and e.exceptAll(e_next).isEmpty():
+            e = e_next
+            break
+        e = e_next
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # converged edge set is a star forest: (child, root) for every
+    # non-root; roots map to themselves, as do self-loop-only nodes.
+    child = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = selfmap.join(
+        child.select(F.col("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return child.union(roots)

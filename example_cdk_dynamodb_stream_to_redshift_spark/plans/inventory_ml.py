@@ -349,6 +349,61 @@ def dedup_corpus_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    idx AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pr AS (
+      SELECT id_a, id_b FROM p
+      WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.05),
+    ed AS (SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    walk(node, reach) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN ed e ON w.reach = e.u),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT CAST(cc.node AS BIGINT) AS doc_id,
+           CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           sz.cluster_size,
+           cc.node = cc.cluster_id AS is_canonical
+    FROM cc JOIN sz USING (cluster_id)
+    ORDER BY doc_id
+    """,
+    "Transitive closure of the near-dup relation: n-gram Jaccard pairs -> "
+    "alternating large-star/small-star connected components "
+    "(operators/components.py, O(log n) shuffle rounds) -> one canonical "
+    "min-id doc per cluster. The oracle computes the same closure with a "
+    "recursive reachability CTE — feasible only at oracle scale; the "
+    "star algorithm is the 100 TB path.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.05)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _augmented_embeddings(emb: DataFrame) -> DataFrame:
     """The corpus plus one deterministic near-duplicate per vector
     (vec_id + 100000, first component shifted by +0.01 in double) — the

@@ -1,0 +1,108 @@
+"""connected_components (large-star/small-star) vs a brute-force
+union-find, over adversarial graph shapes the corpus fixture won't hit:
+long chains (diameter >> log n), stars, merging components, self-loops,
+duplicate + reversed edges."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.components import (
+    connected_components,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_chain_star_and_merge(spark):
+    edges = (
+        # a 60-node chain: diameter far beyond the O(log n) round budget,
+        # the shape that breaks naive label propagation under the same cap
+        [(i, i + 1) for i in range(100, 160)]
+        # a star rooted at a HIGH id (canonical must still be the min)
+        + [(500, k) for k in range(400, 420)]
+        # two clusters merged by one bridge edge
+        + [(1, 2), (3, 4), (2, 3)]
+        # self-loop-only node: maps to itself
+        + [(7, 7)]
+    )
+    assert _run(spark, edges) == _uf_components(edges) | {7: 7}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(10, 11), (11, 10), (10, 11), (12, 11)]
+    assert _run(spark, edges) == {10: 10, 11: 10, 12: 10}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 90))
+        ]
+        expected = _uf_components([(a, b) for a, b in edges if a != b])
+        loops_only = {
+            a for a, b in edges if a == b
+        } - set(expected)
+        expected |= {x: x for x in loops_only}
+        assert _run(spark, edges) == expected, f"trial {trial}"
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_cluster_query_canonical_invariants(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_ml import (
+        dedup_clusters,
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    out = dedup_clusters(spark, SF_CORRECTNESS)
+    # exactly one canonical per cluster, and it is the cluster min
+    bad = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.min("doc_id").alias("mn"),
+            F.first("cluster_id").alias("cid"),
+        )
+        .filter((F.col("n_canon") != 1) | (F.col("mn") != F.col("cid")))
+        .count()
+    )
+    assert bad == 0
+    # every clustered doc appears once
+    assert out.select("doc_id").distinct().count() == out.count()
