@@ -364,6 +364,68 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_decontamination_bloom",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    test_sh AS (
+      SELECT DISTINCT doc_id, md5({_ngram_sql(_DECON_N)}) AS g
+      FROM t WHERE doc_id % 10 = 0),
+    train_sh AS (
+      SELECT DISTINCT md5(g) AS g FROM (
+        SELECT {_ngram_sql(_DECON_N)} AS g FROM t WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT {_ngram_sql(_DECON_N)} AS g FROM t WHERE doc_id % 20 = 0))
+    SELECT doc_id, COUNT(*) AS n_shared_ngrams
+    FROM test_sh JOIN train_sh USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "Same contract as ngram_decontamination, via the broadcast-Bloom "
+    "scale plan (operators/bloom.py): a ~1 MB bitset of the held-out "
+    "n-gram hashes probes every train n-gram MAP-SIDE (Arrow-batched "
+    "numpy bit lookups on codegen'd md5-lane positions), so only the "
+    "epsilon false-positive fraction plus true matches ever reach the "
+    "distinct/join shuffles — vs shuffling every distinct train n-gram "
+    "in the direct plan. Bloom errs only toward keeping; the exact "
+    "equi-join on survivors makes the output identical (same oracle).",
+)
+def ngram_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_bloom, might_contain_filter
+    from ..operators.dedup import shingle_rows
+
+    num_bits, k = 1 << 23, 4
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text")
+        .unionByName(docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"))
+    )
+    test_sh = (
+        shingle_rows(test, "text", "doc_id", _DECON_N)
+        .select("id", F.md5("s").alias("g"))
+        .distinct()
+    )
+    bits = build_bloom(test_sh.select("g").distinct(), "g", num_bits, k)
+    # train side: NO distinct before the probe — the bitset filter runs on
+    # the raw shingle stream map-side; dedup happens on survivors only.
+    train_surv = might_contain_filter(
+        shingle_rows(train, "text", "doc_id", _DECON_N).select(
+            F.md5("s").alias("g")
+        ),
+        "g",
+        bits,
+        num_bits,
+        k,
+    ).distinct()
+    return (
+        test_sh.join(train_surv, "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): training pipelines concatenate docs
 # and slice every `budget` tokens; a doc can straddle a sequence boundary.
