@@ -64,6 +64,8 @@ HEADLINE = [
     "user_state_history",
     "sequence_packing",
     "dedup_clusters",
+    "ngram_decontamination_bloom",
+    "quality_trim_bottom_decile",
 ]
 
 

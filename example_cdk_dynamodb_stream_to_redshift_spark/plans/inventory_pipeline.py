@@ -365,6 +365,75 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_val_test_split",
+    """
+    WITH b AS (
+      SELECT source,
+             (('0x' || substr(md5(text), 1, 8))::UBIGINT % 100) AS bk
+      FROM documents)
+    SELECT CASE WHEN bk < 80 THEN 'train'
+                WHEN bk < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2 ORDER BY split, source
+    """,
+    "Deterministic 80/10/10 split by CONTENT hash (first md5 lane mod "
+    "100, operators/curation.py) — re-ingested bytes land in the same "
+    "split regardless of file, order, or day; per-row projection, zero "
+    "shuffle beyond the count. Output: per (split, source) doc counts.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "text", train_pct=80, val_pct=10)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "quality_trim_bottom_decile",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    h AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, n_tokens,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens DESC) AS cum_ge,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM h),
+    th AS (SELECT lang, MAX(n_tokens) AS t FROM cum
+           WHERE cum_ge >= (n * 9 + 9) // 10 GROUP BY lang)
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN th ON t.lang = th.lang AND t.n_tokens >= th.t
+    ORDER BY doc_id
+    """,
+    "Per-language quality floor: keep each language's top ~90% by token "
+    "count, cutting at a score-HISTOGRAM boundary (ties share a fate). "
+    "The threshold comes from cumulative counts over the tiny "
+    "(lang, score) histogram — integer-exact — and broadcast-joins back "
+    "as a filter: scan -> broadcast join -> filter, no window or sort "
+    "over the corpus (operators/curation.py quality_trim).",
+)
+def quality_trim_bottom_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.curation import quality_trim
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return (
+        quality_trim(docs, "n_tokens", "lang", keep_num=9, keep_den=10)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "ngram_decontamination_bloom",
     f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
