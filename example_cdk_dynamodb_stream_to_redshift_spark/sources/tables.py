@@ -22,7 +22,7 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # Older testdata drops ship TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read nanos as long and truncate to micros (same precision
     # DuckDB / Python datetime deliver for ns timestamps). session.get_spark
     # sets this at build time; the guarded set below only fires on foreign
@@ -34,6 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: ns magnitudes overflow double precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Newer drops ship plain TIMESTAMP_NTZ, which Spark 4 treats as a distinct
+    # type that unix_micros/unix_millis & co. reject. The session timezone is
+    # pinned to UTC (session.get_spark), so casting NTZ -> TIMESTAMP is
+    # value-preserving and matches the DuckDB oracle's naive timestamps.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast(T.TimestampType()) for c in ntz_cols}
+        )
     return df
 
 
