@@ -20,8 +20,12 @@ Design constraints honored:
   Arrow batch — vectorized C, no per-row Python. (Open-source Spark has
   no public `might_contain` SQL expression; its internal bloom-join uses
   one, which is the hint this is the right plan shape.)
-- build phase collects only DISTINCT BIT POSITIONS (<= k * |keys| ints,
-  driver-sized by the same argument that makes the bitset broadcastable).
+- build phase assembles PACKED BITSETS EXECUTOR-SIDE: each partition
+  emits one num_bits/8-byte array via Arrow, and the driver OR-folds
+  them one at a time from a local iterator — driver memory is a flat
+  2 x bitset regardless of |keys| (never k*|keys| position rows).
+- the probe bitset rides an explicit SparkContext.broadcast (torrent
+  blocks, one copy per executor) rather than a per-task closure pickle.
 
 Reference scope: beyond the reference app (no dedup surface there);
 extends the training-data-pipeline family per the build brief.
@@ -59,15 +63,27 @@ def build_bloom(
     keys: DataFrame, key_col: str, num_bits: int = 1 << 23, k: int = 4
 ) -> np.ndarray:
     """Packed uint8 bitset (num_bits/8 bytes) with every key's k lanes
-    set. Collects distinct positions only — the sketch, not the keys."""
-    pos = (
-        keys.select(F.explode(F.array(*_positions(key_col, num_bits, k))).alias("p"))
-        .distinct()
-        .collect()
-    )
-    bits = np.zeros(num_bits // 8, dtype=np.uint8)
-    idx = np.fromiter((r["p"] for r in pos), dtype=np.int64, count=len(pos))
-    np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    set. Each partition builds its own packed bitset (Arrow-batched
+    numpy), and the driver OR-folds the per-partition bitsets streamed
+    one at a time — peak driver memory is two bitsets, independent of
+    the number of keys."""
+    n_bytes = num_bits // 8
+    pos_df = keys.select(*_positions(key_col, num_bits, k))
+
+    def _partition_bits(batches):
+        part = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for col in pdf.columns:
+                p = pdf[col].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    part, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bits": [part.tobytes()]})
+
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    partials = pos_df.mapInPandas(_partition_bits, "bits binary")
+    for row in partials.toLocalIterator():
+        bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     return bits
 
 
@@ -80,15 +96,18 @@ def might_contain_filter(
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the set the bitset encodes
     (no false negatives; ~ (set_bits/num_bits)^k false positives). The
-    bitset travels in the UDF closure -> Spark task broadcast."""
-    bc_bits = bits  # captured; cloudpickle ships it once per executor
+    bitset ships via an explicit SparkContext.broadcast, so every task
+    reads the executor-local torrent copy instead of unpickling it from
+    its own closure."""
+    bc = df.sparkSession.sparkContext.broadcast(bits)
 
     @F.pandas_udf("boolean")
     def _probe(*lanes: pd.Series) -> pd.Series:
+        bb = bc.value
         ok = np.ones(len(lanes[0]), dtype=bool)
         for lane in lanes:
             p = lane.to_numpy(dtype=np.int64)
-            ok &= (bc_bits[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
+            ok &= (bb[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
         return pd.Series(ok)
 
     lanes = _positions(key_col, num_bits, k)

@@ -228,6 +228,7 @@ def srp_topk(
     max_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
 ) -> DataFrame:
     """Approximate top-k via mask-enumerated multi-probe: the query's bucket
     is expanded driver-side into every bucket within ``max_hamming`` bits
@@ -241,6 +242,12 @@ def srp_topk(
 
     The single query row is collected to the driver (it is one vector by
     definition, same contract as ivf_topk's query_vec) to enumerate masks.
+
+    ``max_hamming == n_planes`` probes every bucket — recall 1.0 by
+    construction (the degenerate exact configuration, equal to brute
+    force); ``exact_engine_parity`` switches the verify cosine to the
+    quantized bit-stable form so that configuration can be hash-checked
+    against the brute-force oracle.
     """
     qrow = query.select(
         F.col("q"), srp_signature(F.col("q"), dim, n_planes, seed).alias("qbucket")
@@ -255,9 +262,10 @@ def srp_topk(
         [(qbucket ^ m,) for m in masks], "bucket long"
     )
     qcol = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    sim = cosine_q6 if exact_engine_parity else cosine
     return (
         index.join(F.broadcast(probes), "bucket")
-        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .select(F.col(id_col), sim(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -355,13 +363,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest inverted lists, exact cosine inside them.
 
     ``nprobe == len(centroids)`` degrades to exact brute force (asserted in
-    tests), giving a turnable recall/cost dial. The query vector is a plain
-    driver-side list (it is one vector by definition); probe selection is
-    O(K) on the driver, the scan itself is the pruned distributed job.
+    tests AND hash-checked against the brute-force DuckDB oracle via the
+    driver's ivf_ann_fullprobe_topk entry), giving a turnable recall/cost
+    dial. ``exact_engine_parity`` selects the quantized bit-stable cosine
+    for that oracle path. The query vector is a plain driver-side list (it
+    is one vector by definition); probe selection is O(K) on the driver,
+    the scan itself is the pruned distributed job.
     """
     dists = [
         (sum((x - c[i]) ** 2 for i, x in enumerate(query_vec)), cid)
@@ -369,9 +381,10 @@ def ivf_topk(
     ]
     probe_cids = [cid for _, cid in sorted(dists)[:nprobe]]
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_q6 if exact_engine_parity else cosine
     return (
         index.filter(F.col("cid").isin(probe_cids))
-        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .select(F.col(id_col), sim(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

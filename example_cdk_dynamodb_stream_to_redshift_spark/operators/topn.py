@@ -53,6 +53,12 @@ def top_n_per_key(
         raise ValueError(f"n must be positive, got {n}")
     if salt_buckets <= 0:
         raise ValueError(f"salt_buckets must be positive, got {salt_buckets}")
+    clashes = {"_salt", "_local_rn", rank_col} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"input columns {sorted(clashes)} collide with top_n_per_key's "
+            f"working/output columns; rename them or pass a different rank_col"
+        )
     keys = list(key_cols)
     salt = F.pmod(F.xxhash64(F.col(unique_key)), F.lit(salt_buckets)).cast("int")
     w_local = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)

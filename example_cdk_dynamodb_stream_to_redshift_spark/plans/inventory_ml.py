@@ -266,16 +266,22 @@ _COS_Q6_SQL = """
 """
 
 
-@register(
-    "ann_bruteforce_topk",
-    f"""
+# Exact cosine top-10 vs the vec_id=0 query: shared by the brute-force
+# baseline AND the two ANN paths in their degenerate exact configurations
+# (IVF at nprobe=K, SRP at max_hamming=n_planes) — same answer, three plans.
+_ANN_TOPK_ORACLE = f"""
     WITH q AS (SELECT embedding AS vb FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT vec_id, {_COS_Q6_SQL} AS cos_sim
       FROM (SELECT vec_id, embedding AS va FROM embeddings), q)
     SELECT vec_id, cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    _ANN_TOPK_ORACLE,
     "ANN baseline: exact cosine top-10 vs the vec_id=0 query vector — "
     "broadcast query, full scan, TakeOrderedAndProject (per-partition "
     "heaps). Quantized int64 cosine for cross-engine bit-stability.",
@@ -326,6 +332,31 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     index = SIM.build_srp_index(emb, dim=64, n_planes=16)
     return SIM.srp_topk(index, query, dim=64, k=10, n_planes=16, max_hamming=6)
+
+
+@register(
+    "srp_ann_exact_topk",
+    _ANN_TOPK_ORACLE,
+    "SRP ANN in its provably-recall-1.0 configuration: max_hamming = "
+    "n_planes probes every bucket, so the multi-probe equi-join plan "
+    "(operators/similarity.py srp_topk) must reproduce brute force exactly "
+    "— hash-checked against the same oracle as ann_bruteforce_topk. The "
+    "probing (max_hamming=6) form above stays rows-only; this entry "
+    "driver-proves the machinery it prunes with.",
+)
+def srp_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    index = SIM.build_srp_index(emb, dim=64, n_planes=8)
+    return SIM.srp_topk(
+        index,
+        query,
+        dim=64,
+        k=10,
+        n_planes=8,
+        max_hamming=8,
+        exact_engine_parity=True,
+    )
 
 
 @register(
@@ -530,6 +561,25 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(index, qvec, centroids, k=10, nprobe=4)
 
 
+@register(
+    "ivf_ann_fullprobe_topk",
+    _ANN_TOPK_ORACLE,
+    "IVF ANN at nprobe = K (full probe): the k-means quantizer + inverted "
+    "lists + probe plan degrades to exact brute force by construction — "
+    "hash-checked against the same oracle as ann_bruteforce_topk. The "
+    "nprobe=4 probing form above stays rows-only; this entry driver-proves "
+    "the index/probe machinery itself.",
+)
+def ivf_ann_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivf_topk(
+        index, qvec, centroids, k=10, nprobe=8, exact_engine_parity=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (text bytes as opaque media; decode kernels stubbed)
 # ---------------------------------------------------------------------------
@@ -610,11 +660,12 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        i -> l[i + 1] || ' ' || l[i + 2])) AS bg
           FROM t),
     c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg),
-    a AS (SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+    a AS (SELECT doc_id, MAX(c) AS top_bigram_count,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams
           FROM c GROUP BY doc_id)
     SELECT w.doc_id, n_words, n_distinct_words,
-           COALESCE(n_bigrams, 0) AS n_bigrams,
-           COALESCE(top_bigram_count, 0) AS top_bigram_count,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
            CASE WHEN 5 * COALESCE(top_bigram_count, 0) <= COALESCE(n_bigrams, 0)
                  AND 2 * n_distinct_words > n_words THEN 1 ELSE 0 END AS keep
     FROM w LEFT JOIN a ON w.doc_id = a.doc_id

@@ -19,6 +19,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_TZ_CONF = "spark.sql.session.timeZone"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,6 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # repeatedly mutate shared-session conf (cross-query side effects).
     if spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
+    # The NTZ -> TIMESTAMP cast below is value-preserving ONLY under a UTC
+    # session timezone (otherwise epoch values shift by the zone offset and
+    # silently diverge from the oracle's naive timestamps). session.get_spark
+    # pins UTC at build time; mirror the nanos guard for foreign sessions.
+    if spark.conf.get(_TZ_CONF, "") != "UTC":
+        spark.conf.set(_TZ_CONF, "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: ns magnitudes overflow double precision

@@ -53,6 +53,21 @@ def test_tiny_bitset_still_exact_after_verify_join(spark, keyed):
     assert {r["id"] for r in exact.collect()} == set(range(500))
 
 
+def test_large_bitset_flat_driver_build(spark, keyed):
+    # 2^26 bits = 8 MiB packed bitset. The build must stay executor-side:
+    # the driver only ever OR-folds one partition bitset at a time, so this
+    # runs in flat memory no matter how many keys feed it (the old design
+    # collected k*|keys| position Rows). Correctness is unchanged: no false
+    # negatives, and at this load factor essentially no false positives.
+    members = keyed.filter("id < 500")
+    bits = build_bloom(members, "g", num_bits=1 << 26, k=4)
+    assert bits.nbytes == (1 << 26) // 8
+    kept = might_contain_filter(keyed, "g", bits, 1 << 26, 4)
+    kept_ids = {r["id"] for r in kept.collect()}
+    assert set(range(500)) <= kept_ids
+    assert len(kept_ids) <= 505
+
+
 def test_rejects_bad_params(spark, keyed):
     with pytest.raises(ValueError, match="k must be"):
         build_bloom(keyed, "g", num_bits=1 << 16, k=5)

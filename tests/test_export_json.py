@@ -1,0 +1,59 @@
+"""sources/export_json.py ACCEPTINVCHARS parity: COPY ... ACCEPTINVCHARS ' '
+(scripts/initial_load_from_export.sh:168) substitutes each invalid UTF-8
+sequence with the given character and KEEPS the row — it does not null the
+row's fields. Exercised over raw and gzip files, matching the export format
+(DYNAMODB_JSON, gzip)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.export_json import (
+    read_dynamodb_export,
+)
+
+# A member item whose memberName carries a lone invalid byte (\xff) and a
+# truncated 2-byte sequence (\xc3 at end) — the JSON framing stays ASCII.
+_GOOD = (
+    b'{"Item":{"pk":{"S":"M_aaa"},"sk":{"S":"alice"},'
+    b'"memberId":{"S":"aaa"},"memberName":{"S":"alice"}}}'
+)
+_BAD = (
+    b'{"Item":{"pk":{"S":"M_bbb"},"sk":{"S":"bo\xffb"},'
+    b'"memberId":{"S":"bbb"},"memberName":{"S":"bo\xffb\xc3"}}}'
+)
+
+
+def _write(path, raw: bytes, gz: bool):
+    data = raw if not gz else gzip.compress(raw)
+    path.write_bytes(data)
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["raw", "gzip"])
+def test_invalid_utf8_substituted_row_kept(spark, tmp_path, gz):
+    name = "export.json.gz" if gz else "export.json"
+    _write(tmp_path / name, _GOOD + b"\n" + _BAD + b"\n", gz)
+    df = read_dynamodb_export(spark, str(tmp_path), accept_inv_chars=" ")
+    rows = {r["Item"]["pk"]["S"]: r["Item"] for r in df.collect()}
+    assert set(rows) == {"M_aaa", "M_bbb"}  # the malformed row is KEPT
+    assert rows["M_aaa"]["memberName"]["S"] == "alice"  # clean rows untouched
+    # each invalid sequence became exactly one replacement char
+    assert rows["M_bbb"]["sk"]["S"] == "bo b"
+    assert rows["M_bbb"]["memberName"]["S"] == "bo b "
+
+
+def test_default_path_unchanged_for_valid_input(spark, tmp_path):
+    _write(tmp_path / "export.json", _GOOD + b"\n", False)
+    plain = read_dynamodb_export(spark, str(tmp_path))
+    accept = read_dynamodb_export(spark, str(tmp_path), accept_inv_chars=" ")
+    assert [r.asDict(True) for r in plain.collect()] == [
+        r.asDict(True) for r in accept.collect()
+    ]
+
+
+def test_rejects_multichar_replacement(spark, tmp_path):
+    _write(tmp_path / "export.json", _GOOD + b"\n", False)
+    with pytest.raises(ValueError, match="single replacement character"):
+        read_dynamodb_export(spark, str(tmp_path), accept_inv_chars="  ")
