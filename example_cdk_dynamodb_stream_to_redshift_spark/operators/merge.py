@@ -151,6 +151,7 @@ def incremental_merge(
     sync_ts: dt.datetime | None = None,
     initial_load_guard: bool = True,
     watermark: dt.datetime | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Pure merge: returns the new target contents (delete+insert semantics).
 
@@ -160,6 +161,22 @@ def incremental_merge(
     ``watermark`` overrides the MAX(ts) read — used by the partition-scoped
     path, where ``target`` is a pruned slice but the watermark must stay the
     GLOBAL table maximum.
+
+    ``stats``, when a dict is passed, is filled with the per-statement
+    diagnostics the reference's procedures RAISE INFO and surface via
+    SVL_STORED_PROC_MESSAGES (sql/incremental_sync_members.sql:33,61-66):
+    ``watermark``, ``staged_count`` (A2), ``deleted_count`` (rows of the
+    target slice whose key is staged — the DELETE..USING row count), and
+    ``inserted_count``. Cost model mirrors Redshift, where these counts are
+    free statement side effects: staged/inserted come from ONE small agg
+    job over the micro-batch-sized staged set, and deleted_count rides the
+    merge's own write action via ``df.observe`` (target-scan count minus
+    survivor count, collected by Spark's Observation listener during the
+    action — zero extra jobs, zero extra target scans). Because the
+    observed metrics only exist after the caller executes an action on the
+    returned DataFrame, ``deleted_count`` is materialized by calling
+    ``finalize_merge_stats(stats)`` AFTER that action; until then the dict
+    holds the pending observations.
     """
     if watermark is None:
         watermark = read_watermark(target)
@@ -175,10 +192,35 @@ def incremental_merge(
 
     staged = stage_changes(extract, spec, watermark)
 
+    if stats is not None:
+        from pyspark.sql import Observation
+
+        # one combined agg job over the micro-batch-sized staged set
+        counts = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("eventName") == "REMOVE", 1)).alias("r"),
+        ).first()
+        # deleted = |target slice| - |survivors|, both observed for free
+        # during the caller's write action (neither node is in the
+        # broadcast-keys branch, so each executes exactly once per action)
+        obs_target, obs_survivors = Observation(), Observation()
+        target = target.observe(obs_target, F.count(F.lit(1)).alias("n"))
+        stats.update(
+            watermark=watermark,
+            staged_count=counts["n"],
+            inserted_count=counts["n"] - counts["r"],
+            _obs_target=obs_target,
+            _obs_survivors=obs_survivors,
+        )
+
     # Micro-batches are small: broadcast the staged keys so the big target is
     # anti-joined map-side, no target shuffle.
     staged_keys = F.broadcast(staged.select(spec.key_col))
     survivors = target.join(staged_keys, spec.key_col, "left_anti")
+    if stats is not None:
+        survivors = survivors.observe(
+            stats["_obs_survivors"], F.count(F.lit(1)).alias("n")
+        )
 
     inserts = (
         staged.filter(F.col("eventName") != F.lit("REMOVE"))
@@ -189,3 +231,15 @@ def incremental_merge(
         .select(*[f.name for f in target.schema.fields])
     )
     return survivors.unionByName(inserts)
+
+
+def finalize_merge_stats(stats: dict) -> dict:
+    """Resolve the pending write-action observations left in ``stats`` by
+    ``incremental_merge`` into ``deleted_count``. Call AFTER executing an
+    action on the merged DataFrame (the observation listener fires with
+    that action; calling earlier would block)."""
+    obs_target = stats.pop("_obs_target", None)
+    obs_survivors = stats.pop("_obs_survivors", None)
+    if obs_target is not None:
+        stats["deleted_count"] = obs_target.get["n"] - obs_survivors.get["n"]
+    return stats

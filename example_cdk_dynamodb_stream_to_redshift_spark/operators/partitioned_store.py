@@ -128,12 +128,16 @@ class PartitionedParquetTable:
         spec: MergeSpec,
         sync_ts: dt.datetime | None = None,
         initial_load_guard: bool = True,
+        stats: dict | None = None,
     ) -> list[int]:
         """Partition-scoped CDC merge; returns the touched bucket ids.
 
         The watermark/staging/dedup/anti-join logic is the SAME
         `incremental_merge` as the full-rewrite path — only the target slice
-        it runs against and the commit scope differ.
+        it runs against and the commit scope differ. ``stats`` (optional
+        dict) receives the same merge diagnostics as ``incremental_merge``;
+        here the deleted-count semi-join runs against the bucket-pruned
+        slice only.
         """
         from .merge import _EPOCH, read_watermark, stage_changes
 
@@ -154,6 +158,13 @@ class PartitionedParquetTable:
         try:
             touched = self._touched_buckets(staged)
             if not touched:
+                if stats is not None:
+                    stats.update(
+                        watermark=watermark,
+                        staged_count=0,
+                        deleted_count=0,
+                        inserted_count=0,
+                    )
                 return []
             # filter on the PARTITION column: directory-pruned read of the
             # touched buckets only (PartitionFilters, asserted in tests)
@@ -167,6 +178,7 @@ class PartitionedParquetTable:
                 sync_ts,
                 initial_load_guard=False,
                 watermark=watermark,
+                stats=stats,
             )
             # Stage `merged` to a TEMP directory first: it is lazily derived
             # from the very bucket files the commit below deletes/replaces,
@@ -177,6 +189,12 @@ class PartitionedParquetTable:
             staging = os.path.join(self.root, "_staging")
             shutil.rmtree(staging, ignore_errors=True)
             merged.write.mode("overwrite").parquet(staging)
+            if stats is not None:
+                # the staging write above is the action the merge's pending
+                # count observations ride on — resolve them now
+                from .merge import finalize_merge_stats
+
+                finalize_merge_stats(stats)
             try:
                 committed = self.spark.read.schema(self.schema).parquet(staging)
                 # dynamic overwrite only replaces partitions PRESENT in the

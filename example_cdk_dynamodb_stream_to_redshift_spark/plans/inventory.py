@@ -476,15 +476,6 @@ def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.subtract(signups).orderBy("user_id")  # EXCEPT DISTINCT
 
 
-# Register the training-data-pipeline inventory (dedup / similarity / text /
-# multimodal) into the same REGISTRY. Import at module bottom: inventory_ml
-# needs `register`, defined above.
-from . import inventory_ml  # noqa: E402,F401
-from . import inventory_analytics  # noqa: E402,F401
-from . import inventory_sql_surface  # noqa: E402,F401
-from . import inventory_pipeline  # noqa: E402,F401
-
-
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The correctness harness checks queries() in
 # registry-insertion order[:50]; the registry outgrew that window in round 2,
@@ -551,7 +542,15 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 
 
-def _reorder_registry() -> None:
+def _maybe_reorder_registry() -> None:
+    """Rebuild REGISTRY with the priority names first. Runs only once every
+    priority name is registered: the registering submodules below import
+    this module circularly, so whichever module's registrations complete
+    LAST (import-order dependent) performs the reorder — each submodule
+    calls this at its bottom, as does this module after its imports.
+    Idempotent."""
+    if not all(name in REGISTRY for name in _DRIVER_WINDOW_PRIORITY):
+        return
     ordered = {name: REGISTRY[name] for name in _DRIVER_WINDOW_PRIORITY}
     for name, q in REGISTRY.items():
         ordered.setdefault(name, q)
@@ -559,4 +558,12 @@ def _reorder_registry() -> None:
     REGISTRY.update(ordered)
 
 
-_reorder_registry()
+# Register the training-data-pipeline inventory (dedup / similarity / text /
+# multimodal) into the same REGISTRY. Import at module bottom: inventory_ml
+# needs `register`, defined above.
+from . import inventory_ml  # noqa: E402,F401
+from . import inventory_analytics  # noqa: E402,F401
+from . import inventory_sql_surface  # noqa: E402,F401
+from . import inventory_pipeline  # noqa: E402,F401
+
+_maybe_reorder_registry()

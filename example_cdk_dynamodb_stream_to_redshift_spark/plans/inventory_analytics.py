@@ -582,3 +582,10 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)  # pivot null-fill zeros are not source rows
         .orderBy("user_id", "event_type")
     )
+
+
+# Registration complete for this module — trigger the driver-window reorder
+# (no-op until the LAST registering module finishes; see inventory.py).
+from .inventory import _maybe_reorder_registry  # noqa: E402
+
+_maybe_reorder_registry()

@@ -708,3 +708,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.lit(2) * F.col("n_distinct_words") > F.col("n_words"))
     ).cast("int")
     return joined.withColumn("keep", keep).orderBy("doc_id")
+
+
+# Registration complete for this module — trigger the driver-window reorder
+# (no-op until the LAST registering module finishes; see inventory.py).
+from .inventory import _maybe_reorder_registry  # noqa: E402
+
+_maybe_reorder_registry()

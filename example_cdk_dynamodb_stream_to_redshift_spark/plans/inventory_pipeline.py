@@ -554,3 +554,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"tok_offset div {_PACK_BUDGET}").alias("first_seq"),
         F.expr(f"(tok_offset + n_tokens - 1) div {_PACK_BUDGET}").alias("last_seq"),
     ).orderBy("doc_id")
+
+
+# Registration complete for this module — trigger the driver-window reorder
+# (no-op until the LAST registering module finishes; see inventory.py).
+from .inventory import _maybe_reorder_registry  # noqa: E402
+
+_maybe_reorder_registry()

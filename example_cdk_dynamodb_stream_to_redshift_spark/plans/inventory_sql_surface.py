@@ -578,3 +578,10 @@ def event_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_day", "gid", "n_events", "total_value")
         .orderBy("gid", "event_type", "event_day")
     )
+
+
+# Registration complete for this module — trigger the driver-window reorder
+# (no-op until the LAST registering module finishes; see inventory.py).
+from .inventory import _maybe_reorder_registry  # noqa: E402
+
+_maybe_reorder_registry()

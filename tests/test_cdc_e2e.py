@@ -475,6 +475,73 @@ def test_scd2_member_history_from_change_stream(spark, tmp_path):
     assert snap == {"m1": "Alicia", "m2": "Bob"}
 
 
+@pytest.mark.parametrize("partitioned", [False, True], ids=["full", "bucketed"])
+def test_sync_log_rows_across_two_refreshes(spark, tmp_path, partitioned):
+    # SVL_STORED_PROC_MESSAGES parity (sql/incremental_sync_members.sql:61-66):
+    # every entity merge of every micro-batch appends one queryable log row
+    # with the watermark it ran against and staged/deleted/inserted counts —
+    # identical on both storage backends (the bucketed one counts deletes on
+    # the pruned slice only).
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "p0.json"),
+        [member_item("m1", "Alice"), member_item("m2", "Bob"),
+         quest_item("q1", "Q"), member_quest_item("mq1", "m1", "q1", "10.00")],
+    )
+    pipe = CdcPipeline(
+        spark, str(stream_dir), str(tmp_path / "wh"), partitioned=partitioned
+    )
+    assert pipe.sync_log_table().count() == 0  # empty, schema intact
+    assert "staged_count" in pipe.sync_log_table().columns
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    # batch 0: new member (INSERT+MODIFY collapse), a REMOVE, one new mq
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+            member_env(2, "e2", "MODIFY", "m3", "Caroline", BASE_MS + 2000),
+            member_env(3, "e3", "REMOVE", "m2", "Bob", BASE_MS + 3000),
+            mq_env(4, "e4", "INSERT", "mq2", "m3", "q1", "25.50", BASE_MS + 4000),
+        ],
+    )
+    pipe.refresh()
+    log0 = {r["entity"]: r for r in pipe.sync_log_table().collect()}
+    assert set(log0) == {"member", "quest", "member_quest"}
+    m0 = log0["member"]
+    # m3's two changes collapse to one staged row; m2's REMOVE stages too
+    assert m0["staged_count"] == 2
+    assert m0["deleted_count"] == 1      # only m2 existed in the target
+    assert m0["inserted_count"] == 1     # the REMOVE is not re-inserted
+    assert m0["watermark"] == OLD        # pre-merge watermark recorded
+    assert m0["sync_ts"] is not None
+    assert "Staged 2 member records" in m0["message"]
+    assert log0["quest"]["staged_count"] == 0   # untouched entity logs zeros
+    assert log0["member_quest"]["staged_count"] == 1
+    assert log0["member_quest"]["deleted_count"] == 0
+
+    # batch 1: one modify of an existing member
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [member_env(5, "e5", "MODIFY", "m1", "Alicia", BASE_MS + 9000)],
+    )
+    pipe.refresh()
+    log = pipe.sync_log_table()
+    assert log.count() == 6  # 3 entities x 2 batches
+    m1 = {r["entity"]: r for r in log.filter("batch_id = 1").collect()}["member"]
+    assert (m1["staged_count"], m1["deleted_count"], m1["inserted_count"]) == (
+        1, 1, 1,
+    )
+    # batch 1 ran against the watermark batch 0 advanced to: m3's event time
+    # (BASE_MS+2000, second precision). The m2 REMOVE had a later event time
+    # but REMOVEs are never inserted, so they cannot advance the watermark.
+    assert m1["watermark"] == dt.datetime.fromtimestamp(
+        (BASE_MS + 2000) // 1000, dt.timezone.utc
+    ).replace(tzinfo=None)
+
+
 def test_pipeline_history_table_spans_refreshes(spark, tmp_path):
     # history_table derives SCD2 versions from the accumulated extract, so
     # versions from different micro-batches stitch into one timeline.

@@ -73,6 +73,54 @@ def test_random_graphs_match_union_find(spark):
         assert _run(spark, edges) == expected, f"trial {trial}"
 
 
+def test_chain_round_count_is_logarithmic(spark):
+    # The worst case for diameter-bound algorithms: a pure chain. The
+    # large-star/small-star contraction must converge in O(log n) rounds —
+    # empirically pinned here at two chain lengths a 4x apart, with the
+    # round counts reported by the operator itself. Label propagation
+    # would need n-1 rounds (64 / 256) and fail the same budget.
+    import math
+
+    rounds = {}
+    for n in (64, 256):
+        edges = [(i, i + 1) for i in range(n - 1)]
+        stats: dict = {}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "src long, dst long"), stats=stats
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(n)}  # one component rooted at min
+        rounds[n] = stats["rounds"]
+        assert stats["rounds"] <= 2 * math.log2(n) + 4, (
+            f"chain of {n}: {stats['rounds']} rounds exceeds the log bound"
+        )
+    # 4x the nodes must NOT cost 4x the rounds (that would be linear)
+    assert rounds[256] <= rounds[64] + 4
+
+
+def test_hot_template_star_converges_fast(spark):
+    # Dedup-graph skew: one template document near-dups 20k others — a
+    # single node of degree 20k. The groupBy-min partial aggregation
+    # (map-side combine) must absorb the hot key: few rounds, exact
+    # min-id canonical, no fan-out explosion.
+    n = 20_000
+    hub = n + 500  # hub id ABOVE every leaf: canonical must still be min
+    edges_df = (
+        spark.range(n)
+        .selectExpr(f"{hub}L as src", "id as dst")
+        .union(spark.range(5).selectExpr("id + 30000 as src", "id + 30001 as dst"))
+    )
+    stats: dict = {}
+    out = connected_components(edges_df, stats=stats)
+    comp = out.groupBy("component").count().collect()
+    by_comp = {r["component"]: r["count"] for r in comp}
+    assert by_comp[0] == n + 1  # hub + all leaves, canonical = min leaf id 0
+    assert by_comp[30000] == 6
+    assert stats["rounds"] <= 6, f"star took {stats['rounds']} rounds"
+
+
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
