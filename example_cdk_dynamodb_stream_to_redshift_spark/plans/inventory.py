@@ -521,6 +521,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in r3: ANN paths in their exact configurations (brute-force oracle)
     "srp_ann_exact_topk",
     "ivf_ann_fullprobe_topk",
+    # new in r3: salted two-phase per-key top-N vs the single-window oracle
+    "top_docs_per_source",
     # long-green anchors (green in CORRECTNESS_r01/r02) spanning the core
     # operator families: joins+aggs, top-k, watermark, dedup/window, scalar
     # suite, set-free dedup path, LSH, clustering, ANN, TPC-H-style reports

@@ -64,21 +64,29 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "doc_quality_scores",
-    f"""
+# shared by doc_quality_scores and top_docs_per_source (same scoring chain)
+_QUALITY_CTE = f"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS pc
-      FROM documents)
-    SELECT doc_id,
-      least(n / 100.0, 1.0) * 0.4
-      + greatest(1.0 - abs(sr - 0.04) * 5.0, 0.0) * 0.4
-      + (1.0 - least(pc / n, 1.0)) * 0.2 AS quality
-    FROM t ORDER BY doc_id
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+        least(n / 100.0, 1.0) * 0.4
+        + greatest(1.0 - abs(sr - 0.04) * 5.0, 0.0) * 0.4
+        + (1.0 - least(pc / n, 1.0)) * 0.2 AS quality
+      FROM t)
+"""
+
+
+@register(
+    "doc_quality_scores",
+    _QUALITY_CTE
+    + """
+    SELECT doc_id, quality FROM scored ORDER BY doc_id
     """,
     "Quality scoring: length/stopword/punctuation heuristic in [0,1] "
     "(fixed-weight IEEE double chain — deterministic cross-engine).",
@@ -88,6 +96,41 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", TX.quality_score("text").alias("quality")
     ).orderBy("doc_id")
+
+
+@register(
+    "top_docs_per_source",
+    _QUALITY_CTE
+    + """
+    SELECT source, doc_id, quality, rank FROM (
+      SELECT source, doc_id, quality,
+             row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+      FROM scored) w
+    WHERE rank <= 10 ORDER BY source, rank
+    """,
+    "Per-key top-N (per-source quality cap) via the salted two-phase "
+    "operator (operators/topn.py): phase 1 keeps each (key, salt)-bucket's "
+    "local top-n under a bounded window, phase 2 ranks the <= salt_buckets*n "
+    "survivors — exact row_number semantics (this oracle IS the single "
+    "window form) but hot-key-proof: no single task ever sorts a whole "
+    "skewed group. The per-group generalization of the reference's "
+    "ORDER BY .. LIMIT monitors (sql/queries.sql:8,19).",
+)
+def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topn import top_n_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", "doc_id", TX.quality_score("text").alias("quality")
+    )
+    return top_n_per_key(
+        scored,
+        ["source"],
+        [F.desc("quality"), F.asc("doc_id")],
+        n=10,
+        unique_key="doc_id",
+    ).orderBy("source", "rank")
 
 
 def _lang_score_sql(lang: str) -> str:

@@ -112,11 +112,28 @@ class CdcPipeline:
             self.spark.conf.set(key, prev)
 
     # -- batch bootstrap (initial load) -----------------------------------
-    def initial_load(self, export_path: str, sync_ts: dt.datetime | None = None) -> None:
+    def initial_load(
+        self,
+        export_path: str,
+        sync_ts: dt.datetime | None = None,
+        accept_inv_chars: str | None = " ",
+        trim_blanks: bool = True,
+    ) -> None:
+        """Bootstrap the targets from a DynamoDB export. Defaults mirror the
+        reference's COPY options ``ACCEPTINVCHARS ' ' TRUNCATECOLUMNS
+        TRIMBLANKS`` (scripts/initial_load_from_export.sh:168): invalid
+        UTF-8 bytes become spaces with the row kept, trailing blanks are
+        stripped from string attributes. Pass ``accept_inv_chars=None`` /
+        ``trim_blanks=False`` for raw PERMISSIVE reading."""
         from ..plans.initial_load import initial_load_all
         from ..sources.export_json import read_dynamodb_export
 
-        dump = read_dynamodb_export(self.spark, export_path)
+        dump = read_dynamodb_export(
+            self.spark,
+            export_path,
+            trim_blanks=trim_blanks,
+            accept_inv_chars=accept_inv_chars,
+        )
         dump.persist()
         try:
             with self._batch_sized_shuffle():

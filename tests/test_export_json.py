@@ -53,6 +53,40 @@ def test_default_path_unchanged_for_valid_input(spark, tmp_path):
     ]
 
 
+def test_pipeline_initial_load_copy_option_parity(spark, tmp_path):
+    # CdcPipeline.initial_load defaults mirror the reference COPY invocation
+    # (ACCEPTINVCHARS ' ' + TRIMBLANKS): a member row with invalid UTF-8 and
+    # trailing blanks in its name bootstraps as a kept, repaired, trimmed row.
+    import datetime as dt
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming import (
+        CdcPipeline,
+    )
+
+    export_dir = tmp_path / "export"
+    export_dir.mkdir()
+    rows = [
+        _GOOD,
+        # bo\xffb + trailing blanks: ACCEPTINVCHARS repairs, TRIMBLANKS trims
+        (
+            b'{"Item":{"pk":{"S":"M_bbb"},"sk":{"S":"bo\xffb   "},'
+            b'"memberId":{"S":"bbb"},"memberName":{"S":"bo\xffb   "}}}'
+        ),
+        b'{"Item":{"pk":{"S":"Q_q1"},"sk":{"S":"Walk"},"questId":{"S":"q1"}}}',
+        (
+            b'{"Item":{"pk":{"S":"MQ#M_aaa"},"sk":{"S":"MQ_mq1"},'
+            b'"questId":{"S":"q1"},"dollarsEarned":{"N":"10.00"}}}'
+        ),
+    ]
+    (export_dir / "p0.json").write_bytes(b"\n".join(rows) + b"\n")
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "stream"), str(tmp_path / "wh")
+    )
+    pipe.initial_load(str(export_dir), sync_ts=dt.datetime(2023, 1, 1))
+    members = {r.memberId: r.memberName for r in pipe.table("member").collect()}
+    assert members == {"aaa": "alice", "bbb": "bo b"}  # repaired AND trimmed
+
+
 def test_rejects_multichar_replacement(spark, tmp_path):
     _write(tmp_path / "export.json", _GOOD + b"\n", False)
     with pytest.raises(ValueError, match="single replacement character"):
