@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_clusters",
     "ngram_decontamination_bloom",
     "quality_trim_bottom_decile",
+    "top_docs_per_source",
+    "bm25_topk_docs",
+    "language_rebalance_sample",
 ]
 
 

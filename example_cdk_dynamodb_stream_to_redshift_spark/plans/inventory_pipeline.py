@@ -556,6 +556,121 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 scoring over an inverted index — the ranking primitive a
+# training-data pipeline uses for quality-by-retrieval and targeted corpus
+# search. The one checked output with a transcendental (ln in idf): scores
+# are quantized to a 1e-6 grid on BOTH engines (the order_price_percentiles
+# precedent) — verified hash-equal at the driver SF.
+# ---------------------------------------------------------------------------
+_BM25_QUERY = ("stream", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+              FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+           WHERE term IN {_BM25_QUERY!r} GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS s
+      FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+      GROUP BY 1)
+    SELECT doc_id, round(s, 6) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "BM25 top-10 for a fixed 3-term query. Plan: the term filter lands "
+    "BEFORE the (doc, term) grouping, so only query-term postings ever "
+    "shuffle (at 100 TB this is the query-time read path of a prebuilt "
+    "inverted index partitioned by term); df and the corpus stats are "
+    "1-row/|Q|-row broadcasts; top-k is TakeOrderedAndProject. Scores "
+    "grid-quantized to 1e-6 (ln differs in the last ulp across libm "
+    "builds; the grid absorbs it — percentile precedent).",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_QUERY))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dl = docs.select(
+        "doc_id", TX.token_count("text").cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(TX.token_count("text").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "language_rebalance_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_lang) AS min_n FROM c)
+    SELECT doc_id, lang FROM documents JOIN c USING (lang), m
+    WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS BIGINT) * n_lang < min_n * 4294967296
+    ORDER BY doc_id
+    """,
+    "Language-rebalanced downsample: every language is thinned to ~the "
+    "smallest language's row count via a per-row keep test in EXACT int64 "
+    "arithmetic — hash32(doc_id) * n_lang < min_n * 2^32 (no float "
+    "probabilities, so the sample is bit-deterministic and re-ingestion "
+    "stable, same contract as train_val_test_split). Per-lang counts and "
+    "the min are broadcast side inputs; the corpus pass is one pruned "
+    "projection + filter, no shuffle of the data itself.",
+)
+def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(min_n))
+        .filter(h32 * F.col("n_lang") < F.col("min_n") * F.lit(4294967296))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

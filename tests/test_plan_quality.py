@@ -183,3 +183,38 @@ def test_repetition_stats_shuffles_keyed_by_doc(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "id" in line, line
+
+
+def test_bm25_prunes_postings_and_broadcasts_stats(spark):
+    plan = _plan(spark, "bm25_topk_docs")
+    # the query-term filter must run before the (doc, term) grouping: the
+    # partial agg's exchange carries query-term postings only
+    assert plan.index("Filter") < plan.index("partial_count")
+    # df table and corpus stats ride broadcasts; final is TakeOrdered
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_language_rebalance_no_data_shuffle(spark):
+    plan = _plan(spark, "language_rebalance_sample")
+    # per-lang counts + min are broadcast side inputs; the documents pass
+    # itself is a filtered projection — its only exchange is the final
+    # presentation sort's range partitioning
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # the tiny agg sides
+    # column pruning: text never leaves the scan
+    read = next(
+        l for l in plan.splitlines() if "ReadSchema" in l and "doc_id" in l
+    )
+    assert "text" not in read, read
+
+
+def test_top_docs_per_source_windows_are_salt_scoped(spark):
+    plan = _plan(spark, "top_docs_per_source")
+    # phase-1 window partitions by (source, salt), phase 2 by source only —
+    # two window nodes, no global (empty-partition) window
+    assert plan.count("Window") >= 2
+    assert "partitionBy=[]" not in plan.replace(" ", "")
