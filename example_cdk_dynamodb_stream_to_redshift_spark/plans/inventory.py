@@ -523,9 +523,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ivf_ann_fullprobe_topk",
     # new in r3: salted two-phase per-key top-N vs the single-window oracle
     "top_docs_per_source",
-    # new in r3: retrieval + deterministic rebalanced sampling
+    # new in r3: retrieval + deterministic rebalanced sampling + chunking
     "bm25_topk_docs",
     "language_rebalance_sample",
+    "doc_chunk_windows",
     # long-green anchors (green in CORRECTNESS_r01/r02) spanning the core
     # operator families: joins+aggs, top-k, watermark, dedup/window, scalar
     # suite, set-free dedup path, LSH, clustering, ANN, TPC-H-style reports

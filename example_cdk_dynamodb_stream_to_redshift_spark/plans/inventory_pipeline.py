@@ -671,6 +671,78 @@ def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking: split long documents into fixed-size token
+# windows with overlap — the doc -> training-sample splitter that feeds a
+# context-bounded model. Counterpart of sequence_packing (which CONCATS
+# short docs up to the budget; this SPLITS long ones down to it).
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_STRIDE = 32, 24  # window / stride => 8-token overlap
+
+
+@register(
+    "doc_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents),
+    c AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + greatest(
+               (n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE},
+               0))) AS chunk_idx,
+             toks
+      FROM t)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} AS INT) AS first_token,
+           CAST(len(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W})) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks,
+                    chunk_idx * {_CHUNK_STRIDE} + 1,
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W}), ' '))
+             AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    f"Context-window chunking: {_CHUNK_W}-token windows, stride "
+    f"{_CHUNK_STRIDE} (overlap {_CHUNK_W - _CHUNK_STRIDE}). Per-row "
+    "sequence+explode over integer chunk starts — a narrow generator "
+    "projection, no shuffle, no window function; chunk content pinned by "
+    "md5 so the checked rows stay small. At 100 TB this is the same "
+    "embarrassingly-parallel map as tokenization itself.",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    n_chunks_minus1 = F.greatest(
+        F.expr(
+            f"(size(split(text, ' ')) - {_CHUNK_W} + {_CHUNK_STRIDE} - 1)"
+            f" div {_CHUNK_STRIDE}"
+        ),
+        F.lit(0),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk = F.slice(F.col("toks"), start + 1, _CHUNK_W)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks_minus1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            start.cast("int").alias("first_token"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

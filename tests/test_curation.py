@@ -87,3 +87,43 @@ def test_trim_plan_broadcasts_thresholds(spark):
     )
     plan = quality_trim(df, "score", "grp")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_tile_documents(spark):
+    # every document is tiled: chunk 0 starts at token 0, consecutive chunks
+    # advance by the stride, the final chunk reaches the last token, and all
+    # non-final chunks are full windows
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_pipeline import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        doc_chunk_windows,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
+        load_table,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    chunks = doc_chunk_windows(spark, SF_CORRECTNESS)
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("first_token").alias("first0"),
+            F.max(F.col("first_token") + F.col("n_chunk_tokens")).alias("reach"),
+            F.max("first_token").alias("last_start"),
+            F.sum(
+                F.when(F.col("n_chunk_tokens") != _CHUNK_W, 1).otherwise(0)
+            ).alias("n_partial"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = agg.filter(
+        (F.col("first0") != 0)
+        | (F.col("reach") != F.col("n_tokens"))            # tiles to the end
+        | (F.col("last_start") != (F.col("n_chunks") - 1) * _CHUNK_STRIDE)
+        | (F.col("n_partial") > 1)                         # only the tail short
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
