@@ -743,6 +743,63 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_centroid_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos
+      FROM embeddings),
+    j AS (SELECT source, pos, q
+          FROM e JOIN documents d ON e.vec_id = d.doc_id)
+    SELECT source, pos,
+           CAST(SUM(q) AS BIGINT) AS sum_q6,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS centroid
+    FROM j GROUP BY 1, 2 ORDER BY source, pos
+    """,
+    "Per-source embedding centroids (domain centroids for curation / "
+    "domain-mix analysis), long format (source, dim) so the check stays "
+    "narrow. Bit-stable: components quantized to 1e-6 int64 and SUMMED IN "
+    "EXACT INTEGER arithmetic (float partial-sum ordering differs across "
+    "engines; integer sums don't), one double division at the end. Plan: "
+    "the (doc -> source) map joins BEFORE posexplode so the shuffle "
+    "carries |sources| x dim partial sums, never exploded rows.",
+)
+def source_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    src_map = docs.select(F.col("doc_id").alias("vec_id"), "source")
+    q6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    return (
+        emb.join(src_map, "vec_id")
+        .select("source", F.posexplode(q6).alias("pos", "q"))
+        .groupBy("source", "pos")
+        .agg(
+            F.sum("q").alias("sum_q6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "source",
+            "pos",
+            "sum_q6",
+            "n",
+            (
+                F.col("sum_q6").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("centroid"),
+        )
+        .orderBy("source", "pos")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
