@@ -528,6 +528,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "language_rebalance_sample",
     "doc_chunk_windows",
     "source_centroid_embeddings",
+    "doc_winnowing_fingerprints",
     # long-green anchors (green in CORRECTNESS_r01/r02) spanning the core
     # operator families: joins+aggs, top-k, watermark, dedup/window, scalar
     # suite, set-free dedup path, LSH, clustering, ANN, TPC-H-style reports

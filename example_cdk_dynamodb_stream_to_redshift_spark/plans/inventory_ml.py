@@ -168,6 +168,59 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_WINNOW_W = 4  # winnowing window over consecutive 3-gram hashes
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(range(0, greatest(len(l) - 2, 0)),
+                   i -> md5(array_to_string(list_slice(l, i + 1, i + 3), ' ')))
+                   AS sh
+          FROM t),
+    w AS (SELECT doc_id,
+                 list_transform(range(0, greatest(len(sh) - {_WINNOW_W - 1}, 1)),
+                   j -> list_min(list_slice(sh, j + 1, j + {_WINNOW_W}))) AS wins
+          FROM s WHERE len(sh) > 0)
+    SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp
+    FROM w ORDER BY doc_id, fp
+    """,
+    "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS "
+    f"algorithm): per {_WINNOW_W}-window of consecutive 3-gram hashes keep "
+    "the minimum — guarantees any shared run of >= w+k-1 tokens shares a "
+    "fingerprint, at ~2/(w+1) the density of full shingling. Entirely "
+    "per-row higher-order array expressions (codegen, no shuffle, no UDF); "
+    "the fingerprint set is the join key for MOSS-style overlap detection "
+    "at a fraction of the inverted-index volume.",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(toks, i + 1, 3)).cast("binary")
+        ),
+    )
+    with_sh = docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    wins = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(F.col("sh")) - _WINNOW_W, F.lit(0))
+        ),
+        lambda j: F.array_min(F.slice(F.col("sh"), j + 1, _WINNOW_W)),
+    )
+    return (
+        with_sh.select(
+            "doc_id",
+            F.explode(F.array_sort(F.array_distinct(wins))).alias("fp"),
+        )
+        .orderBy("doc_id", "fp")
+    )
+
+
 @register(
     "doc_fingerprints",
     """
