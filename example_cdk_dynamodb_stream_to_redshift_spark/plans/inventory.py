@@ -529,6 +529,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_chunk_windows",
     "source_centroid_embeddings",
     "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     # long-green anchors (green in CORRECTNESS_r01/r02) spanning the core
     # operator families: joins+aggs, top-k, watermark, dedup/window, scalar
     # suite, set-free dedup path, LSH, clustering, ANN, TPC-H-style reports
