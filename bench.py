@@ -69,6 +69,9 @@ HEADLINE = [
     "top_docs_per_source",
     "bm25_topk_docs",
     "language_rebalance_sample",
+    "doc_chunk_windows",
+    "source_centroid_embeddings",
+    "winnowing_overlap_pairs",
 ]
 
 
