@@ -90,7 +90,7 @@ def build_bloom(
 def might_contain_filter(
     df: DataFrame,
     key_col: str,
-    bits: np.ndarray,
+    bits,
     num_bits: int,
     k: int = 4,
 ) -> DataFrame:
@@ -98,8 +98,23 @@ def might_contain_filter(
     (no false negatives; ~ (set_bits/num_bits)^k false positives). The
     bitset ships via an explicit SparkContext.broadcast, so every task
     reads the executor-local torrent copy instead of unpickling it from
-    its own closure."""
-    bc = df.sparkSession.sparkContext.broadcast(bits)
+    its own closure.
+
+    ``bits`` is either the packed ``np.ndarray`` bitset (a broadcast is
+    created per call — fine for one-shot queries, but repeated calls on a
+    long-lived session each pin a bitset-sized broadcast block until the
+    Python object is GC'd) or a pre-built ``SparkContext.broadcast`` of
+    that array: callers that probe repeatedly (benchmark loops, resident
+    services) should broadcast once, pass the handle, and ``unpersist()``
+    it when the LAST DataFrame derived from it has been consumed —
+    Spark's broadcast blocks are only dropped explicitly or at GC."""
+    from pyspark.broadcast import Broadcast
+
+    bc = (
+        bits
+        if isinstance(bits, Broadcast)
+        else df.sparkSession.sparkContext.broadcast(bits)
+    )
 
     @F.pandas_udf("boolean")
     def _probe(*lanes: pd.Series) -> pd.Series:

@@ -233,13 +233,43 @@ def incremental_merge(
     return survivors.unionByName(inserts)
 
 
-def finalize_merge_stats(stats: dict) -> dict:
+def finalize_merge_stats(stats: dict, timeout_s: float = 60.0) -> dict:
     """Resolve the pending write-action observations left in ``stats`` by
     ``incremental_merge`` into ``deleted_count``. Call AFTER executing an
     action on the merged DataFrame (the observation listener fires with
-    that action; calling earlier would block)."""
+    that action).
+
+    The wait is BOUNDED: ``Observation.get`` blocks forever if the action
+    never ran (write failed/skipped, or a refactor dropped it), which would
+    hang the foreachBatch merge thread. We poll the JVM-side
+    ``getRowOrEmpty`` (itself a ~100 ms bounded wait) up to ``timeout_s``;
+    on timeout the ``_obs_*`` handles are dropped (they hold unpicklable
+    JVM refs) and ``deleted_count`` is set to None so callers log a gap
+    instead of deadlocking."""
+    import time
+
     obs_target = stats.pop("_obs_target", None)
     obs_survivors = stats.pop("_obs_survivors", None)
-    if obs_target is not None:
-        stats["deleted_count"] = obs_target.get["n"] - obs_survivors.get["n"]
+    if obs_target is None or obs_survivors is None:
+        return stats
+
+    deadline = time.monotonic() + timeout_s
+
+    def _metric_n(obs) -> int | None:
+        jo = getattr(obs, "_jo", None)
+        if jo is None:  # never attached via .observe — no action can fire it
+            return None
+        while True:
+            if jo.getRowOrEmpty().isDefined():
+                return obs.get["n"]  # metrics present: this cannot block
+            if time.monotonic() >= deadline:
+                return None
+
+    n_target = _metric_n(obs_target)
+    n_survivors = _metric_n(obs_survivors)
+    stats["deleted_count"] = (
+        n_target - n_survivors
+        if n_target is not None and n_survivors is not None
+        else None
+    )
     return stats

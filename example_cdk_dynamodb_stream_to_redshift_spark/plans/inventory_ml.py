@@ -195,8 +195,9 @@ _WINNOW_W = 4  # winnowing window over consecutive 3-gram hashes
     "the fingerprint set is the join key for MOSS-style overlap detection "
     "at a fraction of the inverted-index volume.",
 )
-def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _winnowing_index(docs: DataFrame) -> DataFrame:
+    """Unordered (doc_id, fp) winnowing index — the join input; the
+    driver-facing fingerprint query adds the presentation sort."""
     toks = TX.tokens("text")
     n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
     sh = F.transform(
@@ -212,13 +213,15 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda j: F.array_min(F.slice(F.col("sh"), j + 1, _WINNOW_W)),
     )
-    return (
-        with_sh.select(
-            "doc_id",
-            F.explode(F.array_sort(F.array_distinct(wins))).alias("fp"),
-        )
-        .orderBy("doc_id", "fp")
+    return with_sh.select(
+        "doc_id",
+        F.explode(F.array_sort(F.array_distinct(wins))).alias("fp"),
     )
+
+
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _winnowing_index(docs).orderBy("doc_id", "fp")
 
 
 # shared winnowing CTE body (through `w`), reused by the pairs query
@@ -238,36 +241,68 @@ _WINNOW_CTE = f"""
 """
 
 
-@register(
-    "winnowing_overlap_pairs",
-    _WINNOW_CTE
-    + """
-    , idx AS (SELECT doc_id, unnest(fps) AS fp FROM w)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(COUNT(*) AS BIGINT) AS shared_fps
-    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING COUNT(*) >= 3
-    ORDER BY id_a, id_b
-    """,
-    "MOSS-style overlap detection end-to-end: the winnowed fingerprint "
-    "sets self-join on fp (inverted-index equi-join — candidates only, "
-    "never all-pairs) and pairs sharing >= 3 fingerprints surface. Same "
-    "plan family as ngram_jaccard_pairs but the joined index is ~2/(w+1) "
-    "the size, which at 100 TB is the difference between shuffling 40% "
-    "and 100% of the shingle volume for the same shared-run guarantee.",
-)
-def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = doc_winnowing_fingerprints(spark, sf_dir)
-    a = idx.select(F.col("doc_id").alias("id_a"), "fp")
-    b = idx.select(F.col("doc_id").alias("id_b"), "fp")
+# Stop-fingerprint cap (MOSS's own over-common-hash drop): a fingerprint
+# shared by f docs yields f^2 candidate rows in ONE join key, and — unlike a
+# MinHash band bucket, where a hot bucket approximates a true near-dup
+# cluster — one shared 3-gram window is weak evidence, so boilerplate
+# (license headers, templates) creates pathological skew on real corpora.
+# Fingerprints with document frequency > this cap are dropped BEFORE the
+# self-join, bounding any join key's fan-out to _WINNOW_MAX_DF^2.
+_WINNOW_MAX_DF = 10
+
+
+def winnowing_pairs_from_index(idx: DataFrame, max_df: int = _WINNOW_MAX_DF,
+                               min_shared: int = 3) -> DataFrame:
+    """Overlap pairs from a (doc_id, fp) winnowing index with the stop-fp
+    cap applied. The hot-fp set is tiny by construction (only fps above the
+    cap), so it broadcasts to a map-side anti-join — no extra shuffle of
+    the index beyond the df-count aggregation."""
+    hot = (
+        idx.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    kept = idx.join(F.broadcast(hot), "fp", "left_anti")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 3)
-        .orderBy("id_a", "id_b")
+        .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    _WINNOW_CTE
+    + f"""
+    , idx AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+    , keep AS (SELECT fp FROM idx GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_DF})
+    , k AS (SELECT doc_id, fp FROM idx JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+    "MOSS-style overlap detection end-to-end: the winnowed fingerprint "
+    "sets self-join on fp (inverted-index equi-join — candidates only, "
+    "never all-pairs) and pairs sharing >= 3 fingerprints surface. "
+    f"Fingerprints appearing in > {_WINNOW_MAX_DF} docs are dropped before "
+    "the join (MOSS's over-common-hash drop, restated in the oracle): a "
+    "boilerplate fingerprint would otherwise fan out f^2 rows under one "
+    "join key. Same plan family as ngram_jaccard_pairs but the joined "
+    "index is ~2/(w+1) the size, which at 100 TB is the difference "
+    "between shuffling 40% and 100% of the shingle volume for the same "
+    "shared-run guarantee.",
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _winnowing_index(docs)
+    return winnowing_pairs_from_index(idx).orderBy("id_a", "id_b")
 
 
 @register(
@@ -393,6 +428,55 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_exact_near_dups",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+    h AS (SELECT doc_id,
+            CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS UBIGINT)
+              * 4294967296
+          + CAST(CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS UBIGINT)
+            AS hv
+          FROM tok),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (hv >> (63 - b.b)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(64)) AS b) b
+      GROUP BY doc_id, b.b),
+    sig AS (SELECT doc_id, bit, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s
+            FROM votes),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM sig a JOIN sig b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+    "SimHash near-dup pairs in the pigeonhole-EXACT configuration: with "
+    "d+1 = 4 signature blocks, any pair within Hamming distance 3 must "
+    "share >= 1 whole block (pigeonhole), so the block equi-join plan has "
+    "recall 1.0 by construction and the bit_count verify makes precision "
+    "exact — the driver row hash-proves operators/simhash.py's Pandas-UDF "
+    "signature AND the block-join machinery against a DuckDB brute force "
+    "that re-derives the 64-bit vote signature per doc (md5-based token "
+    "hash restated bitwise) and compares all pairs. Same driver-proof "
+    "pattern as srp_ann_exact_topk / ivf_ann_fullprobe_topk. Nearest "
+    "reference analogue: key-identity dedup "
+    "(sql/incremental_sync_members.sql:38-40) generalized to "
+    "near-identity.",
+)
+def simhash_exact_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_dup_pairs(docs, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -248,7 +248,7 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
           x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS BIGINT)) AS q8
       FROM n)
     SELECT vec_id,
-      list_sum(q8) AS q8_sum,
+      CAST(list_sum(q8) AS BIGINT) AS q8_sum,
       list_min(q8) AS q8_min,
       list_max(q8) AS q8_max,
       len(list_filter(q8, x -> x <> 0)) AS q8_nnz
@@ -514,9 +514,9 @@ _PACK_SHARD = 100
       FROM documents),
     c AS (
       SELECT doc_id, shard, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS tok_offset
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS tok_offset
       FROM t)
     SELECT doc_id, shard, n_tokens, tok_offset,
            tok_offset // {_PACK_BUDGET} AS first_seq,

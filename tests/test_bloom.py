@@ -84,3 +84,22 @@ def test_bloom_decontamination_matches_direct(spark):
     direct = ngram_decontamination(spark, SF_CORRECTNESS).collect()
     bloom = ngram_decontamination_bloom(spark, SF_CORRECTNESS).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in bloom]
+
+
+def test_prebuilt_broadcast_reuse(spark):
+    """Callers probing repeatedly can broadcast the bitset ONCE and pass
+    the handle (ADVICE r3: per-call broadcasts accumulate executor blocks
+    until Python GC); results are identical and the caller owns cleanup."""
+    members = spark.createDataFrame([(m,) for m in ("alpha", "beta")], "s string")
+    members = members.select(F.md5("s").alias("g"))
+    keyed = spark.createDataFrame(
+        [(s,) for s in ("alpha", "beta", "gamma", "delta")], "s string"
+    ).select("s", F.md5("s").alias("g"))
+    bits = build_bloom(members, "g", num_bits=1 << 16, k=4)
+    bc = spark.sparkContext.broadcast(bits)
+    try:
+        kept1 = {r["s"] for r in might_contain_filter(keyed, "g", bc, 1 << 16, 4).collect()}
+        kept2 = {r["s"] for r in might_contain_filter(keyed, "g", bc, 1 << 16, 4).collect()}
+    finally:
+        bc.unpersist()
+    assert {"alpha", "beta"} <= kept1 and kept1 == kept2
