@@ -72,6 +72,9 @@ HEADLINE = [
     "doc_chunk_windows",
     "source_centroid_embeddings",
     "winnowing_overlap_pairs",
+    "simhash_exact_near_dups",
+    "substring_dup_stats",
+    "bpe_pair_candidates",
 ]
 
 

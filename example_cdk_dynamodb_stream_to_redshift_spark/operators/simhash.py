@@ -29,24 +29,47 @@ def _token_bits(token: str) -> int:
     return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
+_BIT_IDX = np.arange(63, -1, -1, dtype=np.uint64)
+_POW2 = (np.uint64(1) << _BIT_IDX).astype(np.uint64)
+
+
+def _token_votes(token: str, cache: dict) -> np.ndarray:
+    """±1 vote row (int32[64]) for one token, memoized: corpora have small
+    vocabularies relative to token volume, so hashing each DISTINCT token
+    once per Arrow batch removes the md5 from the per-token hot path."""
+    row = cache.get(token)
+    if row is None:
+        h = np.uint64(_token_bits(token))
+        bits = ((h >> _BIT_IDX) & np.uint64(1)).astype(np.int32)
+        row = 2 * bits - 1
+        cache[token] = row
+    return row
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace-tokenized text (Arrow-batched)."""
+    """64-bit SimHash of whitespace-tokenized text (Arrow-batched).
+
+    Per doc: token-count vector × (±1 bit-vote matrix of its DISTINCT
+    tokens) — one integer matvec instead of a per-occurrence Python loop,
+    with the per-token vote rows memoized across the batch. Empty/null
+    text keeps the historical all-ones signature (every vote sum is 0,
+    and 0 >= 0 sets the bit)."""
+    from collections import Counter
+
+    cache: dict = {}
     out = np.empty(len(texts), dtype=np.int64)
-    weights = np.zeros(64, dtype=np.int64)
-    bit_idx = np.arange(63, -1, -1, dtype=np.uint64)
+    all_ones = np.int64(np.uint64(0xFFFFFFFFFFFFFFFF).astype(np.int64))
     for i, text in enumerate(texts):
-        weights[:] = 0
-        if text:
-            for tok in str(text).split():
-                h = np.uint64(_token_bits(tok))
-                bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
-                weights += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for b, w in enumerate(weights):
-            if w >= 0:
-                sig |= np.uint64(1) << np.uint64(63 - b)
-        out[i] = np.int64(sig)
+        toks = str(text).split() if text else []
+        if not toks:
+            out[i] = all_ones
+            continue
+        cnt = Counter(toks)
+        votes_matrix = np.stack([_token_votes(t, cache) for t in cnt])
+        counts = np.fromiter(cnt.values(), dtype=np.int32, count=len(cnt))
+        weights = counts @ votes_matrix
+        out[i] = np.int64(np.bitwise_or.reduce(_POW2[weights >= 0], initial=np.uint64(0)))
     return pd.Series(out)
 
 
@@ -69,15 +92,17 @@ def simhash_near_dup_pairs(
     strict ``id_a < id_b`` guard (no self-pairs even for duplicate ids);
     union + distinct, then exact Hamming verify with bit_count(XOR).
 
-    The banded self-join evaluates the signature pipeline for both sides
-    (2x the Pandas UDF) — deliberate: a cache would leak executor storage
-    for the app's lifetime, and enumerating pairs inside collected buckets
-    would build |bucket|^2 structs in ONE row (duplicate-heavy corpora have
-    a giant all-identical bucket — e.g. every empty doc shares one
-    signature — and that row OOMs an executor). The join form distributes
-    candidate pairs across the shuffle. Callers deduplicating repeatedly
-    should materialize ``simhash_signatures`` to a table once and join on
-    that."""
+    The signature pipeline is evaluated once PER JOIN SIDE (2x the Pandas
+    UDF total): the d+1 block keys are built in one projection and
+    posexploded, so all blocks ride ONE equi-join on (block_idx, key)
+    instead of d+1 separate joins each re-running the UDF. A cache would
+    cut it to 1x but leak executor storage for the app's lifetime;
+    enumerating pairs inside collected buckets would build |bucket|^2
+    structs in ONE row (duplicate-heavy corpora have a giant all-identical
+    bucket — e.g. every empty doc shares one signature — and that row OOMs
+    an executor). The join form distributes candidate pairs across the
+    shuffle. Callers deduplicating repeatedly should materialize
+    ``simhash_signatures`` to a table once and join on that."""
     sigs = simhash_signatures(df, text_col, id_col)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
@@ -87,20 +112,28 @@ def simhash_near_dup_pairs(
             F.lit((1 << width) - 1)
         )
 
-    cands = None
-    for i in range(n_blocks):
-        a = sigs.select(
-            F.col("id").alias("id_a"),
-            F.col("sig").alias("sig_a"),
-            block(F.col("sig"), i).alias("blk"),
-        )
-        b = sigs.select(
-            F.col("id").alias("id_b"),
-            F.col("sig").alias("sig_b"),
-            block(F.col("sig"), i).alias("blk"),
-        )
-        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
-        cands = p if cands is None else cands.unionByName(p)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"), block(F.col("sig"), i).alias("blk")
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = sigs.select("id", "sig", F.explode(blocks).alias("b")).select(
+        "id", "sig", F.col("b.bi").alias("bi"), F.col("b.blk").alias("blk")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bi", "blk"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bi", "blk"
+    )
+    cands = (
+        a.join(b, ["bi", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("bi", "blk")
+    )
 
     return (
         cands.distinct()

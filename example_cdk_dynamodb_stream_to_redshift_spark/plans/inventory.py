@@ -498,6 +498,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "simhash_exact_near_dups",
     # new in r4: driver-visible sync-run log (judge item 5)
     "sync_run_log",
+    # new in r4: substring-run dedup, BPE pair scan, semantic dup clusters
+    "substring_dup_stats",
+    "bpe_pair_candidates",
+    "embedding_dup_clusters",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -540,10 +544,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "rewards_by_quest",
     "recent_events_topk",
     "event_lag_topk",
-    "watermark_max",
-    "count_rows",
     "latest_event_per_user",
-    "customers_without_orders",
     "scalar_function_suite",
     "dedup_clusters",
 ]

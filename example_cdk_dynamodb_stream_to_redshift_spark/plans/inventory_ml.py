@@ -171,30 +171,6 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4  # winnowing window over consecutive 3-gram hashes
 
 
-@register(
-    "doc_winnowing_fingerprints",
-    f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-    s AS (SELECT doc_id,
-                 list_transform(range(0, greatest(len(l) - 2, 0)),
-                   i -> md5(array_to_string(list_slice(l, i + 1, i + 3), ' ')))
-                   AS sh
-          FROM t),
-    w AS (SELECT doc_id,
-                 list_transform(range(0, greatest(len(sh) - {_WINNOW_W - 1}, 1)),
-                   j -> list_min(list_slice(sh, j + 1, j + {_WINNOW_W}))) AS wins
-          FROM s WHERE len(sh) > 0)
-    SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp
-    FROM w ORDER BY doc_id, fp
-    """,
-    "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS "
-    f"algorithm): per {_WINNOW_W}-window of consecutive 3-gram hashes keep "
-    "the minimum — guarantees any shared run of >= w+k-1 tokens shares a "
-    "fingerprint, at ~2/(w+1) the density of full shingling. Entirely "
-    "per-row higher-order array expressions (codegen, no shuffle, no UDF); "
-    "the fingerprint set is the join key for MOSS-style overlap detection "
-    "at a fraction of the inverted-index volume.",
-)
 def _winnowing_index(docs: DataFrame) -> DataFrame:
     """Unordered (doc_id, fp) winnowing index — the join input; the
     driver-facing fingerprint query adds the presentation sort."""
@@ -219,6 +195,30 @@ def _winnowing_index(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "doc_winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(range(0, greatest(len(l) - 2, 0)),
+                   i -> md5(array_to_string(list_slice(l, i + 1, i + 3), ' ')))
+                   AS sh
+          FROM t),
+    w AS (SELECT doc_id,
+                 list_transform(range(0, greatest(len(sh) - {_WINNOW_W - 1}, 1)),
+                   j -> list_min(list_slice(sh, j + 1, j + {_WINNOW_W}))) AS wins
+          FROM s WHERE len(sh) > 0)
+    SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp
+    FROM w ORDER BY doc_id, fp
+    """,
+    "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS "
+    f"algorithm): per {_WINNOW_W}-window of consecutive 3-gram hashes keep "
+    "the minimum — guarantees any shared run of >= w+k-1 tokens shares a "
+    "fingerprint, at ~2/(w+1) the density of full shingling. Entirely "
+    "per-row higher-order array expressions (codegen, no shuffle, no UDF); "
+    "the fingerprint set is the join key for MOSS-style overlap detection "
+    "at a fraction of the inverted-index volume.",
+)
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _winnowing_index(docs).orderBy("doc_id", "fp")
@@ -303,6 +303,134 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     idx = _winnowing_index(docs)
     return winnowing_pairs_from_index(idx).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-run duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": remove long token runs that repeat
+# across the corpus). Window-hash inverted index — the distributed stand-in
+# for their suffix array: a shared >= N-token run implies a shared window.
+# ---------------------------------------------------------------------------
+_SUBSTR_N = 20  # token-window length flagged as a duplicated run
+
+
+@register(
+    "substring_dup_stats",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(list_transform(range(0, greatest(len(l) - {_SUBSTR_N - 1}, 0)),
+                   i -> md5(array_to_string(list_slice(l, i + 1, i + {_SUBSTR_N}), ' '))))
+                   AS h
+          FROM t),
+    hot AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+    dup AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+            FROM w JOIN hot USING (h) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(tot.n_windows, 0) AS n_windows,
+           COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(tot.n_windows, 0) > 0
+                THEN CAST(COALESCE(dup.n_dup_windows, 0) AS DOUBLE)
+                     / CAST(tot.n_windows AS DOUBLE)
+                ELSE 0.0 END AS dup_fraction
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN dup ON d.doc_id = dup.doc_id
+    ORDER BY d.doc_id
+    """,
+    f"Exact substring-run duplication stats (Lee et al. 2022 EXACTSUBSTR, "
+    f"distributed form): every {_SUBSTR_N}-token window hashes into an "
+    "inverted index (shingle_rows: one posexplode + lead windows, "
+    "codegen'd); windows whose hash appears in >= 2 DISTINCT docs are "
+    "cross-doc duplicated runs, counted back per doc with a semi-join. "
+    "All shuffles key on uniform md5/doc_id; no arrays ever hold a whole "
+    "doc's windows, so arbitrarily long docs stream. The per-doc "
+    "dup_fraction is the signal a pipeline thresholds to strip "
+    "boilerplate-heavy documents (int/int double division — exact in "
+    "both engines).",
+)
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_rows(docs, "text", "doc_id", _SUBSTR_N).select(
+        "id", F.md5(F.col("s").cast("binary")).alias("h")
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup = (
+        sh.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .join(tot, F.col("doc_id") == tot["id"], "left")
+        .drop(tot["id"])
+        .join(dup, F.col("doc_id") == dup["id"], "left")
+        .drop(dup["id"])
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", zero).alias("n_windows"),
+            F.coalesce("n_dup_windows", zero).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction, step one: the corpus-wide adjacent character-pair
+# frequency scan that picks the first merge (Sennrich et al. 2016). The full
+# algorithm iterates merge->rescan; each iteration is exactly this plan over
+# re-tokenized symbols, so driver-proving one scan proves the building block.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_pair_candidates",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2)))
+            AS pair
+          FROM tok WHERE len(t) >= 2)
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 25
+    """,
+    "BPE vocabulary induction, first merge scan (Sennrich 2016): explode "
+    "tokens to adjacent character pairs, count corpus-wide, top-25 with a "
+    "deterministic tie-break. Map-side explodes feed ONE aggregation "
+    "shuffle whose key space is bounded (|charset|^2, thousands of keys "
+    "regardless of corpus size — partial aggregation collapses almost "
+    "everything map-side), then TakeOrderedAndProject. The iterate-merge "
+    "loop of real BPE is this same plan re-run over re-paired symbols.",
+)
+def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(25)
+    )
 
 
 @register(
@@ -720,6 +848,75 @@ def srp_bucket_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=4,
         exact_engine_parity=True,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.01,
+                          list_transform(embedding[2:64], x -> CAST(x AS DOUBLE)))
+      FROM embeddings),
+    a AS (SELECT vec_id AS id_a, v AS va FROM aug),
+    b AS (SELECT vec_id AS id_b, v AS vb FROM aug),
+    pr AS (
+      SELECT id_a, id_b FROM a JOIN b ON id_a < id_b
+      WHERE {_COS_Q6_SQL} >= 0.99),
+    ed AS (SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    walk(node, reach) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN ed e ON w.reach = e.u),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT CAST(cc.node AS BIGINT) AS vec_id,
+           CAST(cc.cluster_id AS BIGINT) AS cluster_id,
+           sz.cluster_size,
+           cc.node = cc.cluster_id AS is_canonical
+    FROM cc JOIN sz USING (cluster_id)
+    ORDER BY vec_id
+    """,
+    "Semantic (embedding-space) dedup clustering end-to-end — the "
+    "SemDeDup-style composition: SRP pigeonhole block joins generate "
+    "cos >= 0.99 candidate pairs (never all-pairs), exact quantized cosine "
+    "verifies them, and alternating large-star/small-star connected "
+    "components (operators/components.py) collapse the pair relation into "
+    "clusters with a canonical min-id representative. Runs on the corpus "
+    "augmented with one deterministic near-duplicate per vector (the "
+    "srp_bucket_near_dups construction, restated in the oracle); the "
+    "oracle recomputes the closure with all-pairs + a recursive "
+    "reachability CTE — feasible only at oracle scale, while every Spark "
+    "stage (block equi-joins, star rounds) is the 100 TB path.",
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.srp_near_dup_pairs(
+        _augmented_embeddings(emb),
+        dim=64,
+        threshold=0.99,
+        max_hamming=4,
+        exact_engine_parity=True,
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @register(

@@ -218,3 +218,29 @@ def test_top_docs_per_source_windows_are_salt_scoped(spark):
     # two window nodes, no global (empty-partition) window
     assert plan.count("Window") >= 2
     assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_substring_dup_hot_join_is_semi_equi(spark):
+    # the duplicated-window marking must be a semi EQUI-join on the window
+    # hash (inverted-index shape); a nested-loop here would be all-pairs
+    plan = _plan(spark, "substring_dup_stats")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_scan_is_map_side_topk(spark):
+    # pair counting collapses map-side (bounded |charset|^2 key space) and
+    # the top-25 is per-partition heaps, never a global sort
+    plan = _plan(spark, "bpe_pair_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_winnowing_hot_fp_cap_is_broadcast_anti(spark):
+    # the stop-fingerprint drop must ride a BROADCAST anti-join (the hot
+    # set is tiny by construction) — a shuffled anti-join would re-shuffle
+    # the whole index just to drop a handful of fps
+    plan = _plan(spark, "winnowing_overlap_pairs")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
