@@ -92,18 +92,20 @@ def simhash_near_dup_pairs(
     strict ``id_a < id_b`` guard (no self-pairs even for duplicate ids);
     union + distinct, then exact Hamming verify with bit_count(XOR).
 
-    The signature pipeline is evaluated once PER JOIN SIDE (2x the Pandas
-    UDF total): the d+1 block keys are built in one projection and
-    posexploded, so all blocks ride ONE equi-join on (block_idx, key)
-    instead of d+1 separate joins each re-running the UDF. A cache would
-    cut it to 1x but leak executor storage for the app's lifetime;
-    enumerating pairs inside collected buckets would build |bucket|^2
-    structs in ONE row (duplicate-heavy corpora have a giant all-identical
-    bucket — e.g. every empty doc shares one signature — and that row OOMs
-    an executor). The join form distributes candidate pairs across the
-    shuffle. Callers deduplicating repeatedly should materialize
-    ``simhash_signatures`` to a table once and join on that."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    The signature pipeline runs ONCE: signatures are materialized via a
+    lazy localCheckpoint before the join (computed inside the caller's
+    first action, then read back by every consumer), so the Pandas UDF
+    never re-evaluates per join side. The checkpointed rows are 16
+    bytes/doc and are released by Spark's ContextCleaner when the
+    DataFrame is dereferenced — unlike an executor-lifetime cache.
+    Enumerating pairs inside collected buckets instead would build
+    |bucket|^2 structs in ONE row (duplicate-heavy corpora have a giant
+    all-identical bucket — e.g. every empty doc shares one signature —
+    and that row OOMs an executor); the join form distributes candidate
+    pairs across the shuffle. The d+1 block keys are built in one
+    projection and posexploded, so all blocks ride ONE equi-join on
+    (block_idx, key) instead of d+1 separate joins."""
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
 

@@ -498,10 +498,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "simhash_exact_near_dups",
     # new in r4: driver-visible sync-run log (judge item 5)
     "sync_run_log",
-    # new in r4: substring-run dedup, BPE pair scan, semantic dup clusters
+    # new in r4: substring-run dedup, BPE pair scan, semantic dup clusters,
+    # near-dedup corpus materialization, domain mixture weights
     "substring_dup_stats",
     "bpe_pair_candidates",
     "embedding_dup_clusters",
+    "near_dedup_corpus_keep_first",
+    "domain_mixture_weights",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -542,8 +545,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_winnowing_fingerprints",
     "rewards_by_member",
     "rewards_by_quest",
-    "recent_events_topk",
-    "event_lag_topk",
     "latest_event_per_user",
     "scalar_function_suite",
     "dedup_clusters",

@@ -254,16 +254,23 @@ _WINNOW_MAX_DF = 10
 def winnowing_pairs_from_index(idx: DataFrame, max_df: int = _WINNOW_MAX_DF,
                                min_shared: int = 3) -> DataFrame:
     """Overlap pairs from a (doc_id, fp) winnowing index with the stop-fp
-    cap applied. The hot-fp set is tiny by construction (only fps above the
-    cap), so it broadcasts to a map-side anti-join — no extra shuffle of
-    the index beyond the df-count aggregation."""
-    hot = (
-        idx.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("fp")
+    cap applied as a COUNT WINDOW over the same fp partitioning the
+    self-join needs: the index shuffles on fp exactly once, the window
+    filter drops hot fingerprints in-stream, and the second join side is an
+    identical subplan so Spark reuses the exchange (ReusedExchange —
+    measured: the cap costs ~nothing over the uncapped join, vs ~2x for a
+    separate df-count aggregate + anti-join, which shuffles the index
+    twice more). Skew posture: a boilerplate fingerprint's f rows land in
+    one window group — a LINEAR, spill-able pass (the rows are then
+    dropped), never the f^2 join fan-out the cap exists to prevent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    kept = (
+        idx.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    kept = idx.join(F.broadcast(hot), "fp", "left_anti")
     a = kept.select(F.col("doc_id").alias("id_a"), "fp")
     b = kept.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -788,6 +795,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "near_dedup_corpus_keep_first",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    idx AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS h FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS shared
+      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pr AS (
+      SELECT id_a, id_b FROM p
+      WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.05),
+    ed AS (SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    walk(node, reach) AS (
+      SELECT u, u FROM ed
+      UNION
+      SELECT w.node, e.v FROM walk w JOIN ed e ON w.reach = e.u),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    ORDER BY doc_id
+    """,
+    "The NEAR-deduplicated corpus itself — what a pipeline actually "
+    "materializes before training (the near-dup generalization of "
+    "dedup_corpus_keep_first): n-gram Jaccard pairs -> connected "
+    "components -> drop every non-canonical cluster member via a "
+    "broadcast anti-join (the drop set is |dups|, tiny relative to the "
+    "corpus). Every stage is the individually-proven scale path; the "
+    "oracle recomputes the closure with a recursive reachability CTE.",
+)
+def near_dedup_corpus_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.05)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
 

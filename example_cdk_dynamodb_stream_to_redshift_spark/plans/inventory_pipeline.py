@@ -672,6 +672,77 @@ def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Domain mixture weights: temperature-smoothed sampling probabilities per
+# source (the multilingual/multi-domain sampling rule p_i^alpha / sum p_j^alpha,
+# alpha < 1 upweights small domains — Conneau & Lample 2019; the static
+# ancestor of DoReMi-style reweighting).
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.3
+
+
+@register(
+    "domain_mixture_weights",
+    f"""
+    WITH c AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM c),
+    s AS (SELECT source, n_tokens,
+                 CAST(round(pow(CAST(n_tokens AS DOUBLE) / total, {_MIX_ALPHA})
+                            * 1000000000000) AS BIGINT) AS smq
+          FROM c, t),
+    z AS (SELECT CAST(SUM(smq) AS BIGINT) AS zsum FROM s)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+           round(CAST(smq AS DOUBLE) / zsum, 6) AS mixture_weight
+    FROM s, t, z ORDER BY source
+    """,
+    "Per-source training mixture weights: token counts (exact int64 "
+    "sums), each source's corpus share, and the temperature-smoothed "
+    f"sampling weight share^{_MIX_ALPHA} / Z (alpha < 1 upweights "
+    "small domains — the standard multilingual sampling rule). One "
+    "|sources|-row aggregate. Bit-stable: the pow result is 1e-12 "
+    "quantized to int64 BEFORE the normalizer sum (a double SUM's "
+    "accumulation order differs between engines; integer sums don't — "
+    "the centroid precedent), and the published weight is the exact "
+    "int64/int64 division rounded to the 1e-6 grid. The output IS the "
+    "sampler configuration a 100 TB pipeline broadcasts next to "
+    "language_rebalance_sample's keep test.",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    t = c.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    s = c.crossJoin(F.broadcast(t)).withColumn(
+        "smq",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("total"), _MIX_ALPHA)
+            * F.lit(1000000000000)
+        ).cast("bigint"),
+    )
+    z = s.agg(F.sum("smq").cast("bigint").alias("zsum"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("smq").cast("double") / F.col("zsum"), 6
+            ).alias("mixture_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking: split long documents into fixed-size token
 # windows with overlap — the doc -> training-sample splitter that feeds a
 # context-bounded model. Counterpart of sequence_packing (which CONCATS

@@ -237,10 +237,18 @@ def test_bpe_pair_scan_is_map_side_topk(spark):
     assert "partial_count" in plan
 
 
-def test_winnowing_hot_fp_cap_is_broadcast_anti(spark):
-    # the stop-fingerprint drop must ride a BROADCAST anti-join (the hot
-    # set is tiny by construction) — a shuffled anti-join would re-shuffle
-    # the whole index just to drop a handful of fps
+def test_winnowing_hot_fp_cap_is_instream_window(spark):
+    # the stop-fingerprint drop is a count window over the SAME fp
+    # partitioning the self-join needs — applied IN-STREAM on each join
+    # side (identical subplans; the exchange is reusable at scale), never a
+    # separate df-count aggregate + anti-join, which would shuffle the
+    # index twice more (measured ~2x end-to-end). Shape pins: the cap's
+    # Window is present, there is no anti-join, and only the two join
+    # sides scan the documents table.
     plan = _plan(spark, "winnowing_overlap_pairs")
-    assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "LeftAnti" not in plan
+    # formatted explain mentions each scan twice (tree + details): 2 scans
+    assert plan.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
