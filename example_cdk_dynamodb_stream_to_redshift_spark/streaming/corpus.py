@@ -1,0 +1,115 @@
+"""Streaming corpus ingestion with cross-batch exact dedup.
+
+The continuous-ingestion counterpart of the batch dedup family
+(operators/dedup.py): documents arrive as a stream, and each micro-batch
+lands only the docs whose content fingerprint has never been seen — the
+shape of a training-corpus collector that must stay duplicate-free while
+crawls/dumps trickle in.
+
+Reference tie-in: this is the CDC merge recipe (operators/merge.py,
+sql/incremental_sync_members.sql:38-52) re-keyed from row identity to
+CONTENT identity — within-batch keep-first collapse (ST3 analogue), then a
+dedup-anti-join into the accumulated target (ST4's delete+insert degenerates
+to insert-if-absent because content rows are immutable).
+
+Scale posture (the merge.py trick, reversed): the historical corpus is huge
+and the micro-batch is small, so the batch's fingerprint set BROADCASTS —
+history is probed map-side (left_semi against the broadcast batch set) and
+never shuffles; the resulting seen-set (<= |batch| rows) broadcasts back
+into an anti-join on the batch. Writes are batch_id-scoped overwrites, so
+foreachBatch replays are idempotent (same recipe as the extract/quarantine/
+sync-log writes in streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def content_fingerprint(col: str = "text") -> F.Column:
+    """The exact-dedup key (operators/dedup.py convention): md5 of the
+    lowercased, trimmed text."""
+    return F.md5(F.lower(F.trim(F.col(col))).cast("binary"))
+
+
+class CorpusIngestPipeline:
+    """File-source streaming ingestion: JSONL doc files -> deduplicated
+    corpus parquet. One ``refresh()`` = one AvailableNow micro-batch pass,
+    mirroring CdcPipeline's REFRESH parity."""
+
+    def __init__(self, spark: SparkSession, input_path: str, warehouse: str):
+        self.spark = spark
+        self.input_path = input_path
+        self.corpus_path = os.path.join(warehouse, "corpus")
+        self.checkpoint = os.path.join(warehouse, "_checkpoint")
+
+    # -- reads ------------------------------------------------------------
+    def corpus(self, exclude_batch: int | None = None) -> DataFrame:
+        """The accumulated deduplicated corpus (doc_id, text, lang, source,
+        fp, batch_id). ``exclude_batch`` drops one batch's rows — used by a
+        replayed batch so it never deduplicates against its own previous
+        write."""
+        dirs = _glob.glob(os.path.join(self.corpus_path, "batch_id=*"))
+        if exclude_batch is not None:
+            dirs = [
+                d for d in dirs
+                if not d.endswith(f"batch_id={exclude_batch}")
+            ]
+        if not dirs:
+            fields = list(DOC_STREAM_SCHEMA.fields) + [
+                T.StructField("fp", T.StringType()),
+                T.StructField("batch_id", T.IntegerType()),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return self.spark.read.option("basePath", self.corpus_path).parquet(*dirs)
+
+    # -- ingestion --------------------------------------------------------
+    def _ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
+        fp_batch = batch.withColumn("fp", content_fingerprint())
+        # within-batch keep-first (ST3 analogue): min doc_id per fingerprint,
+        # deterministic regardless of arrival order inside the batch
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        firsts = (
+            fp_batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # cross-batch dedup, history never shuffles: probe the (huge)
+        # corpus map-side with the (small) broadcast batch set, then
+        # anti-join the <=|batch| seen fingerprints back into the batch
+        history = self.corpus(exclude_batch=batch_id)
+        seen = history.join(
+            F.broadcast(firsts.select("fp")), "fp", "left_semi"
+        ).select("fp").distinct()
+        novel = firsts.join(F.broadcast(seen), "fp", "left_anti")
+        # batch-scoped overwrite => replay-idempotent append
+        novel.write.mode("overwrite").parquet(
+            os.path.join(self.corpus_path, f"batch_id={batch_id}")
+        )
+
+    def refresh(self) -> None:
+        """Process all newly-arrived doc files, then return (AvailableNow)."""
+        stream = self.spark.readStream.schema(DOC_STREAM_SCHEMA).json(
+            self.input_path
+        )
+        query = (
+            stream.writeStream.foreachBatch(self._ingest_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()

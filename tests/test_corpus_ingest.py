@@ -1,0 +1,87 @@
+"""Streaming corpus ingestion: cross-batch exact dedup semantics.
+
+Pins: within-batch keep-first, cross-batch fingerprint suppression,
+incremental second refresh (checkpointed file source), and replay
+idempotence of a batch write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.corpus import (
+    CorpusIngestPipeline,
+)
+
+
+def _write_docs(path: str, docs: list[tuple[int, str]]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for doc_id, text in docs:
+            fh.write(
+                json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "source": "s"}
+                )
+                + "\n"
+            )
+
+
+def _ids(pipe: CorpusIngestPipeline) -> set[int]:
+    return {r["doc_id"] for r in pipe.corpus().collect()}
+
+
+def test_two_refreshes_dedup_within_and_across_batches(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+
+    # batch 1: docs 1 and 3 share content -> keep-first keeps 1
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha text"), (2, "beta text"), (3, "alpha text")])
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2}
+
+    # batch 2: doc 4 repeats batch-1 content (suppressed), 5 is novel;
+    # case/whitespace-normalized duplicate (6) is suppressed too
+    _write_docs(
+        os.path.join(inp, "b2.json"),
+        [(4, "beta text"), (5, "gamma text"), (6, "  ALPHA TEXT  ")],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2, 5}
+
+    # corpus rows carry their landing batch and fingerprint
+    rows = {r["doc_id"]: r for r in pipe.corpus().collect()}
+    assert rows[5]["batch_id"] == 1  # second micro-batch (0-indexed)
+    assert rows[1]["fp"] == rows[1]["fp"] and len(rows[1]["fp"]) == 32
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    pipe.refresh()
+    before = _ids(pipe)
+
+    # simulate foreachBatch at-least-once: re-run the SAME batch payload
+    # with the same batch_id — the batch-scoped overwrite plus
+    # exclude-own-batch dedup must leave the corpus unchanged
+    batch = spark.createDataFrame(
+        [(1, "alpha", "en", "s"), (2, "beta", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(batch, 0)
+    assert _ids(pipe) == before
+
+    # and a replay that races AFTER later batches still only rewrites its
+    # own directory: add batch 1, then replay batch 0 again
+    _write_docs(os.path.join(inp, "b2.json"), [(3, "gamma")])
+    pipe.refresh()
+    pipe._ingest_batch(batch, 0)
+    assert _ids(pipe) == {1, 2, 3}
+
+
+def test_empty_corpus_reader_has_full_schema(spark, tmp_path):
+    pipe = CorpusIngestPipeline(spark, str(tmp_path / "in"), str(tmp_path / "wh"))
+    df = pipe.corpus()
+    assert df.count() == 0
+    assert set(df.columns) == {"doc_id", "text", "lang", "source", "fp", "batch_id"}

@@ -107,8 +107,11 @@ def test_interval_join_is_keyed_not_cartesian(spark):
 def test_no_cartesian_products(spark):
     # cross joins in the inventory are all broadcast-1-row by construction;
     # a real CartesianProduct node means someone dropped a join key.
+    # sync_run_log is excluded: building its DataFrame RUNS the streaming
+    # CDC pipeline (its result is a collected local relation, whose plan
+    # trivially has no joins) — executing it here costs ~5s for nothing.
     for name, q in REGISTRY.items():
-        if q.oracle is None:
+        if q.oracle is None or name == "sync_run_log":
             continue
         assert "CartesianProduct" not in _plan(spark, name), name
 
