@@ -355,6 +355,22 @@ def build_ivf_index(
     )
 
 
+def write_ivf_index(index: DataFrame, path: str) -> None:
+    """Persist the inverted lists PARTITIONED BY cid — the layout that makes
+    ``ivf_topk``'s ``cid IN (probe set)`` filter a storage-level partition
+    prune: a probe job lists and reads only nprobe of the K directories
+    (asserted against ``inputFiles()`` in tests/test_ivf_ann.py). At 100 TB
+    this is the difference between scanning nprobe/K of the corpus and all
+    of it."""
+    index.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Read inverted lists written by write_ivf_index; ``cid`` comes back as
+    the partition column."""
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     index: DataFrame,
     query_vec: list[float],
