@@ -505,6 +505,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_dup_clusters",
     "near_dedup_corpus_keep_first",
     "domain_mixture_weights",
+    "embedding_contamination_audit",
+    "doc_unigram_logprob",
+    "training_shard_manifest",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -544,9 +547,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_centroid_embeddings",
     "doc_winnowing_fingerprints",
     "rewards_by_member",
-    "rewards_by_quest",
-    "latest_event_per_user",
-    "scalar_function_suite",
     "dedup_clusters",
 ]
 

@@ -724,6 +724,108 @@ def srp_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_contamination_audit",
+    f"""
+    WITH te AS (SELECT vec_id AS test_id, embedding AS vb FROM embeddings
+                WHERE vec_id % 10 = 0),
+         tr AS (SELECT vec_id, embedding AS va FROM embeddings
+                WHERE vec_id % 10 <> 0),
+         p AS (SELECT test_id, {_COS_Q6_SQL} AS cos_sim FROM tr, te)
+    SELECT test_id, MAX(cos_sim) AS max_train_cos,
+           MAX(cos_sim) >= 0.5 AS contaminated
+    FROM p GROUP BY test_id ORDER BY test_id
+    """,
+    "Semantic (embedding-space) train/test contamination audit — the "
+    "dense-retrieval counterpart of ngram_decontamination: every held-out "
+    "vector (vec_id % 10 = 0) reports its maximum cosine against the "
+    "train split, flagged above 0.5. Plan: the SMALL test split "
+    "broadcasts, the train corpus is scanned ONCE with per-row cosine "
+    "against each broadcast test vector, and the per-test MAX collapses "
+    "map-side (partial agg over |test| keys) — no pair set ever "
+    "shuffles. MAX over quantized-int64 cosines is order-independent, so "
+    "the hash is exact cross-engine. At 100 TB the same plan holds (the "
+    "audit is one linear train scan); an SRP prefilter can cheapen the "
+    "per-row cosine when |test| grows.",
+)
+def embedding_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("test_id"), F.col("embedding").alias("tv")
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("embedding").alias("rv")
+    )
+    pairs = train.crossJoin(F.broadcast(test)).select(
+        "test_id",
+        SIM.cosine_q6(F.col("rv"), F.col("tv")).alias("cos_sim"),
+    )
+    return (
+        pairs.groupBy("test_id")
+        .agg(F.max("cos_sim").alias("max_train_cos"))
+        .withColumn("contaminated", F.col("max_train_cos") >= 0.5)
+        .orderBy("test_id")
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM v),
+    lp AS (SELECT t,
+                  CAST(round(ln(CAST(n AS DOUBLE) / total) * 1000000)
+                       AS BIGINT) AS lpq
+           FROM v, tot),
+    d AS (SELECT doc_id, CAST(SUM(lpq) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok JOIN lp ON tok.t = lp.t GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6)
+             AS avg_logprob
+    FROM d ORDER BY doc_id
+    """,
+    "Unigram language-model quality score (the CCNet-style LM-perplexity "
+    "proxy): corpus unigram distribution -> per-doc mean token log-prob; "
+    "low scores mark gibberish/rare-token noise, high scores mark "
+    "boilerplate. Bit-stable: each token's ln is quantized to 1e-6 int64 "
+    "BEFORE the per-doc sum (double addition is order-dependent across "
+    "engines; integer sums aren't), and the mean is one exact int/double "
+    "division. Plan: the vocab (bounded) broadcasts into the token "
+    "stream, per-doc sums collapse map-side keyed by uniform doc_id.",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    v = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = v.agg(F.sum("n").cast("bigint").alias("total"))
+    lp = v.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("total")) * 1000000
+        )
+        .cast("bigint")
+        .alias("lpq"),
+    )
+    d = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lpq").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n_tokens")), 6
+        ).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_corpus_keep_first",
     """
     SELECT doc_id, lang, source FROM documents

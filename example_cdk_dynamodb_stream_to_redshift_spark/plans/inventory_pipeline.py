@@ -672,6 +672,63 @@ def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training shard manifest: the write-side plan for materializing a corpus as
+# N equal-ish shards — hash-assigned (re-ingestion stable, like the splits)
+# with per-shard row/token accounting, the manifest a distributed writer
+# needs before bucketing 100 TB into training files.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@register(
+    "training_shard_manifest",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_N_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+    f"Training shard manifest: docs hash-assigned to {_N_SHARDS} shards "
+    "(md5-derived — identical assignment on any engine, partitioning, or "
+    "rerun, the split/sample convention), with per-shard doc and token "
+    "accounting. One bounded-key aggregation with map-side partials; the "
+    "manifest is what a writer uses to `partitionBy(shard)` the corpus "
+    "and size training files at 100 TB.",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            (h32 % _N_SHARDS).alias("shard"),
+            TX.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Domain mixture weights: temperature-smoothed sampling probabilities per
 # source (the multilingual/multi-domain sampling rule p_i^alpha / sum p_j^alpha,
 # alpha < 1 upweights small domains — Conneau & Lample 2019; the static
