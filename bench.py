@@ -75,6 +75,9 @@ HEADLINE = [
     "simhash_exact_near_dups",
     "substring_dup_stats",
     "bpe_pair_candidates",
+    "span_dedup_docs",
+    "minhash_incremental_dedup",
+    "quantized_ann_topk",
 ]
 
 

@@ -191,6 +191,40 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, key) LSH band-index rows — the PERSISTABLE form of the
+    MinHash index. One row per (doc, band); ``key`` is the md5 of the
+    band's signature slice, so equality on (band, key) is the LSH
+    candidate test.
+
+    This is the table a 100 TB corpus stores once (parquet partitioned by
+    ``band``, sorted/bucketed by ``key``) and every incremental crawl
+    batch probes: the batch computes signatures for ITS docs only and
+    equi-joins the stored index — the corpus is never re-shingled
+    (see incremental_near_dup_pairs)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)])
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -206,20 +240,7 @@ def minhash_lsh_candidate_pairs(
     md5-derived key, so no skew; candidate count is tunable via (K, B).
     Output: id_a < id_b, distinct.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)])
-            ).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
     # Bucket-grouped pair enumeration instead of a banded self-join: the
     # signature pipeline is evaluated ONCE (a self-join would recompute it
     # for each side), and pairs are enumerated inside each (band, key)
@@ -274,4 +295,142 @@ def minhash_lsh_near_dup_pairs(
         pairs.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_near_dup_pairs(
+    corpus_index: DataFrame,
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental near-dedup of a NEW batch against an EXISTING corpus's
+    persisted MinHash band index — the steady-state shape of corpus
+    collection at 100 TB, where the historical corpus must never be
+    re-shingled just because a new crawl arrived.
+
+    ``corpus_index`` is a (id, band, key) table from minhash_band_index —
+    normally read back from parquet partitioned by ``band`` (see
+    tests/test_incremental_dedup.py for the persisted round-trip). Only
+    the BATCH is signature-hashed here (O(|batch|) hash work); candidates
+    come from the (band, key) equi-join against the stored index, and
+    exact-Jaccard verification re-reads text for the candidate CORPUS
+    docs only (left-semi pushdown on the candidate id set) plus the
+    batch. At scale: the index join shuffles |batch_index| + the touched
+    index partitions; corpus text I/O is candidates-only.
+
+    Output: (batch_id, corpus_id, jaccard) for verified pairs, the rows a
+    collector uses to drop/flag near-dup batch docs before appending.
+    Reference tie-in: the CDC staging anti-join (operators/merge.py,
+    sql/incremental_sync_members.sql:38-52) re-keyed from row identity to
+    near-identity.
+    """
+    batch_index = minhash_band_index(
+        batch_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        batch_index.select(F.col("id").alias("batch_id"), "band", "key")
+        .join(corpus_index.select(F.col("id").alias("corpus_id"), "band", "key"),
+              ["band", "key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    # Shingle-set construction only for touched corpus docs: the semi-join
+    # prunes before the expensive posexplode/collect_set chain.
+    touched = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    corpus_sets = distinct_shingle_sets(
+        corpus_df.join(touched, id_col, "left_semi"), text_col, id_col, shingle_n
+    )
+    batch_sets = distinct_shingle_sets(batch_df, text_col, id_col, shingle_n)
+    pairs = (
+        cand.join(
+            batch_sets.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh_a")),
+            "batch_id",
+        )
+        .join(
+            corpus_sets.select(
+                F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jaccard = F.col("shared").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020 §2.2 adapted to
+    word spans): partition each document into non-overlapping
+    ``span_words``-word spans; any span whose exact text occurs elsewhere
+    in the corpus survives only at its globally-first occurrence
+    (ordered by (doc_id, span_idx)); surviving spans reassemble in order.
+
+    Plan: one split + posexplode per doc -> global first-occurrence per
+    span hash (groupBy min over an order-encoding integer) -> join back on
+    the hash -> keep first occurrences -> per-doc ordered reassembly
+    (collect_list of (idx, span) structs, array_sort, array_join). Three
+    shuffles, all on uniform keys (md5 span hash twice, doc id once).
+    The reassembly array holds one document's SURVIVING spans — a task
+    must see a whole doc to rebuild it, same bound as any per-doc
+    aggregation; no corpus-wide array ever materializes.
+
+    The (doc_id * 1e8 + span_idx) order encoding bounds docs at 1e8 spans
+    (10^9 words at span_words=10) — far beyond any real document.
+
+    Output: (doc_id, n_spans, n_spans_kept, clean_text); docs whose every
+    span occurred earlier come back with clean_text = ''.
+    """
+    n = span_words
+    toks = F.split(F.col(text_col), " ")
+    spans_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(_l) / {n}.0) as int) - 1), "
+        f"i -> array_join(slice(_l, i * {n} + 1, {n}), ' '))"
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_l")).select(
+        "id", spans_expr.alias("_spans")
+    )
+    totals = base.select("id", F.size("_spans").alias("n_spans"))
+    sp = base.select(
+        "id", F.posexplode("_spans").alias("span_idx", "span")
+    ).withColumn("h", F.md5(F.col("span").cast("binary"))).withColumn(
+        "pos", F.col("id") * F.lit(100000000).cast("long") + F.col("span_idx")
+    )
+    firsts = sp.groupBy("h").agg(F.min("pos").alias("first_pos"))
+    kept = sp.join(firsts, "h").filter(F.col("pos") == F.col("first_pos"))
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce("n_spans_kept", zero).alias("n_spans_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

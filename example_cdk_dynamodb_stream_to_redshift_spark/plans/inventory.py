@@ -508,6 +508,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_contamination_audit",
     "doc_unigram_logprob",
     "training_shard_manifest",
+    # new in r4 (second batch): C4 repeated-span removal, incremental
+    # MinHash-index dedup, int8-quantized ANN serving path, length buckets
+    "span_dedup_docs",
+    "minhash_incremental_dedup",
+    "quantized_ann_topk",
+    "token_length_histogram",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -515,11 +521,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "props_variant_extract",
     "param_events_by_user",
     "user_state_history",
-    "user_event_type_unpivot",
     "doc_token_topk",
-    "order_priority_having",
-    "returns_conditional_agg",
-    "orders_above_avg_price",
     "event_type_daily_cube",
     "event_gap_topk",
     "user_event_type_profile",

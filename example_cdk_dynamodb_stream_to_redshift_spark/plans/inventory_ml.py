@@ -1294,6 +1294,106 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn("keep", keep).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# C4-style repeated-span removal: dedup WITHIN documents at sub-document
+# granularity (Raffel et al. 2020 §2.2 removed any three-sentence span
+# occurring more than once in C4; this corpus has no sentence boundaries, so
+# the unit is a fixed 10-word span). Unlike whole-doc dedup this rewrites
+# surviving documents.
+# ---------------------------------------------------------------------------
+_SPAN_W = 10
+
+
+@register(
+    "span_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tot AS (SELECT doc_id, CAST(ceil(len(l) / {_SPAN_W}.0) AS BIGINT) AS n_spans
+            FROM t),
+    sp AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(l) / {_SPAN_W}.0) AS BIGINT)),
+               i -> struct_pack(idx := i,
+                      sp := array_to_string(
+                        list_slice(l, i*{_SPAN_W} + 1, i*{_SPAN_W} + {_SPAN_W}),
+                        ' ')))) AS s
+           FROM t),
+    spx AS (SELECT doc_id, s.idx AS span_idx, s.sp AS span, md5(s.sp) AS h,
+                   doc_id * 100000000 + s.idx AS pos FROM sp),
+    firsts AS (SELECT h, min(pos) AS first_pos FROM spx GROUP BY h),
+    kept AS (SELECT doc_id, span_idx, span FROM spx JOIN firsts USING (h)
+             WHERE pos = first_pos),
+    ka AS (SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+                  COUNT(*) AS n_spans_kept FROM kept GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_spans,
+           CAST(COALESCE(ka.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+           COALESCE(ka.clean_text, '') AS clean_text
+    FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+    ORDER BY tot.doc_id
+    """,
+    f"C4-style repeated-span removal (Raffel 2020 §2.2, {_SPAN_W}-word "
+    "spans standing in for three-sentence spans): every non-overlapping "
+    "span occurring more than once corpus-wide survives only at its "
+    "globally-first (doc_id, span_idx) occurrence; documents are "
+    "REASSEMBLED from surviving spans in order (operators/dedup.span_dedup)"
+    ". The hash check covers the rewritten text itself, not just counts — "
+    "the strongest equality the driver can assert. Three uniform-key "
+    "shuffles (md5 span hash ×2, doc id ×1); the only array held is one "
+    "doc's surviving spans during reassembly.",
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.span_dedup(docs, span_words=_SPAN_W).orderBy("doc_id")
+
+
+@register(
+    "minhash_incremental_dedup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2),
+          i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))) AS s
+      FROM documents),
+    sig AS (SELECT doc_id, s, {_minhash_sig_sql(16)} AS g FROM sh),
+    bands AS (
+      SELECT doc_id, b.band,
+        md5(concat_ws('|', g[b.band*4 + 1], g[b.band*4 + 2],
+                           g[b.band*4 + 3], g[b.band*4 + 4])) AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+    verified AS (
+      SELECT batch_id, corpus_id,
+        CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+          / CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS DOUBLE)
+          AS jaccard
+      FROM cand JOIN sh x ON cand.batch_id = x.doc_id
+                JOIN sh y ON cand.corpus_id = y.doc_id)
+    SELECT batch_id, corpus_id, jaccard FROM verified
+    WHERE jaccard >= 0.05 ORDER BY batch_id, corpus_id
+    """,
+    "Incremental near-dedup of a new crawl batch (doc_id % 10 = 7) against "
+    "the EXISTING corpus's MinHash band index — the steady-state collector "
+    "shape at 100 TB: the historical corpus is signature-hashed once "
+    "(operators/dedup.minhash_band_index, persistable parquet partitioned "
+    "by band), each arriving batch hashes only ITS docs and equi-joins the "
+    "stored index; exact-Jaccard verify re-reads corpus text for candidate "
+    "ids only (left-semi pushdown). The oracle re-derives both sides' "
+    "signatures from scratch — same answer, which is the point: "
+    "incremental probing loses nothing. tests/test_incremental_dedup.py "
+    "proves the persisted-index round-trip gives identical pairs.",
+)
+def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_index = DD.minhash_band_index(corpus, num_hashes=16, bands=4)
+    return DD.incremental_near_dup_pairs(
+        corpus_index, corpus, batch, num_hashes=16, bands=4, threshold=0.05
+    ).orderBy("batch_id", "corpus_id")
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -230,6 +230,34 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_q8(emb: DataFrame) -> DataFrame:
+    """(vec_id, q8): the unit-normalized int8 quantization of ``embedding``
+    — the shared projection behind embedding_norm_quantize (format audit)
+    and quantized_ann_topk (serving-path search). Components quantize to
+    1e-6 int64 first so the norm is an order-independent integer sum."""
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    out = emb.select(F.col("vec_id"), qv.alias("q"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    # nrm materializes as a COLUMN before the per-element division — an
+    # expression referenced inside the transform lambda would re-evaluate
+    # the whole norm fold once per component (the no-CSE pitfall)
+    return out.select("vec_id", "q", nrm.alias("_nrm")).select(
+        "vec_id",
+        F.transform(
+            "q",
+            lambda x: F.round(x.cast("double") / F.col("_nrm") * 127).cast("long"),
+        ).alias("q8"),
+    )
+
+
 @register(
     "embedding_norm_quantize",
     """
@@ -266,27 +294,7 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
-    )
-    out = emb.select(F.col("vec_id"), qv.alias("q"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("q", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).cast("double")
-    )
-    # nrm materializes as a COLUMN before the per-element division — an
-    # expression referenced inside the transform lambda would re-evaluate
-    # the whole norm fold once per component (the no-CSE pitfall)
-    out = out.select("vec_id", "q", nrm.alias("_nrm")).select(
-        "vec_id",
-        F.transform(
-            "q",
-            lambda x: F.round(x.cast("double") / F.col("_nrm") * 127).cast("long"),
-        ).alias("q8"),
-    )
+    out = _quantized_q8(emb)
     return out.select(
         "vec_id",
         F.aggregate("q8", F.lit(0).cast("long"), lambda a, x: a + x).alias("q8_sum"),
@@ -925,6 +933,94 @@ def source_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
         .orderBy("source", "pos")
+    )
+
+
+@register(
+    "quantized_ann_topk",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, q,
+        sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM qv),
+    q8s AS (
+      SELECT vec_id,
+        list_transform(q,
+          x -> CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS BIGINT)) AS q8
+      FROM n),
+    qq AS (SELECT q8 AS qv8 FROM q8s WHERE vec_id = 0)
+    SELECT s.vec_id,
+      CAST(list_sum(list_transform(range(1, len(s.q8) + 1),
+        i -> s.q8[i] * qq.qv8[i])) AS BIGINT) AS dot_q8
+    FROM q8s s, qq WHERE s.vec_id <> 0
+    ORDER BY dot_q8 DESC, s.vec_id LIMIT 10
+    """,
+    "ANN over the int8-QUANTIZED store (the serving path the "
+    "embedding_norm_quantize format exists for): similarity is the "
+    "INTEGER dot product of int8 unit vectors — bit-exact on any engine "
+    "and partition order, unlike a float cosine fold, and 4× less I/O "
+    "than float32 at 100 TB. The query vector's q8 form is collected "
+    "(one dim-length row) and broadcast as a literal into a codegen'd "
+    "zip_with/aggregate; top-10 is TakeOrderedAndProject (per-partition "
+    "heaps, no global sort). Deterministic tie-break on vec_id.",
+)
+def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8s = _quantized_q8(emb)
+    qvec = q8s.filter(F.col("vec_id") == 0).select("q8").first()[0]
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qvec])
+    dot = F.aggregate(
+        F.zip_with("q8", qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q8s.filter(F.col("vec_id") != 0)
+        .select("vec_id", dot.alias("dot_q8"))
+        .orderBy(F.desc("dot_q8"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "token_length_histogram",
+    """
+    WITH t AS (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT source, CAST(n // 32 AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(MIN(n) AS BIGINT) AS min_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source, len_bucket ORDER BY source, len_bucket
+    """,
+    "Token-length bucketing audit per source (32-token strides) — the "
+    "histogram a packing/batching pipeline reads to choose context "
+    "lengths and to spot truncation-heavy sources. Integer-exact "
+    "bucketing (floor division, no log2 float edge); one partial-agg "
+    "shuffle whose key space is |sources| × O(max_len/32) regardless of "
+    "corpus size.",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(F.split("text", " ")).alias("n")
+    )
+    return (
+        t.groupBy(
+            "source", F.floor(F.col("n") / F.lit(32)).cast("long").alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source", "len_bucket")
     )
 
 
