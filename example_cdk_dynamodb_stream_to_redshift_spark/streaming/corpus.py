@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import dedup as _dedup
+
 DOC_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -51,11 +53,25 @@ class CorpusIngestPipeline:
     corpus parquet. One ``refresh()`` = one AvailableNow micro-batch pass,
     mirroring CdcPipeline's REFRESH parity."""
 
-    def __init__(self, spark: SparkSession, input_path: str, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        warehouse: str,
+        near_dedup: bool = False,
+        num_hashes: int = 16,
+        bands: int = 4,
+        jaccard_threshold: float = 0.5,
+    ):
         self.spark = spark
         self.input_path = input_path
         self.corpus_path = os.path.join(warehouse, "corpus")
+        self.index_path = os.path.join(warehouse, "band_index")
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
+        self.near_dedup = near_dedup
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.jaccard_threshold = jaccard_threshold
 
     # -- reads ------------------------------------------------------------
     def corpus(self, exclude_batch: int | None = None) -> DataFrame:
@@ -77,6 +93,32 @@ class CorpusIngestPipeline:
             return self.spark.createDataFrame([], T.StructType(fields))
         return self.spark.read.option("basePath", self.corpus_path).parquet(*dirs)
 
+    def band_index(self, exclude_batch: int | None = None) -> DataFrame:
+        """The accumulated MinHash band index (id, band, key, batch_id) —
+        each corpus batch appended its OWN docs' band rows at ingest time,
+        so the index is always exactly the signatures of the accumulated
+        corpus without any corpus re-shingling. Same batch-scoped layout
+        (and ``exclude_batch`` replay guard) as the corpus itself."""
+        dirs = _glob.glob(os.path.join(self.index_path, "batch_id=*"))
+        if exclude_batch is not None:
+            dirs = [
+                d for d in dirs
+                if not d.endswith(f"batch_id={exclude_batch}")
+            ]
+        if not dirs:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("band", T.IntegerType()),
+                        T.StructField("key", T.StringType()),
+                        T.StructField("batch_id", T.IntegerType()),
+                    ]
+                ),
+            )
+        return self.spark.read.option("basePath", self.index_path).parquet(*dirs)
+
     # -- ingestion --------------------------------------------------------
     def _ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
         fp_batch = batch.withColumn("fp", content_fingerprint())
@@ -96,10 +138,56 @@ class CorpusIngestPipeline:
             F.broadcast(firsts.select("fp")), "fp", "left_semi"
         ).select("fp").distinct()
         novel = firsts.join(F.broadcast(seen), "fp", "left_anti")
+        if self.near_dedup:
+            novel = self._near_dedup_batch(novel, history, batch_id)
         # batch-scoped overwrite => replay-idempotent append
         novel.write.mode("overwrite").parquet(
             os.path.join(self.corpus_path, f"batch_id={batch_id}")
         )
+        if self.near_dedup:
+            # append this batch's band rows so FUTURE batches probe them —
+            # the index stays exactly the accumulated corpus's signatures,
+            # maintained incrementally (the corpus is never re-shingled).
+            # Recompute from the just-written batch dir (novel's lineage
+            # references the pre-write plan; reading back is also the
+            # replay-correct source of truth for what actually landed).
+            landed = self.spark.read.parquet(
+                os.path.join(self.corpus_path, f"batch_id={batch_id}")
+            )
+            _dedup.minhash_band_index(
+                landed, num_hashes=self.num_hashes, bands=self.bands
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.index_path, f"batch_id={batch_id}")
+            )
+
+    def _near_dedup_batch(
+        self, novel: DataFrame, history: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """Drop batch docs that near-duplicate (Jaccard >= threshold) either
+        (a) an accumulated-corpus doc — found by probing the PERSISTED band
+        index, so the historical corpus is never re-shingled — or (b) a
+        smaller-id doc in the same batch (greedy keep-first via one LSH
+        self-join over the small batch)."""
+        index = self.band_index(exclude_batch=batch_id)
+        cross = _dedup.incremental_near_dup_pairs(
+            index.select("id", "band", "key"),
+            history,
+            novel,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=self.jaccard_threshold,
+        )
+        cross_ids = cross.select(F.col("batch_id").alias("doc_id")).distinct()
+        survivors = novel.join(F.broadcast(cross_ids), "doc_id", "left_anti")
+        within = _dedup.minhash_lsh_near_dup_pairs(
+            survivors,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=self.jaccard_threshold,
+        )
+        # keep-first: any doc near-matching a smaller id in the batch drops
+        later_ids = within.select(F.col("id_b").alias("doc_id")).distinct()
+        return survivors.join(F.broadcast(later_ids), "doc_id", "left_anti")
 
     def refresh(self) -> None:
         """Process all newly-arrived doc files, then return (AvailableNow)."""

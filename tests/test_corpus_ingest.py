@@ -85,3 +85,65 @@ def test_empty_corpus_reader_has_full_schema(spark, tmp_path):
     df = pipe.corpus()
     assert df.count() == 0
     assert set(df.columns) == {"doc_id", "text", "lang", "source", "fp", "batch_id"}
+
+
+# -- near-dedup ingestion mode ---------------------------------------------
+
+_W = [f"tok{i}" for i in range(20)]
+BASE = " ".join(_W)                          # 20 distinct tokens
+VAR = " ".join(_W[:-1] + ["changed"])        # 1-token edit: Jaccard 0.8
+OTHER = " ".join(f"oth{i}" for i in range(20))
+NOVEL = " ".join(f"new{i}" for i in range(20))
+NOVEL_VAR = " ".join([f"new{i}" for i in range(19)] + ["edited"])
+
+
+def _index_ids(pipe: CorpusIngestPipeline) -> set[int]:
+    return {r["id"] for r in pipe.band_index().select("id").distinct().collect()}
+
+
+def test_near_dedup_ingestion_across_and_within_batches(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, near_dedup=True, jaccard_threshold=0.5
+    )
+
+    _write_docs(os.path.join(inp, "b1.json"), [(1, BASE), (2, OTHER)])
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2}
+    assert _index_ids(pipe) == {1, 2}  # index rows landed with the batch
+
+    # batch 2: 3 near-duplicates corpus doc 1 (caught by the PERSISTED
+    # index probe); 4 is novel; 5 near-duplicates 4 within the same batch
+    # (greedy keep-first LSH self-join)
+    _write_docs(
+        os.path.join(inp, "b2.json"),
+        [(3, VAR), (4, NOVEL), (5, NOVEL_VAR)],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2, 4}
+    # the index grew by exactly the landed doc's signatures
+    assert _index_ids(pipe) == {1, 2, 4}
+
+
+def test_near_dedup_replay_is_idempotent(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, near_dedup=True, jaccard_threshold=0.5
+    )
+    _write_docs(os.path.join(inp, "b1.json"), [(1, BASE), (2, OTHER)])
+    pipe.refresh()
+    _write_docs(os.path.join(inp, "b2.json"), [(3, VAR), (4, NOVEL)])
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2, 4}
+    before_idx = _index_ids(pipe)
+
+    # at-least-once replay of batch 1 with the same payload: the
+    # exclude-own-batch guards on BOTH stores must leave corpus and
+    # index unchanged (3 still near-dups 1 via the retained batch-0 index)
+    batch = spark.createDataFrame(
+        [(3, VAR, "en", "s"), (4, NOVEL, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(batch, 1)
+    assert _ids(pipe) == {1, 2, 4}
+    assert _index_ids(pipe) == before_idx
