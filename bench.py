@@ -78,6 +78,11 @@ HEADLINE = [
     "span_dedup_docs",
     "minhash_incremental_dedup",
     "quantized_ann_topk",
+    "pq_ann_topk",
+    "doc_bigram_logprob",
+    "gopher_filter_docs",
+    "customer_order_trailing_30d",
+    "event_type_salted_join",
 ]
 
 

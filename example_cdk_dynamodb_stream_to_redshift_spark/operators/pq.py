@@ -1,0 +1,244 @@
+"""Product quantization (PQ) ANN: trained sub-codebooks, byte codes, ADC.
+
+The third member of the ANN family next to SRP-LSH and IVF
+(operators/similarity.py). PQ attacks a different axis: instead of pruning
+WHICH vectors a probe scans (IVF partitions, SRP buckets), it shrinks WHAT
+a scan reads — each vector becomes M small codes (M bytes at K<=256), a
+16-64x reduction vs float32, and query scoring becomes M table lookups
+plus integer adds (no per-component float math on the scan side at all).
+At 100 TB the codes table for a 64-dim float corpus is ~1.5 TB: the
+difference between an ANN scan that fits in cluster page cache and one
+that doesn't. Jegou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public method, Spark-first implementation.
+
+Plan shape (all JVM-side, no UDFs):
+- training: per-subspace Lloyd's k-means reusing the IVF trainer — each
+  iteration is a distributed assign+average job; only the M x K x d_sub
+  codebook (a few KB) ever reaches the driver.
+- encode: per-subspace nearest-centroid assignment is the same codegen
+  ``array_min(array(struct(dist, cid)...))`` expression as IVF — one
+  narrow projection, no shuffle.
+- query: the asymmetric-distance (ADC) tables (M x K partial dots and
+  partial squared norms) are computed driver-side from the ONE query
+  vector and broadcast as array literals; per-row score is
+  ``zip_with(codes, table, (c, t) -> t[c])`` folded with an integer/double
+  sum — whole-stage codegen, then TakeOrderedAndProject for top-k.
+
+Exactness dial (mirrors ivf_ann_fullprobe / srp_ann_exact): with
+``n_centroids >= |corpus|`` and ``iters=0`` the init (first K subvectors
+by id) makes every codebook contain every subvector, encoding is lossless,
+and the integer-parity ADC reproduces ``cosine_q6`` BITWISE — per-subspace
+int64 partial dots/norms sum to exactly the full-vector quantities because
+integer addition is associative. That configuration is hash-checked
+against the same DuckDB brute-force oracle as ann_bruteforce_topk.
+
+Reference tie-in: the reference (sql/queries.sql) has no vector surface;
+this extends the engine's training-data-pipeline family per SURVEY.md.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _assign_cid, _dbl
+
+
+def _py_q6(x: float) -> int:
+    """round(x * 1e6) with HALF_UP (away from zero) — the driver-side twin
+    of similarity._q6 / DuckDB round(); Python's built-in round is
+    banker's and would differ on exact .5 grid points."""
+    v = float(x) * 1_000_000
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def _sub_assign(subvec: Column, sub_id: Column, books) -> Column:
+    """Nearest-centroid id of ``subvec`` within ITS subspace's codebook —
+    a lazy CASE WHEN over sub_id, so each row evaluates exactly one
+    subspace's assignment expression."""
+    expr = _assign_cid(subvec, books[0])
+    for s in range(1, len(books)):
+        expr = F.when(sub_id == s, _assign_cid(subvec, books[s])).otherwise(
+            expr
+        )
+    return expr
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """M per-subspace codebooks by Lloyd's k-means (deterministic first-K
+    init, the IVF trainer's scheme), ALL subspaces trained together: one
+    distributed assign+average job per iteration — the vectors are
+    exploded into (sub_id, subvec) rows once and every subspace's
+    assignment rides the same pass (job count is O(iters), not
+    O(m * iters)). Only the m x K x (dim/m) codebook reaches the driver.
+    Returns books[m][k][i]."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    init = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(_dbl(F.col(vec_col)).alias("_v"))
+        .collect()
+    )
+    books = [
+        [[float(r["_v"][s * d_sub + i]) for i in range(d_sub)] for r in init]
+        for s in range(m)
+    ]
+    if not iters:
+        return books
+    subs = emb.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub)
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "subvec")
+    )
+    for _ in range(iters):
+        # assignment and the posexplode generator must live in separate
+        # selects: ExtractGenerator re-analyzes sibling expressions and
+        # drops the struct field aliases array_min keys on
+        rows = (
+            subs.select(
+                "s",
+                "subvec",
+                _sub_assign(F.col("subvec"), F.col("s"), books).alias("cid"),
+            )
+            .select("s", "cid", F.posexplode("subvec").alias("pos", "x"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            new.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["mu"]
+        books = [
+            [
+                [new[(s, c)][p] for p in range(d_sub)]
+                if (s, c) in new
+                else books[s][c]
+                for c in range(n_centroids)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> length M): per-subspace nearest-centroid ids,
+    one codegen projection per row — the persisted PQ index. At scale this
+    is the table that replaces the float corpus for ANN serving."""
+    d_sub = len(codebooks[0][0])
+    codes = [
+        _assign_cid(
+            F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub), book
+        ).cast("int")
+        for s, book in enumerate(codebooks)
+    ]
+    return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def _lut_lit(table: list[list[int | float]], cell_type: str) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(v).cast(cell_type) for v in row])
+            for row in table
+        ]
+    )
+
+
+def _lookup_sum(codes: Column, lut: Column, zero) -> Column:
+    """sum_m lut[m][codes[m]] as one codegen expression."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda c, t: F.element_at(t, c + F.lit(1))),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Cosine top-k over the codes table by asymmetric distance: the scan
+    reads only (id, codes) and does M array lookups + M adds per row.
+
+    ``exact_engine_parity`` scores on the same 1e-6 int64 grid as
+    similarity.cosine_q6 (tables built from quantized components, integer
+    partial sums) so the lossless configuration is bit-identical to brute
+    force across engines; the default float path is the production ADC.
+    """
+    d_sub = len(codebooks[0][0])
+    if exact_engine_parity:
+        qq = [_py_q6(x) for x in query_vec]
+        dot_t = [
+            [
+                sum(
+                    qq[s * d_sub + i] * _py_q6(c[i]) for i in range(d_sub)
+                )
+                for c in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+        nrm_t = [
+            [sum(_py_q6(c[i]) ** 2 for i in range(d_sub)) for c in book]
+            for book in codebooks
+        ]
+        na = float(math.sqrt(sum(v * v for v in qq)))
+        d_int = _lookup_sum(
+            F.col("codes"), _lut_lit(dot_t, "long"), F.lit(0).cast("long")
+        )
+        nb_int = _lookup_sum(
+            F.col("codes"), _lut_lit(nrm_t, "long"), F.lit(0).cast("long")
+        )
+        cos = d_int.cast("double") / (
+            F.lit(na) * F.sqrt(nb_int.cast("double"))
+        )
+    else:
+        qf = [float(x) for x in query_vec]
+        dot_t = [
+            [
+                sum(qf[s * d_sub + i] * float(c[i]) for i in range(d_sub))
+                for c in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+        nrm_t = [
+            [sum(float(c[i]) ** 2 for i in range(d_sub)) for c in book]
+            for book in codebooks
+        ]
+        na = math.sqrt(sum(v * v for v in qf))
+        d_f = _lookup_sum(
+            F.col("codes"), _lut_lit(dot_t, "double"), F.lit(0.0)
+        )
+        nb_f = _lookup_sum(
+            F.col("codes"), _lut_lit(nrm_t, "double"), F.lit(0.0)
+        )
+        cos = d_f / (F.lit(na) * F.sqrt(nb_f))
+    return (
+        codes_df.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -280,22 +280,22 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_lit(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
-
-
 def _assign_cid(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id (squared L2, deterministic min-cid tie-break).
     array_min over struct<dist,cid> compares lexicographically — a single
-    codegen expression, no shuffle, no UDF."""
-    cells = [
-        F.struct(
-            _l2sq(vec, _centroid_lit(c)).alias("dist"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*cells))["cid"]
+    expression, no shuffle, no UDF. The centroid matrix enters the plan as
+    ONE nested-array literal probed by a transform lambda (not K inlined
+    per-centroid distance trees): the expression tree stays O(1) operator
+    nodes regardless of K, which keeps Catalyst analysis flat as K grows
+    (at K=64 the per-centroid form spent tens of seconds in the analyzer)."""
+    cl = F.lit([[float(x) for x in c] for c in centroids])
+    cands = F.transform(
+        cl,
+        lambda c, i: F.struct(
+            _l2sq(vec, c).alias("dist"), i.alias("cid")
+        ),
+    )
+    return F.array_min(cands)["cid"]
 
 
 def train_ivf_centroids(

@@ -514,6 +514,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_incremental_dedup",
     "quantized_ann_topk",
     "token_length_histogram",
+    # new in r4 (third batch): PQ-ANN lossless config, bigram LM score,
+    # Gopher rule filter, RANGE-frame trailing window, salted hot-key join
+    "pq_ann_exact_topk",
+    "doc_bigram_logprob",
+    "gopher_filter_docs",
+    "customer_order_trailing_30d",
+    "event_type_salted_join",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -545,11 +552,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_docs_per_source",
     "bm25_topk_docs",
     "language_rebalance_sample",
-    "doc_chunk_windows",
-    "source_centroid_embeddings",
-    "doc_winnowing_fingerprints",
-    "rewards_by_member",
-    "dedup_clusters",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -393,6 +393,101 @@ def user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_salted_join",
+    """
+    WITH d AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+               FROM events GROUP BY event_type)
+    SELECT e.event_type AS event_type, d.type_total AS type_total,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_total
+    ORDER BY e.event_type
+    """,
+    "Hot-key join through the explicit salting operator "
+    "(operators/skew.py salted_join): events carry only a handful of "
+    "event_type values, so a plain shuffle join lands whole types on "
+    "single tasks — the salt (pmod(xxhash64(event_id), 8)) spreads each "
+    "type over 8 sub-keys while the replicated dim side meets every "
+    "fact row exactly once; join semantics are provably identical to the "
+    "plain join (this oracle IS the plain join). At test scale Spark "
+    "broadcasts the tiny dim; the salted path is the plan you force when "
+    "the dim outgrows broadcast AND one key dominates beyond what AQE "
+    "skew-split can absorb.",
+)
+def event_type_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("type_total")
+    )
+    joined = salted_join(
+        events, dim, "event_type", salt_buckets=8, unique_key="event_id"
+    )
+    return (
+        joined.groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "customer_order_trailing_30d",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS day,
+                      o_totalprice
+               FROM orders)
+    SELECT o_orderkey, o_custkey, day,
+      COUNT(*) OVER w AS n_trailing,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        AS spend_trailing
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    "RANGE-frame (value-based) moving window: per customer, count and "
+    "spend over the trailing 30 days of each order — the frame is bounded "
+    "by the ORDER BY VALUE (epoch day), not row position, so same-day "
+    "peers always share a frame and the result is deterministic without a "
+    "full tie-break. Complements the ROWS frames elsewhere "
+    "(user_running_spend). One shuffle on the uniform customer key, "
+    "streaming frame evaluation within partition, decimal-exact sums.",
+)
+def customer_order_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        WindowSpec.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, WindowSpec.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_trailing"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "order_rank_in_priority",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice,

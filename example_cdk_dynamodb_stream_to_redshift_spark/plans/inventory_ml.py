@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators import bpe as BPE
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
+from ..operators import pq as PQ
 from ..operators import similarity as SIM
 from ..operators.simhash import simhash_near_dup_pairs
 from ..sources.tables import load_table
@@ -826,6 +828,207 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_merges",
+    None,  # iterative driver-coordinated training loop — genuinely
+    #       non-SQL; merge-sequence equality vs a pure-Python reference
+    #       BPE is pinned in tests/test_bpe.py
+    "Iterative BPE merge training (operators/bpe.py): 6 merge rules "
+    "learned by repeated [bounded-key pair aggregation -> driver top-1 -> "
+    "Arrow-batched greedy fusion over the word vocab], lineage truncated "
+    "per iteration. The one-shot bpe_pair_candidates scan above is this "
+    "loop's first iteration; this runs the whole loop — the engine's "
+    "third iterative algorithm next to k-means and connected components.",
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = BPE.train_bpe_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, pc) for r, l, rt, pc in merges],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    ).orderBy("rank")
+
+
+@register(
+    "gopher_filter_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_filter(string_split(text, ' '),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha_word_frac,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS symbol_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           n_stop,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+           alpha_word_frac >= 0.8 AS ok_alpha_words,
+           symbol_ratio <= 0.1 AS ok_symbol_ratio,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_word_frac >= 0.8 AND symbol_ratio <= 0.1
+             AND n_stop >= 2 AS kept
+    FROM t ORDER BY doc_id
+    """,
+    "The Gopher quality-rule set (Rae et al. 2021 Table A1, the subset "
+    "meaningful for single-line synthetic docs — the bullet/ellipsis LINE "
+    "ratios need multi-line text): word-count bounds, mean-word-length "
+    "bounds, alpha-word fraction, symbol-to-word ratio, minimum stopword "
+    "count, plus the conjunction a pipeline actually filters on. Every "
+    "ratio is an exact int/int -> double division (bit-stable without "
+    "quantization); per-row projection, no shuffle, whole-stage codegen.",
+)
+def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    mean_wl = n_chars / n_words.cast("double")
+    alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double") / n_words.cast("double")
+    symbols = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        + F.regexp_count("text", F.lit(r"\.\.\."))
+    ).cast("double") / n_words.cast("double")
+    n_stop = TX.stopword_count("text").cast("bigint")
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_alpha_words": alpha >= 0.8,
+        "ok_symbol_ratio": symbols <= 0.1,
+        "ok_stopwords": n_stop >= 2,
+    }
+    kept = F.lit(True)
+    for c in flags.values():
+        kept = kept & c
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        symbols.alias("symbol_ratio"),
+        n_stop.alias("n_stop"),
+        *[c.alias(name) for name, c in flags.items()],
+        kept.alias("kept"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_bigram_logprob",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                     i -> struct_pack(cur := t[i],
+                       prev := CASE WHEN i = 1 THEN NULL
+                               ELSE t[i - 1] END))) AS pc
+            FROM tk),
+    p AS (SELECT doc_id, pc.cur AS cur, pc.prev AS prev FROM tok),
+    uni AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY cur),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni),
+    big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM p WHERE prev IS NOT NULL GROUP BY prev, cur),
+    pfx AS (SELECT prev, CAST(SUM(nb) AS BIGINT) AS np FROM big GROUP BY prev),
+    sc AS (
+      SELECT p.doc_id,
+             CAST(round(ln(CASE WHEN p.prev IS NULL
+                  THEN CAST(uni.n AS DOUBLE) / CAST(total AS DOUBLE)
+                  ELSE 0.7 * (CAST(big.nb AS DOUBLE) / CAST(pfx.np AS DOUBLE))
+                     + 0.3 * (CAST(uni.n AS DOUBLE) / CAST(total AS DOUBLE))
+                  END) * 1000000) AS BIGINT) AS lpq
+      FROM p
+      JOIN uni ON p.cur = uni.cur
+      LEFT JOIN big ON p.prev = big.prev AND p.cur = big.cur
+      LEFT JOIN pfx ON p.prev = pfx.prev
+      CROSS JOIN tot),
+    d AS (SELECT doc_id, CAST(SUM(lpq) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6)
+             AS avg_logprob
+    FROM d ORDER BY doc_id
+    """,
+    "Interpolated bigram LM quality score (the KenLM-shaped upgrade of "
+    "doc_unigram_logprob): per-token ln(0.7*P(w|prev) + 0.3*P(w)), pure "
+    "unigram at document start; self-scoring on the corpus counts so "
+    "every bigram is attested (held-out scoring would add backoff mass). "
+    "Bit-stable the same way as the unigram form: exact integer count "
+    "ratios -> one double formula -> per-token 1e-6 int64 quantization "
+    "BEFORE the per-doc sum. Plan: prev/cur pairs come from one "
+    "arrays_zip projection (no self-join), the bounded unigram/prefix "
+    "tables broadcast, the bigram table joins on its uniform (prev,cur) "
+    "key, per-doc sums collapse map-side.",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokens("text").alias("tk"))
+    pairs = (
+        tk.select(
+            "doc_id",
+            F.arrays_zip(
+                F.col("tk").alias("cur"),
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                ).alias("prev"),
+            ).alias("pcs"),
+        )
+        .select("doc_id", F.explode("pcs").alias("pc"))
+        .select("doc_id", F.col("pc.cur").alias("cur"), F.col("pc.prev").alias("prev"))
+    )
+    uni = pairs.groupBy("cur").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = uni.agg(F.sum("n").cast("bigint").alias("total"))
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    pfx = big.groupBy("prev").agg(F.sum("nb").cast("bigint").alias("np"))
+    pu = F.col("n").cast("double") / F.col("total").cast("double")
+    pb = F.col("nb").cast("double") / F.col("np").cast("double")
+    sc = (
+        pairs.join(F.broadcast(uni), "cur")
+        .join(big, ["prev", "cur"], "left")
+        .join(F.broadcast(pfx), "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.when(F.col("prev").isNull(), pu).otherwise(
+                        F.lit(0.7) * pb + F.lit(0.3) * pu
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    d = sc.groupBy("doc_id").agg(
+        F.sum("lpq").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n_tokens")), 6
+        ).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_corpus_keep_first",
     """
     SELECT doc_id, lang, source FROM documents
@@ -1162,6 +1365,52 @@ def ivf_ann_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(
         index, qvec, centroids, k=10, nprobe=8, exact_engine_parity=True
     )
+
+
+@register(
+    "pq_ann_topk",
+    None,  # approximate (lossy codes) — rows-only; the lossless config
+    #       below is hash-checked, recall is asserted in tests/test_pq_ann.py
+    "Product-quantization ANN (Jegou et al. 2011): 8 sub-codebooks of 16 "
+    "centroids trained per-subspace by the same DataFrame-job k-means as "
+    "IVF, vectors stored as 8 int codes (32x smaller than float32), query "
+    "scored by ADC lookup tables folded in codegen — the shrink-the-scan "
+    "axis of the ANN family (operators/pq.py).",
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=64)
+    codes = PQ.pq_encode(emb, books)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_adc_topk(codes, qvec, books, k=10)
+
+
+@register(
+    "pq_ann_exact_topk",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+    q AS (SELECT embedding AS vb FROM sub WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_COS_Q6_SQL} AS cos_sim
+      FROM (SELECT vec_id, embedding AS va FROM sub), q)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "PQ ANN in its lossless configuration (n_centroids >= |corpus|, "
+    "iters=0: every codebook contains every subvector, codes reconstruct "
+    "exactly, and integer-parity ADC partial dots/norms sum to the full "
+    "cosine_q6 quantities bitwise) — hash-checked against the brute-force "
+    "oracle on the vec_id<64 slice. The lossy m=8/K=16 form above stays "
+    "rows-only; this entry driver-proves the train/encode/ADC machinery "
+    "itself, the same degenerate-config pattern as srp_ann_exact_topk and "
+    "ivf_ann_fullprobe_topk.",
+)
+def pq_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=64, iters=0, dim=64)
+    codes = PQ.pq_encode(emb, books)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_adc_topk(codes, qvec, books, k=10, exact_engine_parity=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""Product-quantization ANN (operators/pq.py): losslessness in the
+degenerate config, recall of the lossy config, code-table shape, and the
+driver-side q6 rounding twin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators import pq as PQ
+from example_cdk_dynamodb_stream_to_redshift_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    random.seed(7)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(16)]) for i in range(80)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def _query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_lossless_config_matches_brute_force_bitwise(spark, emb):
+    # K >= |corpus|, iters=0: codebooks contain every subvector, ADC in the
+    # integer-parity path must equal cosine_q6 brute force EXACTLY
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=80, iters=0, dim=16)
+    codes = PQ.pq_encode(emb, books)
+    qvec = _query_vec(emb)
+    got = PQ.pq_adc_topk(
+        codes, qvec, books, k=10, exact_engine_parity=True
+    ).collect()
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    want = SIM.brute_force_topk(
+        emb, query, k=10, exact_engine_parity=True
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+
+def test_lossy_config_recall(spark, emb):
+    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=16)
+    codes = PQ.pq_encode(emb, books)
+    qvec = _query_vec(emb)
+    got = {r["vec_id"] for r in PQ.pq_adc_topk(codes, qvec, books, k=10).collect()}
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    want = {r["vec_id"] for r in SIM.brute_force_topk(emb, query, k=10).collect()}
+    # lossy codes: not exact, but the quantizer must keep most of the true
+    # top-10 (m=8 subspaces of dim 2 at K=16 is a fine grid at this scale)
+    assert len(got & want) >= 6
+    assert 0 in got  # the query vector itself reconstructs closest to q
+
+
+def test_codes_shape_and_range(spark, emb):
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=8, iters=1, dim=16)
+    codes = PQ.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_training_reduces_distortion(spark, emb):
+    def distortion(books):
+        codes = PQ.pq_encode(emb, books)
+        # decode: per-subspace centroid lookup, L2 to the original
+        d_sub = len(books[0][0])
+        joined = emb.join(codes, "vec_id")
+        recon = F.flatten(
+            F.zip_with(
+                F.col("codes"),
+                F.lit([[list(map(float, c)) for c in b] for b in books]),
+                lambda c, book: F.element_at(book, c + F.lit(1)),
+            )
+        )
+        err = F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                recon,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return joined.agg(F.sum(err)).first()[0]
+
+    init = PQ.train_pq_codebooks(emb, m=4, n_centroids=8, iters=0, dim=16)
+    trained = PQ.train_pq_codebooks(emb, m=4, n_centroids=8, iters=3, dim=16)
+    assert distortion(trained) < distortion(init)
+
+
+def test_py_q6_matches_spark_round(spark):
+    # HALF_UP away-from-zero on the exact .5 grid — the driver-side table
+    # builder must agree with F.round or the parity path drifts
+    vals = [0.0000005, -0.0000005, 1.2345675, -1.2345675, 0.1, -0.9999995]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round(F.col("x") * 1_000_000).cast("long").alias("q")
+    )
+    assert [r["q"] for r in df.collect()] == [PQ._py_q6(v) for v in vals]
