@@ -83,6 +83,8 @@ HEADLINE = [
     "gopher_filter_docs",
     "customer_order_trailing_30d",
     "event_type_salted_join",
+    "orders_zorder_keys",
+    "bpe_train_merges",
 ]
 
 

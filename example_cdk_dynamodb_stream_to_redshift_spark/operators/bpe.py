@@ -86,6 +86,73 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.select(merge("symbols").alias("symbols"), "cnt")
 
 
+def encode_vocab(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """(w, enc array<string>): apply the trained merges in rank order to
+    each DISTINCT word — encoding cost is O(|vocab|), never O(corpus).
+    One Arrow-batched UDF; within a word each rule fuses greedily
+    left-to-right, identical to training's application order."""
+    rules = [(left, right) for _, left, right, _ in merges]
+
+    @F.pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            syms = list(w)
+            for left, right in rules:
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.append(syms)
+        return pd.Series(out)
+
+    return words.select("w", enc("w").alias("enc"))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens array<string>, n_bpe_tokens): corpus encoded with the
+    merge table. The corpus side never runs Python: words explode with
+    their position, the once-encoded vocab (bounded) broadcasts in, and
+    per-doc token lists reassemble in word order via a sort-grouped
+    flatten — the standard encode-the-vocab-not-the-corpus plan."""
+    tok = docs.select(
+        F.col(id_col), F.posexplode(TX.tokens(text_col)).alias("pos", "w")
+    )
+    vocab = tok.select("w").distinct()
+    enc = encode_vocab(vocab, merges)
+    joined = tok.join(F.broadcast(enc), "w")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("enc")))
+                    ),
+                    lambda s: s["enc"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            F.col(id_col),
+            "tokens",
+            F.size("tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,

@@ -122,6 +122,28 @@ class PartitionedParquetTable:
         )
         return [r[BUCKET_COL] for r in rows]
 
+    def compact(self, buckets: list[int] | None = None) -> None:
+        """Per-bucket small-files compaction: rewrite the given buckets
+        (default: all) with one task per bucket, so each partition
+        directory collapses to ~1 file. Every merge/append rewrites its
+        touched buckets with task-count files; after thousands of
+        micro-batches the scan cost is footer-opens, not bytes. Dynamic
+        partition overwrite keeps the rewrite bucket-scoped and atomic
+        per directory; untouched buckets are never read or written."""
+        if self._is_empty():
+            return
+        raw = self._read_raw()
+        if buckets is not None:
+            if not buckets:
+                return
+            raw = raw.filter(F.col(BUCKET_COL).isin(buckets))
+        cols = [f.name for f in self.schema.fields]
+        self._write(
+            raw.select(*cols).repartition(
+                self.n_buckets, key_bucket(self.key_col, self.n_buckets)
+            )
+        )
+
     def merge(
         self,
         extract: DataFrame,

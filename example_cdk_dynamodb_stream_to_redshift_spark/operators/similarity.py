@@ -365,6 +365,27 @@ def write_ivf_index(index: DataFrame, path: str) -> None:
     index.write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
+def append_ivf_index(
+    new_emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new batch with the
+    FROZEN coarse quantizer and append its rows into the existing
+    cid-partitioned store — the historical lists are never re-read or
+    re-clustered (the ANN twin of the corpus-side incremental MinHash
+    index). Per-batch cost is O(|batch|); probes over the grown index are
+    plan-identical (same partition prune). Centroid drift is handled the
+    way IVF systems do at scale: retrain + rebuild on a cadence, not per
+    batch — equivalence to a full rebuild under the same centroids is
+    asserted in tests/test_ivf_ann.py."""
+    build_ivf_index(new_emb, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)
+
+
 def read_ivf_index(spark, path: str) -> DataFrame:
     """Read inverted lists written by write_ivf_index; ``cid`` comes back as
     the partition column."""

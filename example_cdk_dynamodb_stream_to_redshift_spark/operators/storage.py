@@ -76,3 +76,15 @@ class ParquetTable:
     def append(self, df: DataFrame) -> None:
         current = self.read()
         self.overwrite(current.unionByName(df))
+
+    def compact(self, n_files: int) -> None:
+        """Rewrite the current version into exactly ``n_files`` files —
+        the small-files maintenance pass a micro-batch sink needs (every
+        streaming refresh writes task-count files; thousands of refreshes
+        make scans open thousands of tiny footers — at 100 TB, listing
+        alone dominates). Rides the versioned-commit machinery, so the
+        rewrite is atomic to readers and a crash mid-compact is invisible.
+        coalesce (no shuffle) merges whole files per task."""
+        if self._current_version() is None:
+            return
+        self.overwrite(self.read().coalesce(max(1, n_files)))

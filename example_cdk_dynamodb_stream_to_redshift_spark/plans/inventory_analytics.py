@@ -487,6 +487,54 @@ def customer_order_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+_MORTON_SQL = " + ".join(
+    f"(((gx >> {i}) & 1) << {2 * i}) + (((gy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "orders_zorder_keys",
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS day
+               FROM orders),
+    b AS (SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+                 MIN(day) AS ylo, MAX(day) AS yhi FROM o),
+    g AS (SELECT o_orderkey, o_custkey, day,
+            ((o_custkey - xlo) * 65535) // (xhi - xlo) AS gx,
+            ((day - ylo) * 65535) // (yhi - ylo) AS gy
+          FROM o, b)
+    SELECT o_orderkey, o_custkey, day,
+           CAST({_MORTON_SQL} AS BIGINT) AS zkey
+    FROM g ORDER BY zkey, o_orderkey LIMIT 50
+    """,
+    "Z-order (Morton) layout keys over (customer, order day) — "
+    "operators/layout.py: exact integer grid scaling (remainder-free div, "
+    "no doubles) + bit interleave as a flat shift/and chain, so the key "
+    "is bit-identical cross-engine and oracle-checkable. This key is what "
+    "zorder_write range-partitions on; the actual pruning win (files "
+    "become tight (x,y) boxes; single-axis filters prune in BOTH "
+    "dimensions) is asserted against real parquet footer min-max stats "
+    "in tests/test_layout.py.",
+)
+def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    return (
+        zorder_key(o, "o_custkey", "day", bits=16)
+        .orderBy("zkey", "o_orderkey")
+        .limit(50)
+    )
+
+
 @register(
     "order_rank_in_priority",
     """

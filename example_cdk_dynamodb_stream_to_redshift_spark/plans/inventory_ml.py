@@ -849,6 +849,32 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encode_docs",
+    None,  # the per-word greedy rule cascade is iterative — non-SQL;
+    #       encode-vs-reference equality is pinned in tests/test_bpe.py
+    "Corpus encoded with the trained BPE merges (operators/bpe.py "
+    "bpe_encode): the DISTINCT word vocab is encoded once in an Arrow "
+    "batch (cost O(|vocab|), never O(corpus)), broadcast back onto the "
+    "positioned token stream, and per-doc token lists reassemble in word "
+    "order — the corpus side stays entirely JVM-side. Output is the "
+    "per-doc whitespace vs BPE token accounting a batching pipeline "
+    "budgets with.",
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = BPE.train_bpe_merges(docs, n_merges=6)
+    return (
+        BPE.bpe_encode(docs, merges)
+        .join(
+            docs.select("doc_id", TX.token_count("text").alias("n_words")),
+            "doc_id",
+        )
+        .select("doc_id", "n_words", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "gopher_filter_docs",
     f"""
     WITH t AS (

@@ -539,6 +539,30 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_price_approx_percentiles",
+    None,  # sketch output is implementation-defined — rows-only; the
+    #       relative-error bound vs the exact form is pinned in
+    #       tests/test_analytics_ops.py
+    "The 100 TB percentile path the exact form above documents: "
+    "percentile_approx (KLL-style mergeable sketch — per-partition "
+    "sketches merge associatively on one tiny shuffle; no global sort, "
+    "unlike exact percentile's per-group value collection). "
+    "accuracy=10000 bounds rank error at 1e-4·n.",
+)
+def order_price_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+    )
+    return orders.agg(
+        pct[0].alias("p25"),
+        pct[1].alias("p50"),
+        pct[2].alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GROUPING SETS — the general form behind CUBE/ROLLUP: an explicit,
 # asymmetric set list ((type, day), (day)) that neither CUBE nor ROLLUP can

@@ -229,3 +229,22 @@ def test_approx_distinct_error_bound(spark):
         assert n > 0
         rel_err = abs(approx[k] - n) / n
         assert rel_err < 0.05, (k, approx[k], n, rel_err)
+
+
+def test_approx_percentiles_error_bound(spark):
+    """order_price_approx_percentiles stays rows-only at the driver (the
+    sketch's picks are implementation-defined); this pins its accuracy
+    against the exact interpolated percentiles: with accuracy=10000 the
+    rank error is <= 1e-4 * n, so values must sit within a whisker of the
+    exact quantiles."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = (
+        REGISTRY["order_price_approx_percentiles"].spark_fn(spark, sf).first()
+    )
+    exact = REGISTRY["order_price_percentiles"].spark_fn(spark, sf).first()
+    for a_col, e_col in (("p25", "p25_q4"), ("p50", "p50_q4"), ("p75", "p75_q4")):
+        e = exact[e_col] / 10000.0
+        assert abs(approx[a_col] - e) <= 0.005 * e, (a_col, approx[a_col], e)
+    assert approx["n_orders"] == exact["n_orders"]

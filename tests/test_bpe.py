@@ -79,6 +79,43 @@ def test_word_vocab_char_split(spark):
     assert rows == {("a", "b"): 2, ("c",): 1}
 
 
+def _ref_encode(word: str, merges) -> list[str]:
+    syms = list(word)
+    for _, left, right, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_encode_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new newer",
+    ]
+    docs = _docs(spark, texts)
+    merges = BPE.train_bpe_merges(docs, n_merges=6)
+    got = {
+        r["doc_id"]: r["tokens"] for r in BPE.bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split(" ") for s in _ref_encode(w, merges)]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_encode_preserves_word_order(spark):
+    docs = _docs(spark, ["ab ba ab"])
+    got = BPE.bpe_encode(docs, [(0, "a", "b", 2)]).collect()[0]
+    assert got["tokens"] == ["ab", "b", "a", "ab"]
+    assert got["n_bpe_tokens"] == 4
+
+
 def test_registered_query_runs(spark):
     from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import REGISTRY
 
@@ -92,3 +129,17 @@ def test_registered_query_runs(spark):
     for r in rows:
         assert r["merged"] == r["left"] + r["right"]
         assert r["pair_count"] >= 2
+
+
+def test_registered_encode_query_runs(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import REGISTRY
+
+    rows = (
+        REGISTRY["bpe_encode_docs"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 500
+    # every word contributes >= 1 symbol, and merging never grows the stream
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"] >= 1

@@ -91,3 +91,27 @@ def test_persisted_index_probe_prunes_partitions(spark, ivf, tmp_path):
     # and the index genuinely spans more cids than the probe admits
     all_cids = {r["cid"] for r in disk.select("cid").distinct().collect()}
     assert len(all_cids) > len(probe_cids)
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, ivf, tmp_path):
+    emb, centroids, _, qvec = ivf
+    path = str(tmp_path / "ivf_inc")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    SIM.write_ivf_index(SIM.build_ivf_index(old, centroids), path)
+    # incremental: only the new batch is assigned; history untouched
+    SIM.append_ivf_index(new, centroids, path)
+    grown = SIM.read_ivf_index(spark, path)
+    assert grown.count() == emb.count()
+    # probes over the grown store match a from-scratch rebuild exactly
+    rebuilt = SIM.build_ivf_index(emb, centroids)
+    for nprobe in (2, K_CENTROIDS):
+        a = [
+            r["vec_id"]
+            for r in SIM.ivf_topk(grown, qvec, centroids, k=10, nprobe=nprobe).collect()
+        ]
+        b = [
+            r["vec_id"]
+            for r in SIM.ivf_topk(rebuilt, qvec, centroids, k=10, nprobe=nprobe).collect()
+        ]
+        assert a == b
