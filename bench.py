@@ -85,6 +85,7 @@ HEADLINE = [
     "event_type_salted_join",
     "orders_zorder_keys",
     "bpe_train_merges",
+    "doc_lm_quality_buckets",
 ]
 
 

@@ -68,6 +68,40 @@ def punct_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(r"[^A-Za-z0-9\s]"), 0))
 
 
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """The Gopher rule set (Rae et al. 2021 Table A1, single-line subset)
+    as named boolean expressions — shared by the gopher_filter_docs driver
+    query and the streaming ingestion quality stage. Every ratio is an
+    exact int/int double division; pure per-row codegen."""
+    c = _c(col)
+    n_words = token_count(c).cast("bigint")
+    mean_wl = avg_token_length(c)
+    alpha = F.size(
+        F.filter(tokens(c), lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double") / n_words.cast("double")
+    symbols = (
+        F.length(c)
+        - F.length(F.regexp_replace(c, "#", ""))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("double") / n_words.cast("double")
+    return {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_alpha_words": alpha >= 0.8,
+        "ok_symbol_ratio": symbols <= 0.1,
+        "ok_stopwords": stopword_count(c).cast("bigint") >= 2,
+    }
+
+
+def gopher_kept(col: Column | str) -> Column:
+    """Conjunction of all Gopher rules — the keep predicate a pipeline
+    filters on."""
+    kept = F.lit(True)
+    for flag in gopher_flags(col).values():
+        kept = kept & flag
+    return kept
+
+
 def quality_score(col: Column | str) -> Column:
     """Heuristic document quality in [0, 1]: rewards mid-length documents
     with a healthy stopword ratio and low punctuation noise.

@@ -799,6 +799,12 @@ def embedding_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return _unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+def _unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): the CCNet-style unigram LM score —
+    shared by doc_unigram_logprob and the bucket filter built on it."""
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
     v = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     tot = v.agg(F.sum("n").cast("bigint").alias("total"))
@@ -926,16 +932,7 @@ def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.regexp_count("text", F.lit(r"\.\.\."))
     ).cast("double") / n_words.cast("double")
     n_stop = TX.stopword_count("text").cast("bigint")
-    flags = {
-        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
-        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
-        "ok_alpha_words": alpha >= 0.8,
-        "ok_symbol_ratio": symbols <= 0.1,
-        "ok_stopwords": n_stop >= 2,
-    }
-    kept = F.lit(True)
-    for c in flags.values():
-        kept = kept & c
+    flags = TX.gopher_flags("text")
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -944,7 +941,7 @@ def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbols.alias("symbol_ratio"),
         n_stop.alias("n_stop"),
         *[c.alias(name) for name, c in flags.items()],
-        kept.alias("kept"),
+        TX.gopher_kept("text").alias("kept"),
     ).orderBy("doc_id")
 
 
@@ -1051,7 +1048,79 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n_tokens")), 6
         ).alias("avg_logprob"),
-    ).orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_lm_quality_buckets",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM v),
+    lp AS (SELECT t,
+                  CAST(round(ln(CAST(n AS DOUBLE) / total) * 1000000)
+                       AS BIGINT) AS lpq
+           FROM v, tot),
+    d0 AS (SELECT doc_id, CAST(SUM(lpq) AS BIGINT) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM tok JOIN lp ON tok.t = lp.t GROUP BY doc_id),
+    d AS (SELECT doc_id,
+                 round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6)
+                   AS avg_logprob
+          FROM d0),
+    ranked AS (SELECT doc_id, avg_logprob,
+                      row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+                        AS rank
+               FROM d),
+    nn AS (SELECT CAST(ceil(COUNT(*) / 3.0) AS BIGINT) AS n3 FROM d)
+    SELECT doc_id, avg_logprob, rank,
+           CASE WHEN rank <= n3 THEN 'head'
+                WHEN rank <= 2 * n3 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           rank <= 2 * n3 AS kept
+    FROM ranked, nn ORDER BY rank
+    """,
+    "CCNet's head/middle/tail LM-quality bucketing (Wenzek et al. 2019): "
+    "corpus ranked by unigram log-prob, split in rank terciles, tail "
+    "dropped. The oracle is the plain unpartitioned row_number window; "
+    "the Spark plan is operators/ranking.py global_row_number — "
+    "repartitionByRange on the unique (score desc, doc_id) key, "
+    "per-partition counts (<= num_partitions driver scalars), "
+    "mapInPandas offset stamping — the EXACT same ranks with no "
+    "single-partition window anywhere, i.e. the form that survives a "
+    "corpus that doesn't fit one task.",
+)
+def doc_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist the scored frame: the tercile boundary (count), the range
+    # partitioner's sample, the per-partition counts, and the stamp pass
+    # all read it — one scoring computation, not four (ContextCleaner
+    # drops the cache when the frame goes out of scope)
+    d = _unigram_logprob_scores(docs).select("doc_id", "avg_logprob").persist()
+    n3 = math.ceil(d.count() / 3.0)
+    ranked = global_row_number(
+        d,
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        out_col="rank",
+        num_partitions=8,
+    )
+    bucket = (
+        F.when(F.col("rank") <= n3, F.lit("head"))
+        .when(F.col("rank") <= 2 * n3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id",
+        "avg_logprob",
+        "rank",
+        bucket.alias("bucket"),
+        (F.col("rank") <= 2 * n3).alias("kept"),
+    ).orderBy("rank")
 
 
 @register(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import text as _text
 from ..operators import dedup as _dedup
 
 DOC_STREAM_SCHEMA = T.StructType(
@@ -62,6 +63,7 @@ class CorpusIngestPipeline:
         num_hashes: int = 16,
         bands: int = 4,
         jaccard_threshold: float = 0.5,
+        quality_filter: bool = False,
     ):
         self.spark = spark
         self.input_path = input_path
@@ -72,6 +74,7 @@ class CorpusIngestPipeline:
         self.num_hashes = num_hashes
         self.bands = bands
         self.jaccard_threshold = jaccard_threshold
+        self.quality_filter = quality_filter
 
     # -- reads ------------------------------------------------------------
     def corpus(self, exclude_batch: int | None = None) -> DataFrame:
@@ -121,6 +124,12 @@ class CorpusIngestPipeline:
 
     # -- ingestion --------------------------------------------------------
     def _ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.quality_filter:
+            # quality gate FIRST — the cheapest stage (pure per-row
+            # codegen, no shuffle/state) runs before any dedup machinery
+            # spends hashes or index probes on docs that would be dropped
+            # anyway: the C4/Gopher pipeline ordering
+            batch = batch.filter(_text.gopher_kept("text"))
         fp_batch = batch.withColumn("fp", content_fingerprint())
         # within-batch keep-first (ST3 analogue): min doc_id per fingerprint,
         # deterministic regardless of arrival order inside the batch

@@ -147,3 +147,31 @@ def test_near_dedup_replay_is_idempotent(spark, tmp_path):
     pipe._ingest_batch(batch, 1)
     assert _ids(pipe) == {1, 2, 4}
     assert _index_ids(pipe) == before_idx
+
+
+# -- quality-gated ingestion mode -------------------------------------------
+
+GOOD = " ".join(["the", "and"] + [f"word{i:03d}" for i in range(58)])
+SHORT = " ".join(f"tok{i}" for i in range(20))  # fails ok_word_count
+
+
+def test_quality_filter_gates_ingestion(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh, quality_filter=True)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, GOOD), (2, SHORT)])
+    pipe.refresh()
+    assert _ids(pipe) == {1}  # the 20-word doc never reaches the corpus
+
+    # quality runs BEFORE dedup: a later batch re-sending the good doc's
+    # content under a new id is still dropped by the cross-batch dedup
+    _write_docs(os.path.join(inp, "b2.json"), [(3, GOOD), (4, SHORT)])
+    pipe.refresh()
+    assert _ids(pipe) == {1}
+
+
+def test_quality_filter_off_keeps_everything(spark, tmp_path):
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, GOOD), (2, SHORT)])
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2}
