@@ -86,6 +86,7 @@ HEADLINE = [
     "orders_zorder_keys",
     "bpe_train_merges",
     "doc_lm_quality_buckets",
+    "media_phash_near_dups",
 ]
 
 

@@ -523,6 +523,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "event_type_salted_join",
     "orders_zorder_keys",
     "doc_lm_quality_buckets",
+    "media_phash_near_dups",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -551,7 +552,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_repetition_stats",
     "srp_ann_exact_topk",
     "ivf_ann_fullprobe_topk",
-    "top_docs_per_source",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

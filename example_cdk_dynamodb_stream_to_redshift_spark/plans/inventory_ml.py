@@ -1533,6 +1533,83 @@ def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+_PHASH_BIT_SQL = " + ".join(
+    f"CASE WHEN CAST('0x' || substr(h, {8 * i + 1}, 8) AS BIGINT)"
+    f" >= 2147483648 THEN {1 << i} ELSE 0 END"
+    for i in range(8)
+)
+
+
+@register(
+    "media_phash_near_dups",
+    f"""
+    WITH f AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+    p AS (SELECT media_id, CAST({_PHASH_BIT_SQL} AS BIGINT) AS phash FROM f)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM p a JOIN p b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 1
+    ORDER BY id_a, id_b
+    """,
+    "Perceptual-hash near-dup detection on the MULTIMODAL path: the "
+    "decode kernel's feature vector (Arrow mapInPandas, "
+    "operators/multimodal.py) thresholds into an 8-bit pHash "
+    "(bit_i = feature_i >= 0.5 — with a real decoder this is the "
+    "sign-of-DCT pHash; the stub's features are sha256-dyadic so DuckDB "
+    "re-derives the SAME bits from hex), and Hamming<=1 pairs come from a "
+    "pigeonhole BLOCK equi-join (2 nibble blocks; budget 1 < 2 blocks => "
+    "recall 1.0 by construction, the simhash trick) + exact bit_count "
+    "verify on candidates only — never the all-pairs theta join the "
+    "oracle runs.",
+)
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_media_features(MM.text_as_media(docs))
+    phash = F.lit(0)
+    for i in range(8):
+        phash = phash + F.when(
+            F.element_at("features", i + 1) >= 0.5, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    sig = feats.select("media_id", phash.cast("bigint").alias("phash"))
+    blocks = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    F.shiftright("phash", 4).bitwiseAND(F.lit(15)).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.col("phash").bitwiseAND(F.lit(15)).alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = blocks.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("pa"), "bi", "bv"
+    )
+    b = blocks.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("pb"), "bi", "bv"
+    )
+    cands = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _feature_word_sql(i: int) -> str:
     # feature i = int(hexdigest[8i:8i+8], 16) / 2^32 — the fake decoder's
     # exact arithmetic (operators/multimodal.py:_fake_decode): a 32-bit int
