@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_train_merges",
     "doc_lm_quality_buckets",
     "media_phash_near_dups",
+    "contrastive_negatives",
 ]
 
 

@@ -524,6 +524,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_zorder_keys",
     "doc_lm_quality_buckets",
     "media_phash_near_dups",
+    "contrastive_negatives",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -551,7 +552,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_decontamination_bloom",
     "doc_repetition_stats",
     "srp_ann_exact_topk",
-    "ivf_ann_fullprobe_topk",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

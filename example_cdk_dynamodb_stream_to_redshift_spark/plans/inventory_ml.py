@@ -1767,6 +1767,84 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_negatives",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    j AS (SELECT unnest(range(0, 4)) AS neg_rank),
+    h AS (SELECT d.doc_id, j.neg_rank,
+            CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                 || CAST(j.neg_rank AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+          FROM documents d CROSS JOIN j)
+    SELECT doc_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+           CASE WHEN hv % n = doc_id THEN (hv + 1) % n
+                ELSE hv % n END AS neg_doc_id
+    FROM h, n ORDER BY doc_id, neg_rank
+    """,
+    "Deterministic negative sampling for contrastive training pairs: "
+    "k=4 pseudo-random partner docs per anchor, drawn by md5(anchor:rank) "
+    "mod corpus size (md5 is engine-identical, so the 'random' draw is "
+    "reproducible AND oracle-checkable — xxhash64 would not be), "
+    "self-collisions bumped to the next id. Contiguous doc_id space makes "
+    "the modulus a valid id; a sparse id space would compose this with "
+    "global_row_number (operators/ranking.py) as the index. Pure per-row "
+    "codegen + a 1-row count broadcast; no shuffle.",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("neg_rank")
+    h = docs.select("doc_id", j).select(
+        "doc_id",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("neg_rank"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    return (
+        h.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "neg_rank",
+            F.when(
+                F.col("hv") % F.col("n") == F.col("doc_id"),
+                (F.col("hv") + 1) % F.col("n"),
+            )
+            .otherwise(F.col("hv") % F.col("n"))
+            .alias("neg_doc_id"),
+        )
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+@register(
+    "frequent_tokens_sketch",
+    None,  # freqItems picks are algorithm/partition-order defined —
+    #       rows-only; the no-false-negative guarantee (every token with
+    #       freq > support*n is present) is pinned in pytest
+    "Heavy-hitters sketch over the token stream: DataFrame.stat.freqItems "
+    "(Karp et al. collapsing-counters — single pass, map-side mergeable "
+    "state of O(1/support) entries, no shuffle of the token stream) at "
+    "support=0.01. The sketch family member next to HLL "
+    "(approx_distinct_users) and KLL (order_price_approx_percentiles).",
+)
+def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    items = tok.stat.freqItems(["token"], support=0.01).first()[0]
+    return spark.createDataFrame(
+        [(t,) for t in sorted(items)], "token string"
+    )
+
+
+@register(
     "minhash_incremental_dedup",
     f"""
     WITH sh AS (

@@ -248,3 +248,31 @@ def test_approx_percentiles_error_bound(spark):
         e = exact[e_col] / 10000.0
         assert abs(approx[a_col] - e) <= 0.005 * e, (a_col, approx[a_col], e)
     assert approx["n_orders"] == exact["n_orders"]
+
+
+def test_frequent_tokens_sketch_no_false_negatives(spark):
+    """freqItems' guarantee is one-sided: every item with frequency above
+    the support threshold IS in the result (false positives allowed).
+    Pin that side against exact counts."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import REGISTRY
+    from example_cdk_dynamodb_stream_to_redshift_spark.functions import text as TX
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["token"]
+        for r in REGISTRY["frequent_tokens_sketch"].spark_fn(spark, sf).collect()
+    }
+    tok = load_table(spark, sf, "documents").select(
+        F.explode(TX.tokens("text")).alias("t")
+    )
+    n = tok.count()
+    truly_frequent = {
+        r["t"]
+        for r in tok.groupBy("t")
+        .count()
+        .filter(F.col("count") > 0.01 * n)
+        .collect()
+    }
+    assert truly_frequent <= got, truly_frequent - got

@@ -255,3 +255,55 @@ def test_winnowing_hot_fp_cap_is_instream_window(spark):
     assert plan.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scan_is_codegen_topk_no_join(spark):
+    # the ADC serving scan: codes table -> literal-table lookups -> top-k.
+    # No join, no aggregate exchange — one narrow scan + TakeOrdered.
+    plan = _plan(spark, "pq_ann_topk")
+    # everything feeding the top-k is projection over the codes frame
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan  # zero shuffles: scan -> project -> top-k
+    assert "codegen id" in plan  # lookups stay in whole-stage codegen
+
+
+def test_trailing_window_single_keyed_shuffle(spark):
+    plan = _plan(spark, "customer_order_trailing_30d")
+    # one HASH exchange keyed on the customer feeding the window (the
+    # only other exchange is the presentation orderBy's range partitioning)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert "Window" in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    # after the 4-scalar min/max collect, the key computation itself must
+    # be shuffle-free whole-stage codegen over the scan
+    plan = _plan(spark, "orders_zorder_keys")
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 by zkey, no global sort
+
+
+def test_salted_join_spreads_key_space(spark):
+    plan = _plan(spark, "event_type_salted_join")
+    # the salt must be part of the join key (spread), and the plan must
+    # not degrade to a cartesian
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_buckets_have_no_unpartitioned_window(spark):
+    plan = _plan(spark, "doc_lm_quality_buckets")
+    # global ranks come from range partition + mapInPandas stamping;
+    # an unpartitioned window would appear as a SinglePartition exchange
+    # feeding a Window node
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+
+
+def test_phash_pairs_join_is_block_equi(spark):
+    plan = _plan(spark, "media_phash_near_dups")
+    # candidates meet on the (block-id, block-value) equi-key — never a
+    # broadcast nested loop over all pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
