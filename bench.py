@@ -88,6 +88,7 @@ HEADLINE = [
     "doc_lm_quality_buckets",
     "media_phash_near_dups",
     "contrastive_negatives",
+    "ivfpq_ann_topk",
 ]
 
 
@@ -243,6 +244,7 @@ def main() -> None:
     calib = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         best = None
@@ -250,14 +252,32 @@ def main() -> None:
         # rebuilds the DataFrame so no shuffle output is reused between
         # attempts (same-instance re-execution would reuse exchanges and
         # undercount)
+        # Two timings per attempt. "queries" (materialization of a fresh
+        # DataFrame) keeps the METHODOLOGY IDENTICAL to prior rounds so
+        # shared_query_ratio stays apples-to-apples. "build_sec"
+        # additionally reports spark_fn wall time where it is
+        # non-trivial: for most queries that is millisecond plan
+        # construction, but training-type queries (PQ/IVF codebooks, BPE
+        # merges, global ranking, connected components) run real
+        # distributed jobs eagerly at build time — without this field
+        # their dominant cost would be invisible in the JSON.
+        best_build = None
         for _ in range(2):
+            tb = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
+            build_dt = time.perf_counter() - tb
             t0 = time.perf_counter()
             n = len(df.toPandas())
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+            best_build = (
+                build_dt if best_build is None or build_dt < best_build
+                else best_build
+            )
             assert n >= 0
         timings[name] = round(best, 4)
+        if best_build >= 0.25:
+            builds[name] = round(best_build, 4)
 
     # best-of-2, same as the queries: each call builds its own warehouse
     # and checkpoint, so the attempts are fully independent
@@ -278,6 +298,13 @@ def main() -> None:
         # mistaken for plan regressions across rounds (r1 timed count()).
         "timing_mode": "toPandas_full_materialization",
         "timing_policy": "best_of_2_fresh_dataframes",
+        # eager plan-BUILD cost (driver-coordinated training jobs: k-means
+        # codebooks, BPE merges, ranking offsets, component iterations),
+        # reported separately so "queries" stays methodology-identical to
+        # prior rounds while the real end-to-end cost of training-type
+        # queries is still visible: end_to_end(q) = build_sec[q] + queries[q]
+        "build_sec": builds,
+        "build_total_sec": round(sum(builds.values()), 4),
     }
     comparison = _prior_round_comparison(timings)
     if comparison:

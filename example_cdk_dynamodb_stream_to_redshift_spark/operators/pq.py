@@ -174,6 +174,68 @@ def _lookup_sum(codes: Column, lut: Column, zero) -> Column:
     )
 
 
+def build_ivfpq_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, codes): the IVF+PQ composite index — coarse-quantizer
+    list assignment for WHICH rows a probe reads, PQ codes for WHAT it
+    reads (the FAISS IVFPQ layout, Jegou et al. 2011 §IV). Persisted
+    ``partitionBy(cid)`` this is the 100 TB ANN store: a probe is a
+    partition-pruned scan of nprobe/K of the corpus at 1/16-1/64 the
+    bytes of float32."""
+    from .similarity import _assign_cid
+
+    d_sub = len(codebooks[0][0])
+    codes = [
+        _assign_cid(
+            F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub), book
+        ).cast("int")
+        for s, book in enumerate(codebooks)
+    ]
+    return emb.select(
+        F.col(id_col),
+        _assign_cid(F.col(vec_col), centroids).alias("cid"),
+        F.array(*codes).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Probe the nprobe nearest inverted lists, ADC-score their codes.
+    Probe selection is O(K) on the driver (same as ivf_topk); the scan is
+    the pruned code partitions only. ``nprobe == K`` with a lossless
+    codebook degrades to exact brute force — the driver-checkable
+    configuration."""
+    dists = [
+        (sum((x - c[i]) ** 2 for i, x in enumerate(query_vec)), cid)
+        for cid, c in enumerate(centroids)
+    ]
+    probe_cids = [cid for _, cid in sorted(dists)[:nprobe]]
+    pruned = index.filter(F.col("cid").isin(probe_cids)).select(
+        id_col, "codes"
+    )
+    return pq_adc_topk(
+        pruned,
+        query_vec,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        exact_engine_parity=exact_engine_parity,
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     query_vec: list[float],

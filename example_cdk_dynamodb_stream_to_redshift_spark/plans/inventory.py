@@ -525,6 +525,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_lm_quality_buckets",
     "media_phash_near_dups",
     "contrastive_negatives",
+    "ivfpq_ann_exact_topk",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -551,7 +552,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_trim_bottom_decile",
     "ngram_decontamination_bloom",
     "doc_repetition_stats",
-    "srp_ann_exact_topk",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

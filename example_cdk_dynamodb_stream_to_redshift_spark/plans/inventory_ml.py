@@ -1508,6 +1508,53 @@ def pq_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_adc_topk(codes, qvec, books, k=10, exact_engine_parity=True)
 
 
+@register(
+    "ivfpq_ann_topk",
+    None,  # doubly-approximate (list pruning x lossy codes) — rows-only;
+    #       recall and the exact degenerate config are in tests/test_pq_ann.py
+    "IVF+PQ composite ANN (the FAISS IVFPQ layout): k-means inverted "
+    "lists prune WHICH rows a probe scans, PQ codes shrink WHAT it reads "
+    "— partitionBy(cid) storage makes a probe a partition-pruned scan of "
+    "nprobe/K of the corpus at ~1/32 the bytes (operators/pq.py "
+    "build_ivfpq_index/ivfpq_topk).",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=64)
+    index = PQ.build_ivfpq_index(emb, centroids, books)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_topk(index, qvec, centroids, books, k=10, nprobe=4)
+
+
+@register(
+    "ivfpq_ann_exact_topk",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+    q AS (SELECT embedding AS vb FROM sub WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, {_COS_Q6_SQL} AS cos_sim
+      FROM (SELECT vec_id, embedding AS va FROM sub), q)
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "IVF+PQ in its doubly-degenerate configuration: nprobe = K (every "
+    "list probed) AND lossless codebooks (K >= corpus, iters=0) — the "
+    "composite index/probe/ADC machinery must reproduce brute force "
+    "bitwise, hash-checked against the same oracle as pq_ann_exact_topk. "
+    "The probing/lossy form above stays rows-only.",
+)
+def ivfpq_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=4, iters=2)
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=64, iters=0, dim=64)
+    index = PQ.build_ivfpq_index(emb, centroids, books)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.ivfpq_topk(
+        index, qvec, centroids, books, k=10, nprobe=4, exact_engine_parity=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (text bytes as opaque media; decode kernels stubbed)
 # ---------------------------------------------------------------------------

@@ -111,3 +111,49 @@ def test_py_q6_matches_spark_round(spark):
         F.round(F.col("x") * 1_000_000).cast("long").alias("q")
     )
     assert [r["q"] for r in df.collect()] == [PQ._py_q6(v) for v in vals]
+
+
+def test_ivfpq_exact_config_matches_brute_force(spark, emb):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as S,
+    )
+
+    centroids = S.train_ivf_centroids(emb, n_centroids=4, iters=2)
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=80, iters=0, dim=16)
+    index = PQ.build_ivfpq_index(emb, centroids, books)
+    qvec = _query_vec(emb)
+    got = PQ.ivfpq_topk(
+        index, qvec, centroids, books, k=10, nprobe=4, exact_engine_parity=True
+    ).collect()
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    want = SIM.brute_force_topk(
+        emb, query, k=10, exact_engine_parity=True
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+
+def test_ivfpq_partial_probe_recall(spark, emb):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as S,
+    )
+
+    centroids = S.train_ivf_centroids(emb, n_centroids=4, iters=2)
+    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=16)
+    index = PQ.build_ivfpq_index(emb, centroids, books)
+    qvec = _query_vec(emb)
+    got = {
+        r["vec_id"]
+        for r in PQ.ivfpq_topk(index, qvec, centroids, books, k=10, nprobe=2).collect()
+    }
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    want = {r["vec_id"] for r in SIM.brute_force_topk(emb, query, k=10).collect()}
+    # two approximations stack (half the lists + lossy codes): still most
+    # of the true top-10, and the query vector itself must survive
+    assert len(got & want) >= 5
+    assert 0 in got
