@@ -526,6 +526,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "media_phash_near_dups",
     "contrastive_negatives",
     "ivfpq_ann_exact_topk",
+    # new in r4 (fourth batch): correlated-subquery family (TPC-H
+    # Q4/Q17/Q21/Q11 shapes — semi/anti decorrelation, grouped-subplan join)
+    "late_ship_priority",
+    "small_quantity_part_revenue",
+    "lone_late_supplier",
+    "part_revenue_share",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -548,10 +554,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "train_test_contamination",
     "stratified_sample_by_source",
     "ngram_decontamination",
-    "train_val_test_split",
-    "quality_trim_bottom_decile",
-    "ngram_decontamination_bloom",
-    "doc_repetition_stats",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

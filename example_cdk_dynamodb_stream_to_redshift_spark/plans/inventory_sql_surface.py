@@ -604,6 +604,202 @@ def event_type_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery family (TPC-H Q4/Q17/Q21/Q11 shapes). Redshift users
+# write these daily; each decorrelates into the join the optimizer would
+# pick at scale — EXISTS -> left-semi, NOT EXISTS -> left-anti, correlated
+# aggregate -> grouped subplan joined back — never a per-row re-scan.
+# ---------------------------------------------------------------------------
+@register(
+    "late_ship_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: orders with at least one lineitem shipped >60 days "
+    "after order date, counted by priority. The correlated EXISTS "
+    "decorrelates to ONE left-semi hash join on l_orderkey (the date "
+    "predicate rides as a join residual), so each order is emitted at most "
+    "once with no pre-aggregation of the 4x-larger lineitem side.",
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    WITH keys AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+    part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem JOIN keys ON l_partkey = p_partkey
+      GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    "TPC-H Q17 shape: revenue from small-quantity orders of one brand's "
+    "parts. The correlated per-part AVG subquery decorrelates to a grouped "
+    "aggregate joined back on l_partkey; the brand filter broadcasts FIRST "
+    "(left-semi on the small key set) so the per-part average only "
+    "aggregates that brand's lineitems, never the whole table. Threshold "
+    "is decimal-sum/count double on both engines — bit-identical compare.",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    brand_li = li.join(
+        F.broadcast(keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    part_avg = brand_li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    small = brand_li.alias("l").join(
+        F.broadcast(part_avg).alias("pa"), on="l_partkey"
+    ).filter(F.col("l.l_quantity") < 0.2 * F.col("pa.avg_qty"))
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+    )
+
+
+@register(
+    "lone_late_supplier",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT f1.l_suppkey, COUNT(*) AS n_waits
+    FROM flagged f1
+    WHERE f1.late
+      AND EXISTS (SELECT 1 FROM flagged f2
+                  WHERE f2.l_orderkey = f1.l_orderkey
+                    AND f2.l_suppkey <> f1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged f3
+                      WHERE f3.l_orderkey = f1.l_orderkey
+                        AND f3.l_suppkey <> f1.l_suppkey
+                        AND f3.late)
+    GROUP BY f1.l_suppkey
+    ORDER BY n_waits DESC, f1.l_suppkey
+    LIMIT 10
+    """,
+    "TPC-H Q21 shape: suppliers who were the ONLY late shipper on "
+    "multi-supplier orders. The correlated EXISTS + NOT EXISTS pair "
+    "decorrelates to a left-semi then a left-anti hash join on l_orderkey "
+    "(suppkey inequality as residual) over ONE shared lateness-flagged "
+    "scan — lateness is joined in once, so the anti-join condition needs "
+    "no re-correlation with orders.",
+)
+def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flagged = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ).alias("late"),
+    )
+    f1 = flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = flagged.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        "late",
+    )
+    has_other = f1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    lone = has_other.join(
+        others.filter(F.col("late")),
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        lone.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_waits"))
+        .orderBy(F.desc("n_waits"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "part_revenue_share",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS total FROM pr)
+    SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue
+    FROM pr, tot
+    WHERE CAST(rev AS DOUBLE) > 0.0007 * total
+    ORDER BY revenue DESC, l_partkey
+    """,
+    "TPC-H Q11 shape: parts whose revenue exceeds a fraction of GLOBAL "
+    "revenue — the scalar subquery sits in the HAVING position. The 1-row "
+    "grand total re-aggregates the per-part partials (no second lineitem "
+    "scan) and broadcast-cross-joins back; revenue accumulates in DECIMAL "
+    "so the threshold compare is bit-identical across engines.",
+)
+def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").cast("double").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev").cast("double") > 0.0007 * F.col("total"))
+        .select(
+            "l_partkey", F.col("rev").cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

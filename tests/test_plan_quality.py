@@ -307,3 +307,44 @@ def test_phash_pairs_join_is_block_equi(spark):
     # broadcast nested loop over all pairs
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark):
+    plan = _plan(spark, "late_ship_priority")
+    # Q4 shape: the EXISTS must be ONE semi hash join with the date
+    # predicate as residual — never a per-row subquery re-scan or a
+    # pre-aggregated inner side
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_shape_is_semi_then_anti(spark):
+    plan = _plan(spark, "lone_late_supplier")
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both on the l_orderkey
+    # equi-key (suppkey inequality rides as residual)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_brand_filter_broadcasts_before_avg(spark):
+    plan = _plan(spark, "small_quantity_part_revenue")
+    # the brand key set and the per-part averages both broadcast; the
+    # 4x-larger lineitem side never shuffles for the semi join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand" in plan
+
+
+def test_q11_total_is_reaggregated_not_rescanned(spark):
+    # the per-part and grand-total branches share one identical shuffle; AQE
+    # stitches them with ReusedExchange at runtime, so lineitem is scanned
+    # and partially aggregated ONCE (the static plan prints both branches)
+    df = REGISTRY["part_revenue_share"].spark_fn(spark, SF_CORRECTNESS)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ReusedExchange" in plan
