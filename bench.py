@@ -89,6 +89,8 @@ HEADLINE = [
     "media_phash_near_dups",
     "contrastive_negatives",
     "ivfpq_ann_topk",
+    "dsir_select_docs",
+    "lone_late_supplier",
 ]
 
 

@@ -532,6 +532,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "small_quantity_part_revenue",
     "lone_late_supplier",
     "part_revenue_share",
+    # new in r4 (fifth batch): DSIR importance resampling (Xie et al. 2023)
+    # and cluster-balanced embedding curation (oracle re-derives assignment)
+    "dsir_select_docs",
+    "cluster_balanced_sample",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -552,8 +556,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pii_scrub_docs",
     "doc_distinctive_terms",
     "train_test_contamination",
-    "stratified_sample_by_source",
-    "ngram_decontamination",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

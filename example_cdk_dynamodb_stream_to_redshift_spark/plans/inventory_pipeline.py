@@ -1024,6 +1024,252 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023): select
+# raw-pool documents whose hashed-n-gram feature distribution looks like a
+# small target domain. The published estimator verbatim: bag of hashed
+# unigram+bigram features, per-bucket log importance ratio
+# ln p_target(b) - ln q_raw(b) with add-1 smoothing, per-doc sum, top-N
+# selection. The feature table is BOUNDED (B buckets) however large the
+# corpus, so both distributions broadcast and the corpus pass is one
+# explode + map-side sum — no shuffle of document data.
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024  # feature-hash buckets (DSIR uses 10k at web scale)
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS a
+                FROM documents),
+    uni AS (SELECT doc_id, source, unnest(a) AS f FROM tk),
+    bi AS (SELECT doc_id, source, s[1] || ' ' || s[2] AS f
+           FROM (SELECT doc_id, source, unnest(list_zip(a, a[2:])) AS s
+                 FROM tk)
+           WHERE s[2] IS NOT NULL),
+    feats AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % {_DSIR_B} AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM feats
+             WHERE source = 'src0' GROUP BY b),
+    rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nr FROM feats GROUP BY b),
+    tots AS (SELECT
+      CAST((SELECT COUNT(*) FROM feats WHERE source = 'src0') AS BIGINT)
+        AS nt_tot,
+      CAST((SELECT COUNT(*) FROM feats) AS BIGINT) AS nr_tot),
+    lw AS (SELECT r.b,
+          CAST(round((ln(CAST(COALESCE(t.nt, 0) + 1 AS DOUBLE)
+                         / (nt_tot + {_DSIR_B}))
+                    - ln(CAST(r.nr + 1 AS DOUBLE)
+                         / (nr_tot + {_DSIR_B}))) * 1000000) AS BIGINT) AS lwq
+           FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b, tots),
+    d AS (SELECT doc_id, CAST(SUM(lwq) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_feats
+          FROM feats JOIN lw USING (b)
+          WHERE source <> 'src0'
+          GROUP BY doc_id)
+    SELECT doc_id, n_feats,
+           round(CAST(s AS DOUBLE) / 1000000.0, 6) AS dsir_weight
+    FROM d ORDER BY s DESC, doc_id LIMIT 100
+    """,
+    "DSIR data selection (Xie et al. 2023): hashed unigram+bigram features "
+    f"({_DSIR_B} buckets), target = src0 docs, raw = whole pool; per-doc "
+    "importance weight = sum over features of the add-1-smoothed "
+    "ln(p_target/q_raw) bucket ratio, top-100 non-target docs selected. "
+    "Bit-stable: per-bucket log-ratios quantize to 1e-6 int64 BEFORE the "
+    "per-doc integer sum; selection orders on the exact int sum. Plan: the "
+    "bucket table is bounded at B rows regardless of corpus size, both "
+    "distributions aggregate with map-side partials and broadcast back; "
+    "the corpus never shuffles, and top-100 is TakeOrderedAndProject.",
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "source", TX.tokens("text").alias("a"))
+    uni = tk.select("doc_id", "source", F.explode("a").alias("f"))
+    n1 = F.size("a") - 1
+    bi = (
+        tk.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, n1).alias("w1"),
+                    F.slice("a", 2, n1).alias("w2"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("s.w1"), F.col("s.w2")).alias("f"),
+        )
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    feats = uni.unionAll(bi).select(
+        "doc_id", "source", (h32 % _DSIR_B).alias("b")
+    )
+    tcnt = (
+        feats.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    rcnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nr")
+    )
+    tots = feats.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nr_tot"),
+    )
+    lw = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt_tot") + _DSIR_B)
+                    )
+                    - F.log(
+                        (F.col("nr") + 1).cast("double")
+                        / (F.col("nr_tot") + _DSIR_B)
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lwq"),
+        )
+    )
+    d = (
+        feats.filter(F.col("source") != "src0")
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lwq").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+    )
+    return (
+        d.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("s").cast("double") / 1000000.0, 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (the DataComp/MetaCLIP-style curation step):
+# k-means-assign every embedding to its nearest centroid, then thin every
+# cluster to ~the smallest cluster's size so no semantic mode dominates the
+# training mix. Unlike the degenerate-config ANN rows, the ORACLE here
+# re-derives the nearest-centroid assignment itself (exact int64 distances
+# in DuckDB), driver-proving the assignment math — not just the plumbing
+# around it.
+# ---------------------------------------------------------------------------
+_CBS_K = 8
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""
+    WITH c AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qc
+               FROM embeddings WHERE vec_id < {_CBS_K}),
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+    dist AS (SELECT vec_id, cid,
+               list_sum(list_transform(list_zip(qv, qc), p ->
+                 (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             FROM v, c),
+    assign AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist) WHERE rn = 1),
+    cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM assign GROUP BY cid),
+    m AS (SELECT MIN(n_c) AS min_n FROM cnt)
+    SELECT vec_id, cid FROM assign JOIN cnt USING (cid), m
+    WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+            * n_c < min_n * 4294967296
+    ORDER BY vec_id
+    """,
+    f"Cluster-balanced curation sample: every embedding assigned to its "
+    f"nearest of {_CBS_K} centroids (centroids = the first {_CBS_K} "
+    "corpus vectors, i.e. k-means init — deterministic so BOTH engines "
+    "re-derive the assignment independently in exact 1e-6-quantized int64 "
+    "squared-L2, min-cid tie-break), then every cluster thinned to ~the "
+    "smallest cluster via the exact-int64 hash-threshold keep test "
+    "(hash32(vec_id)*n_c < min_n*2^32 — bit-deterministic, re-ingestion "
+    "stable, the language_rebalance_sample rule in embedding space). "
+    "Plan: the centroid matrix is a constant-size literal, assignment is "
+    "one zero-shuffle codegen projection, only the |K|-row counts "
+    "shuffle; the corpus pass is a projection + broadcast-joined filter.",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < _CBS_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    qv = SIM._q6(F.col("embedding"))
+    cl = F.lit(
+        [[int(round(x * 1000000)) for x in c] for c in cents]
+    )
+    cands = F.transform(
+        cl,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.cast("long").alias("cid"),
+        ),
+    )
+    assign = emb.select(
+        "vec_id", F.array_min(cands)["cid"].alias("cid")
+    )
+    cnt = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    m = cnt.agg(F.min("n_c").alias("min_n"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        assign.join(F.broadcast(cnt), "cid")
+        .crossJoin(F.broadcast(m))
+        .filter(h32 * F.col("n_c") < F.col("min_n") * F.lit(4294967296))
+        .select("vec_id", "cid")
+        .orderBy("vec_id")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

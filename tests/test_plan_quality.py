@@ -348,3 +348,25 @@ def test_q11_total_is_reaggregated_not_rescanned(spark):
         )
     )
     assert "ReusedExchange" in plan
+
+
+def test_dsir_selection_is_take_ordered_with_broadcast_buckets(spark):
+    plan = _plan(spark, "dsir_select_docs")
+    # the bounded bucket table broadcasts into the feature stream and the
+    # top-100 never global-sorts
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_assignment_is_zero_shuffle(spark):
+    plan = _plan(spark, "cluster_balanced_sample")
+    # nearest-centroid assignment is a codegen projection; the only
+    # exchanges are the K-row counts and the final presentation sort —
+    # the corpus itself never hash-shuffles
+    assert "BroadcastHashJoin" in plan
+    hash_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) <= 1, hash_exchanges  # the cid-counts agg only
