@@ -536,6 +536,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # and cluster-balanced embedding curation (oracle re-derives assignment)
     "dsir_select_docs",
     "cluster_balanced_sample",
+    # new in r4 (sixth batch): product-analytics trio
+    "funnel_conversion",
+    "retention_cohorts",
+    "events_hourly_gapfill",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -553,9 +557,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "view_purchase_interval_join",
     "order_price_percentiles",
     "event_type_grouping_sets",
-    "pii_scrub_docs",
-    "doc_distinctive_terms",
-    "train_test_contamination",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

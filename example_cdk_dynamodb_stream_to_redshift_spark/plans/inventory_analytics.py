@@ -727,6 +727,168 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product-analytics trio: funnel conversion, cohort retention, and hourly
+# gap-fill. The event-analytics shapes a CDC-fed warehouse (the reference's
+# whole purpose) serves to dashboards daily; none needs more than keyed
+# shuffles and bounded grids.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    "Ordered funnel conversion (view -> click-after-view -> "
+    "purchase-after-click): each stage is first-touch, strictly after the "
+    "previous stage's first touch. Plan: three conditional-min "
+    "aggregations chained by equi-joins on user_id — every shuffle is "
+    "keyed by the uniform user key and each stage's input shrinks to the "
+    "surviving users; no per-user event arrays are ever materialized, so "
+    "a power user with 10^7 events costs nothing extra.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_funnel"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                    FROM events GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT datediff('day', cohort_day, day) AS days_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN cohort USING (user_id)
+    WHERE datediff('day', cohort_day, day) <= 7
+    GROUP BY days_since ORDER BY days_since
+    """,
+    "Cohort retention curve: users active N days after their first-ever "
+    "day, N <= 7. Plan: per-user cohort day and distinct activity days "
+    "both collapse map-side on the uniform user key, the join stays on "
+    "that key's partitioning (no extra exchange), and the final "
+    "aggregation has <= 8 groups.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .select(F.datediff("day", "cohort_day").alias("days_since"), "user_id")
+        .filter(F.col("days_since") <= 7)
+        .groupBy("days_since")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("days_since")
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+    grid AS (SELECT t.h, et.event_type
+             FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                     AS h FROM bounds) t
+             CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+            FROM events GROUP BY 1, 2)
+    SELECT g.event_type, g.h,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.tv, 0.0) AS total_value,
+           last_value(a.tv IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
+    ORDER BY g.event_type, g.h
+    """,
+    "Time-bucket gap-fill: the hourly (event_type, hour) grid is "
+    "generated with sequence+explode between the global bounds, "
+    "zero-filled counts/sums left-join in, and missing hours "
+    "forward-fill the last observed hourly total (last_value IGNORE "
+    "NULLS). Plan: the grid is bounded by hours x types (independent of "
+    "event count), the real aggregation collapses map-side, and the "
+    "forward-fill window runs per type over the bounded grid — at 100 TB "
+    "the expensive side stays a single partial-agg scan.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .inventory import _dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _dsum("value", "tv"),
+    )
+    w = (
+        WindowSpec.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(WindowSpec.unboundedPreceding, WindowSpec.currentRow)
+    )
+    return (
+        grid.join(agg, ["h", "event_type"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+            F.last("tv", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
