@@ -276,3 +276,62 @@ def test_frequent_tokens_sketch_no_false_negatives(spark):
         .collect()
     }
     assert truly_frequent <= got, truly_frequent - got
+
+
+def test_funnel_stage_order_is_strict(spark):
+    """A click BEFORE the first view (or a purchase before the first
+    qualifying click) must not advance the funnel — each stage is
+    first-touch strictly after the previous stage's first touch."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_analytics import (  # noqa: E501
+        funnel_conversion,
+    )
+    import example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_analytics as IA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+        # user 2: click precedes the only view -> stalls at view
+        (2, "click", ts(0)), (2, "view", ts(1)),
+        # user 3: purchase between view and click -> no full funnel
+        (3, "view", ts(0)), (3, "purchase", ts(1)), (3, "click", ts(2)),
+        # user 4: never views -> not even stage 1
+        (4, "click", ts(0)), (4, "purchase", ts(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    orig = IA.load_table
+    IA.load_table = lambda s, d, n: ev
+    try:
+        row = funnel_conversion(spark, "unused").collect()[0]
+    finally:
+        IA.load_table = orig
+    assert (row["n_view"], row["n_view_click"], row["n_full_funnel"]) == (3, 2, 1)
+
+
+def test_gapfill_emits_empty_hours_and_forward_fills(spark):
+    import example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_analytics as IA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0, "a"),
+        (2, t0 + dt.timedelta(hours=3), 5.0, "a"),  # hours 1,2 are gaps
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, value double, event_type string"
+    )
+    orig = IA.load_table
+    IA.load_table = lambda s, d, n: ev
+    try:
+        out = IA.events_hourly_gapfill(spark, "unused").collect()
+    finally:
+        IA.load_table = orig
+    assert len(out) == 4  # hours 0..3 all present
+    assert [r["n_events"] for r in out] == [1, 0, 0, 1]
+    # gap hours carry zero counts but forward-fill the last observed total
+    assert [r["filled_value"] for r in out] == [10.0, 10.0, 10.0, 5.0]
