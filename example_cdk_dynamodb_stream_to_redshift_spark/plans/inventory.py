@@ -540,6 +540,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "funnel_conversion",
     "retention_cohorts",
     "events_hourly_gapfill",
+    # new in r4 (seventh batch): the composed curation funnel in one plan
+    "corpus_pipeline_summary",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -547,7 +549,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "props_variant_extract",
     "param_events_by_user",
     "user_state_history",
-    "doc_token_topk",
     "event_type_daily_cube",
     "event_gap_topk",
     "user_event_type_profile",

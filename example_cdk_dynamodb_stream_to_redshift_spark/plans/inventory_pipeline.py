@@ -1270,6 +1270,138 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The composed curation pipeline as ONE declarative plan: Gopher quality
+# gate -> exact dedup keep-first -> held-out 13-gram decontamination ->
+# content-hash split, with per-stage attrition and final token accounting.
+# Each stage is individually driver-proven above; this query proves they
+# COMPOSE — the corpus is annotated once with stage-survival flags and a
+# single conditional aggregation reads off the whole funnel.
+# ---------------------------------------------------------------------------
+from ..functions.text import STOPWORDS as _GOPHER_STOPWORDS
+
+_PIPE_STOP_SQL = "'" + "','".join(_GOPHER_STOPWORDS) + "'"
+
+_PIPE_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+        CAST(len(list_filter(string_split(text, ' '),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS alpha,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sym,
+        CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({stop}))) AS BIGINT) AS n_stop
+      FROM documents),
+    q AS (SELECT doc_id, text FROM g
+          WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+            AND alpha >= 0.8 AND sym <= 0.1 AND n_stop >= 2),
+    firsts AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    fd AS (SELECT q.doc_id, q.text FROM q JOIN firsts USING (doc_id)),
+    pool AS (SELECT doc_id, text FROM fd WHERE doc_id % 10 <> 0),
+    test_sh AS (
+      SELECT DISTINCT md5({ngram}) AS gsh
+      FROM (SELECT string_split(text, ' ') AS l FROM documents
+            WHERE doc_id % 10 = 0)),
+    pool_sh AS (
+      SELECT DISTINCT doc_id, md5({ngram}) AS gsh
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM pool)),
+    contam AS (SELECT DISTINCT doc_id FROM pool_sh JOIN test_sh USING (gsh)),
+    clean AS (SELECT doc_id, text FROM pool
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    sp AS (SELECT text,
+                  (('0x' || substr(md5(text), 1, 8))::UBIGINT % 100) AS bk
+           FROM clean)
+    SELECT
+      CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+      CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality,
+      CAST((SELECT COUNT(*) FROM fd) AS BIGINT) AS n_dedup,
+      CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_clean,
+      CAST((SELECT COUNT(*) FROM sp WHERE bk < 80) AS BIGINT) AS n_train,
+      CAST((SELECT COUNT(*) FROM sp WHERE bk >= 80 AND bk < 90) AS BIGINT)
+        AS n_val,
+      CAST((SELECT COUNT(*) FROM sp WHERE bk >= 90) AS BIGINT) AS n_test,
+      CAST((SELECT COALESCE(SUM(len(string_split(text, ' '))), 0)
+            FROM clean) AS BIGINT) AS clean_tokens
+    """.replace("{stop}", _PIPE_STOP_SQL).replace(
+    "{ngram}", _ngram_sql(_DECON_N))
+
+
+@register(
+    "corpus_pipeline_summary",
+    _PIPE_ORACLE,
+    "The composed curation funnel — Gopher quality gate, exact dedup "
+    "keep-first, held-out 13-gram decontamination, 80/10/10 content-hash "
+    "split — as ONE declarative plan with per-stage attrition counts and "
+    "final token accounting. Plan: the corpus is annotated ONCE with "
+    "stage-survival flags (quality predicate inline; first-copy and "
+    "contaminated flags arrive via two keyed equi-joins on md5 hashes), "
+    "then a single conditional aggregation reads off every stage count — "
+    "no per-stage re-scans; the shingle branches dedup to 32-byte hash "
+    "keys before their join, exactly as in ngram_decontamination.",
+)
+def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from ..operators.curation import split_bucket
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(TX.gopher_kept("text")).select("doc_id", "text")
+    firsts = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("fid")
+    )
+    pool = kept.join(
+        firsts, kept.doc_id == firsts.fid, "left_semi"
+    ).filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    test_sh = (
+        shingle_rows(test, "text", "doc_id", _DECON_N)
+        .select(F.md5("s").alias("gsh"))
+        .distinct()
+    )
+    contam = (
+        shingle_rows(pool, "text", "doc_id", _DECON_N)
+        .select("id", F.md5("s").alias("gsh"))
+        .distinct()
+        .join(test_sh, "gsh")
+        .select(F.col("id").alias("cid"))
+        .distinct()
+    )
+    ann = (
+        docs.withColumn("q", TX.gopher_kept("text"))
+        .withColumn("h", F.md5("text"))
+        .join(firsts, "h", "left")
+        .withColumn("first", F.col("q") & (F.col("doc_id") == F.col("fid")))
+        .withColumn("pooled", F.col("first") & (F.col("doc_id") % 10 != 0))
+        .join(contam, F.col("doc_id") == F.col("cid"), "left")
+        .withColumn("clean", F.col("pooled") & F.col("cid").isNull())
+        .withColumn("bk", split_bucket("text"))
+        .withColumn("n_tokens", TX.token_count("text").cast("bigint"))
+    )
+
+    def c(cond, name):
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        )
+
+    return ann.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        c(F.col("q"), "n_quality"),
+        c(F.col("first"), "n_dedup"),
+        c(F.col("clean"), "n_clean"),
+        c(F.col("clean") & (F.col("bk") < 80), "n_train"),
+        c(F.col("clean") & (F.col("bk") >= 80) & (F.col("bk") < 90), "n_val"),
+        c(F.col("clean") & (F.col("bk") >= 90), "n_test"),
+        F.sum(F.when(F.col("clean"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("clean_tokens"),
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -370,3 +370,12 @@ def test_cluster_balanced_sample_assignment_is_zero_shuffle(spark):
         if "Exchange" in l and "hashpartitioning" in l
     ]
     assert len(hash_exchanges) <= 1, hash_exchanges  # the cid-counts agg only
+
+
+def test_corpus_pipeline_is_single_conditional_agg(spark):
+    plan = _plan(spark, "corpus_pipeline_summary")
+    # every stage count reads off ONE final aggregation over the annotated
+    # corpus — no per-stage scalar-subquery re-aggregations, no cartesian
+    assert "CartesianProduct" not in plan
+    # the final 1-row agg: exactly one SinglePartition exchange
+    assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
