@@ -542,6 +542,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_hourly_gapfill",
     # new in r4 (seventh batch): the composed curation funnel in one plan
     "corpus_pipeline_summary",
+    "tfidf_similar_docs",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
@@ -549,7 +550,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "props_variant_extract",
     "param_events_by_user",
     "user_state_history",
-    "event_type_daily_cube",
     "event_gap_topk",
     "user_event_type_profile",
     "order_price_quartiles",

@@ -643,6 +643,105 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vector-space (tf-idf cosine) similar-document search: the SPARSE
+# counterpart of the dense ANN family — same inverted-index read path as
+# BM25, but ranking by cosine over tf·idf weight vectors (the classic
+# similar-docs / more-like-this query).
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_similar_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (SELECT doc_id, term,
+                 tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000)
+                           AS BIGINT) AS w
+          FROM tf JOIN dft USING (term), stats),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+            FROM w GROUP BY doc_id),
+    q AS (SELECT term, w AS wq FROM w WHERE doc_id = 0),
+    dots AS (SELECT w.doc_id, CAST(SUM(w.w * q.wq) AS BIGINT) AS dot
+             FROM w JOIN q USING (term)
+             WHERE w.doc_id <> 0 GROUP BY 1)
+    SELECT d.doc_id,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(n.n2 AS DOUBLE))
+                    * sqrt(CAST(qn.n2 AS DOUBLE))), 6) AS cos_sim
+    FROM dots d
+    JOIN nrm n ON d.doc_id = n.doc_id
+    JOIN (SELECT n2 FROM nrm WHERE doc_id = 0) qn ON TRUE
+    ORDER BY cos_sim DESC, d.doc_id LIMIT 10
+    """,
+    "Vector-space 'more like this': top-10 docs by tf-idf cosine against "
+    "doc 0 — the sparse counterpart of the dense ANN family, sharing "
+    "BM25's inverted-index read path. Bit-stable: idf quantizes to 1e-3 "
+    "int64, weights/dots/norms are EXACT integer sums (order-independent "
+    "— no float accumulation anywhere), and the cosine is two correctly "
+    "rounded sqrt ops + one division. Plan: the (doc,term) weight table "
+    "is the inverted index (built once, term-keyed); the query doc's "
+    "bounded term vector broadcasts, so only ITS postings shuffle for "
+    "the dot products; norms collapse map-side on uniform doc_id; top-k "
+    "is TakeOrderedAndProject.",
+)
+def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    q = w.filter(F.col("doc_id") == 0).select("term", F.col("w").alias("wq"))
+    dots = (
+        w.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("wq")).cast("bigint").alias("dot"))
+    )
+    qn = nrm.filter(F.col("doc_id") == 0).select(F.col("n2").alias("qn2"))
+    return (
+        dots.join(nrm, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("qn2").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 @register(
     "language_rebalance_sample",
     """

@@ -379,3 +379,12 @@ def test_corpus_pipeline_is_single_conditional_agg(spark):
     assert "CartesianProduct" not in plan
     # the final 1-row agg: exactly one SinglePartition exchange
     assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
+
+
+def test_tfidf_query_postings_broadcast_and_topk(spark):
+    plan = _plan(spark, "tfidf_similar_docs")
+    # the query doc's bounded term vector broadcasts; top-k never
+    # global-sorts; nothing degrades to a cartesian
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
