@@ -370,19 +370,27 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    tot = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
-    dup = (
-        sh.join(hot, "h", "left_semi")
+    # one conditional aggregation computes total AND duplicated window
+    # counts together: the left join tags each shingle row with hot-ness,
+    # so only ONE id-keyed shuffle and ONE join back to docs remain (the
+    # former tot/dup pair cost an extra id aggregation + an extra join);
+    # the h-keyed exchange under the hot aggregate and the tag join is
+    # identical and AQE-reused
+    counts = (
+        sh.join(hot.withColumn("hot", F.lit(True)), "h", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("hot"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
     )
     zero = F.lit(0).cast("bigint")
     return (
         docs.select("doc_id")
-        .join(tot, F.col("doc_id") == tot["id"], "left")
-        .drop(tot["id"])
-        .join(dup, F.col("doc_id") == dup["id"], "left")
-        .drop(dup["id"])
+        .join(counts, F.col("doc_id") == counts["id"], "left")
+        .drop(counts["id"])
         .select(
             "doc_id",
             F.coalesce("n_windows", zero).alias("n_windows"),

@@ -1213,29 +1213,29 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = uni.unionAll(bi).select(
         "doc_id", "source", (h32 % _DSIR_B).alias("b")
     )
-    tcnt = (
-        feats.filter(F.col("source") == "src0")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    )
-    rcnt = feats.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nr")
-    )
-    tots = feats.agg(
+    # ONE bucket aggregation carries both distributions (target count is a
+    # conditional sum); the two grand totals re-aggregate the bounded
+    # B-row table instead of re-tokenizing the corpus — the feature stream
+    # is built twice in this plan (here and in the per-doc scoring below),
+    # not four times
+    bc = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nr"),
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
         .cast("bigint")
-        .alias("nt_tot"),
-        F.count(F.lit(1)).cast("bigint").alias("nr_tot"),
+        .alias("nt"),
+    )
+    tots = bc.agg(
+        F.sum("nt").cast("bigint").alias("nt_tot"),
+        F.sum("nr").cast("bigint").alias("nr_tot"),
     )
     lw = (
-        rcnt.join(tcnt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        bc.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(
                 (
                     F.log(
-                        (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+                        (F.col("nt") + 1).cast("double")
                         / (F.col("nt_tot") + _DSIR_B)
                     )
                     - F.log(

@@ -224,12 +224,15 @@ def test_top_docs_per_source_windows_are_salt_scoped(spark):
 
 
 def test_substring_dup_hot_join_is_semi_equi(spark):
-    # the duplicated-window marking must be a semi EQUI-join on the window
-    # hash (inverted-index shape); a nested-loop here would be all-pairs
+    # the duplicated-window marking must be an EQUI-join on the window
+    # hash (inverted-index shape — now a left join whose hot tag feeds ONE
+    # conditional aggregation); a nested-loop here would be all-pairs
     plan = _plan(spark, "substring_dup_stats")
-    assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # total and duplicated window counts ride one aggregation: a single
+    # id-keyed count(*) + conditional sum, not two id aggregations
+    assert "partial_count(1)" in plan or "partial_count" in plan
 
 
 def test_bpe_pair_scan_is_map_side_topk(spark):
