@@ -543,15 +543,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in r4 (seventh batch): the composed curation funnel in one plan
     "corpus_pipeline_summary",
     "tfidf_similar_docs",
+    # new-in-r4 rows-only entries (no oracle by design — probing/iterative
+    # forms): windowed so the driver records at least the weak rows check
+    # and every registry entry has a driver row across r2∪r3∪r4
+    "bpe_train_merges",
+    "bpe_encode_docs",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "frequent_tokens_sketch",
+    "order_price_approx_percentiles",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
-    "user_event_type_pivot",
-    "props_variant_extract",
-    "param_events_by_user",
-    "user_state_history",
-    "event_gap_topk",
-    "user_event_type_profile",
     "order_price_quartiles",
     "customer_order_counts_left",
     "supplier_customer_nations_full",
