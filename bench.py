@@ -91,6 +91,8 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "dsir_select_docs",
     "lone_late_supplier",
+    "corpus_pipeline_summary",
+    "tfidf_similar_docs",
 ]
 
 
