@@ -1704,6 +1704,50 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 2500 AS BIGINT) AS ts_ms,
+           sha256(text || '|frame' || i) AS frame_sha256
+    FROM (SELECT doc_id, text, CAST(10 * n_chars AS BIGINT) AS dur
+          FROM documents),
+         LATERAL unnest(range(CAST(ceil(dur / 2500.0) AS BIGINT))) AS t(i)
+    ORDER BY media_id, frame_idx
+    """,
+    "Video frame sampling through the multimodal fan-out path: each fake "
+    "video (duration_ms = 10 x n_chars) emits ceil(duration/2500) frame "
+    "rows from the Arrow-batched mapInPandas kernel "
+    "(operators/multimodal.py sample_video_frames) — the 1-row-in / "
+    "N-rows-out batch shape a real ffmpeg kernel needs, driver-checked "
+    "because the stub frame is sha256(content|frame_i), which DuckDB "
+    "re-derives bit-exactly. Plan: pure per-row fan-out, no shuffle "
+    "before the presentation sort; frames-per-row is bounded by "
+    "duration, so batch memory is metadata-controlled at any scale.",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    frames = MM.sample_video_frames(media, every_ms=2500)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_sha256"),
+    ).orderBy("media_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Repetition-based quality filtering (Gopher rules, Rae et al. 2021 §A1.1):
 # heavily repetitious text is a strong low-quality signal. Integer counts
