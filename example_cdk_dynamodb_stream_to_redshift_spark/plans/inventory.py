@@ -553,10 +553,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "frequent_tokens_sketch",
     "order_price_approx_percentiles",
     "media_frame_sample",
+    "mixture_sampled_corpus",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
-    "customer_order_counts_left",
     "supplier_customer_nations_full",
     "view_purchase_interval_join",
     "order_price_percentiles",

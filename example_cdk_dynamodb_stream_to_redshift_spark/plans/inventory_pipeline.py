@@ -907,6 +907,109 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mixture MATERIALIZATION: execute domain_mixture_weights — sample each
+# source at the rate that hits its temperature-smoothed share of a global
+# token budget (half the corpus). The step between "computed the sampler
+# config" and "wrote the training mix".
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_sampled_corpus",
+    f"""
+    WITH c AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM c),
+    s AS (SELECT source, n_tokens,
+                 CAST(round(pow(CAST(n_tokens AS DOUBLE) / total, {_MIX_ALPHA})
+                            * 1000000000000) AS BIGINT) AS smq
+          FROM c, t),
+    z AS (SELECT CAST(SUM(smq) AS BIGINT) AS zsum FROM s),
+    r AS (SELECT source, n_tokens,
+                 CAST(round(least(
+                     (CAST(smq AS DOUBLE) / zsum)
+                       * (CAST(total // 2 AS DOUBLE) / n_tokens),
+                     1.0) * 4294967296) AS BIGINT) AS rate_q
+          FROM s, z, t),
+    k AS (SELECT d.source, d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dt
+          FROM documents d JOIN r USING (source)
+          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) < r.rate_q)
+    SELECT r.source, r.n_tokens, r.rate_q,
+           CAST(COALESCE(COUNT(k.doc_id), 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(k.dt), 0) AS BIGINT) AS n_tokens_kept
+    FROM r LEFT JOIN k ON r.source = k.source
+    GROUP BY r.source, r.n_tokens, r.rate_q
+    ORDER BY r.source
+    """,
+    "Mixture materialization: each source sampled at the rate that hits "
+    f"its share^{_MIX_ALPHA}/Z slice of a half-corpus token budget — "
+    "domain_mixture_weights EXECUTED. The per-source rate is derived "
+    "from exact int64 inputs through a FIXED sequence of IEEE ops "
+    "(div, div, mul, least — no accumulation, so both engines produce "
+    "the identical double) and lands as an int64 threshold against "
+    "hash32(doc_id): bit-deterministic, re-ingestion stable, zero "
+    "randomness state. Plan: pass 1 = map-side per-source token counts; "
+    "the |sources|-row rate table broadcasts; pass 2 = per-row keep "
+    "filter + bounded-key aggregation. Nothing but the two corpus scans "
+    "touches data volume at 100 TB.",
+)
+def mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    t = c.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    s = c.crossJoin(F.broadcast(t)).withColumn(
+        "smq",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("total"), _MIX_ALPHA)
+            * F.lit(1000000000000)
+        ).cast("bigint"),
+    )
+    z = s.agg(F.sum("smq").cast("bigint").alias("zsum"))
+    rate = (
+        F.col("smq").cast("double") / F.col("zsum")
+    ) * (
+        (F.col("total") - (F.col("total") % 2)).cast("double")
+        / F.lit(2.0)
+        / F.col("n_tokens")
+    )
+    r = (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.least(rate, F.lit(1.0)) * F.lit(4294967296))
+            .cast("bigint")
+            .alias("rate_q"),
+        )
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    k = (
+        docs.join(F.broadcast(r), "source")
+        .filter(h32 < F.col("rate_q"))
+        .select("source", "doc_id", TX.token_count("text").cast("bigint").alias("dt"))
+    )
+    return (
+        r.join(k, "source", "left")
+        .groupBy("source", "n_tokens", "rate_q")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.sum("dt"), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking: split long documents into fixed-size token
 # windows with overlap — the doc -> training-sample splitter that feeds a
 # context-bounded model. Counterpart of sequence_packing (which CONCATS
