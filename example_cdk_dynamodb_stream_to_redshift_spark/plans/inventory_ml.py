@@ -1705,6 +1705,42 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize_batch",
+    """
+    SELECT doc_id AS media_id,
+           sha256(text || '|64x64') AS resized_sha256,
+           64 AS out_width, 64 AS out_height,
+           octet_length(encode(text)) AS in_bytes
+    FROM documents ORDER BY media_id
+    """,
+    "Image resize through the multimodal batch path: content replaced by "
+    "the resize kernel's output, meta width/height rewritten — 1-row-in/"
+    "1-row-out Arrow mapInPandas (operators/multimodal.py resize_images; "
+    "kernel pluggable, default deterministic fake = sha256(content|WxH), "
+    "which DuckDB re-derives bit-exactly so the whole batch path is "
+    "driver-checked). Plan: per-row projection through one Arrow "
+    "round-trip, no shuffle before the presentation sort.",
+)
+def media_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.text_as_media(docs)
+    sizes = media.select(
+        "media_id", F.octet_length("content").alias("in_bytes")
+    )
+    resized = MM.resize_images(media, 64, 64)
+    return (
+        resized.select(
+            "media_id",
+            F.lower(F.hex("content")).alias("resized_sha256"),
+            F.col("meta.width").alias("out_width"),
+            F.col("meta.height").alias("out_height"),
+        )
+        .join(sizes, "media_id")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "media_frame_sample",
     """
     SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
