@@ -1709,8 +1709,7 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            sha256(text || '|64x64') AS resized_sha256,
-           64 AS out_width, 64 AS out_height,
-           octet_length(encode(text)) AS in_bytes
+           64 AS out_width, 64 AS out_height
     FROM documents ORDER BY media_id
     """,
     "Image resize through the multimodal batch path: content replaced by "
@@ -1723,21 +1722,13 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = MM.text_as_media(docs)
-    sizes = media.select(
-        "media_id", F.octet_length("content").alias("in_bytes")
-    )
-    resized = MM.resize_images(media, 64, 64)
-    return (
-        resized.select(
-            "media_id",
-            F.lower(F.hex("content")).alias("resized_sha256"),
-            F.col("meta.width").alias("out_width"),
-            F.col("meta.height").alias("out_height"),
-        )
-        .join(sizes, "media_id")
-        .orderBy("media_id")
-    )
+    resized = MM.resize_images(MM.text_as_media(docs), 64, 64)
+    return resized.select(
+        "media_id",
+        F.lower(F.hex("content")).alias("resized_sha256"),
+        F.col("meta.width").alias("out_width"),
+        F.col("meta.height").alias("out_height"),
+    ).orderBy("media_id")
 
 
 @register(
