@@ -335,3 +335,29 @@ def test_gapfill_emits_empty_hours_and_forward_fills(spark):
     assert [r["n_events"] for r in out] == [1, 0, 0, 1]
     # gap hours carry zero counts but forward-fill the last observed total
     assert [r["filled_value"] for r in out] == [10.0, 10.0, 10.0, 5.0]
+
+
+def test_mixture_sample_respects_temperature_budget(spark):
+    """The materialized mixture must (a) keep every source at most fully
+    (rate cap 1.0), (b) land near the half-corpus token budget, and (c)
+    upweight small sources: each source's kept-token share must sit
+    between its raw share and the uniform share (alpha < 1 compresses
+    shares toward uniform)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["mixture_sampled_corpus"].spark_fn(
+        spark, SF_CORRECTNESS
+    ).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["n_tokens_kept"] for r in rows)
+    assert all(r["rate_q"] <= 4294967296 for r in rows)
+    assert all(r["n_tokens_kept"] <= r["n_tokens"] for r in rows)
+    # hash sampling is exact-in-expectation; allow 20% slack at sf0.01
+    assert 0.3 * total < kept < 0.7 * total
+    # rates are monotone DECREASING in source size (smaller sources get
+    # proportionally more of the budget under alpha < 1)
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    rates = [r["rate_q"] for r in by_size]
+    assert rates == sorted(rates, reverse=True)
