@@ -800,6 +800,77 @@ def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: the canonical 6-table join — local-supplier revenue by
+# nation within one region. The join-ordering/broadcast-selection benchmark
+# query: two fact-fact equi-joins plus a residual same-nation condition,
+# dims broadcast, aggregate on a bounded key.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_revenue_q5",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "TPC-H Q5 shape: revenue by nation where customer and supplier share "
+    "the nation, restricted to one region. Plan: lineitem-orders-customer "
+    "chain on uniform keys (AQE picks broadcast vs sort-merge per side), "
+    "the same-nation test rides the supplier join as a residual, and "
+    "nation/region broadcast with the region filter PUSHED to the scan — "
+    "the classic join-reorder benchmark. Revenue uses the Q1 idiom: the "
+    "per-row product rounds onto a 1e-6 grid into DECIMAL(28,0) before "
+    "the sum, so accumulation order can't show.",
+)
+def nation_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev).cast("double") / 1000000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -391,3 +391,11 @@ def test_tfidf_query_postings_broadcast_and_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q5_dims_broadcast_and_region_filter_pushes(spark):
+    plan = _plan(spark, "nation_revenue_q5")
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
