@@ -93,6 +93,7 @@ HEADLINE = [
     "lone_late_supplier",
     "corpus_pipeline_summary",
     "tfidf_similar_docs",
+    "nation_revenue_q5",
 ]
 
 
