@@ -697,6 +697,17 @@ def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return tfidf_topk_from_postings(tf, stats, query_doc=0, k=10)
+
+
+def tfidf_topk_from_postings(
+    tf: DataFrame, stats: DataFrame, query_doc: int = 0, k: int = 10
+) -> DataFrame:
+    """tf-idf cosine top-k against ``query_doc`` over a (doc_id, term, tf)
+    postings table — the scoring half of tfidf_similar_docs, factored out
+    so the SAME plan runs over the in-query postings AND the persisted
+    term-bucket-partitioned store (operators/postings.py; equivalence
+    pinned in tests/test_postings.py)."""
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     w = (
         tf.join(dft, "term")
@@ -715,14 +726,18 @@ def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
     )
-    q = w.filter(F.col("doc_id") == 0).select("term", F.col("w").alias("wq"))
+    q = w.filter(F.col("doc_id") == query_doc).select(
+        "term", F.col("w").alias("wq")
+    )
     dots = (
-        w.filter(F.col("doc_id") != 0)
+        w.filter(F.col("doc_id") != query_doc)
         .join(F.broadcast(q), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("wq")).cast("bigint").alias("dot"))
     )
-    qn = nrm.filter(F.col("doc_id") == 0).select(F.col("n2").alias("qn2"))
+    qn = nrm.filter(F.col("doc_id") == query_doc).select(
+        F.col("n2").alias("qn2")
+    )
     return (
         dots.join(nrm, "doc_id")
         .crossJoin(F.broadcast(qn))
@@ -738,7 +753,7 @@ def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-        .limit(10)
+        .limit(k)
     )
 
 

@@ -75,3 +75,31 @@ def test_bucket_key_spreads_vocabulary(spark):
     assert len(per_bucket) >= N_BUCKETS // 2
     # no single bucket concentrates the vocabulary
     assert max(r["n_terms"] for r in per_bucket) < n_vocab / 2
+
+
+def test_tfidf_over_persisted_index_matches_registered_query(spark, tmp_path):
+    """The registered tfidf_similar_docs result must be reproducible from
+    the PERSISTED postings store — proving the store carries everything
+    the retrieval family needs (tf per (doc, term); df/idf/norms derive
+    from it)."""
+    from pyspark.sql import functions as F
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+        REGISTRY,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_pipeline import (  # noqa: E501
+        tfidf_topk_from_postings,
+    )
+
+    docs = _docs(spark)
+    idx = P.build_postings_index(docs, n_buckets=N_BUCKETS)
+    path = str(tmp_path / "postings")
+    P.write_postings_index(idx, path)
+    disk = P.read_postings_index(spark, path).select("doc_id", "term", "tf")
+    stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+    got = tfidf_topk_from_postings(disk, stats, query_doc=0, k=10).collect()
+    want = REGISTRY["tfidf_similar_docs"].spark_fn(spark, SF_CORRECTNESS).collect()
+    assert [(r["doc_id"], r["cos_sim"]) for r in got] == [
+        (r["doc_id"], r["cos_sim"]) for r in want
+    ]
