@@ -556,10 +556,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "mixture_sampled_corpus",
     "media_resize_batch",
     "nation_revenue_q5",
+    "events_hourly_anomalies",
     # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
     # the operator families; everything dropped past slot 50 carries a green
     # r2/r3 row (asserted by tests/test_driver_window.py)
-    "order_price_percentiles",
     "event_type_grouping_sets",
 ]
 

@@ -889,6 +889,76 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistical anomaly detection on the event stream: hourly volumes more
+# than 2 sigma from their type's mean — the monitoring query a CDC-fed
+# warehouse (the reference's sync-lag monitors, sql/queries.sql:1-19)
+# grows into once volumes matter, not just latencies.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_anomalies",
+    """
+    WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(n) AS BIGINT) AS s1,
+                  CAST(SUM(n * n) AS BIGINT) AS s2
+           FROM hc GROUP BY event_type),
+    z AS (SELECT hc.event_type, hc.h, hc.n,
+                 round((CAST(hc.n AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE)
+                              / (CAST(cnt AS DOUBLE) * (cnt - 1))), 6)
+                   AS zscore
+          FROM hc JOIN st USING (event_type)
+          WHERE cnt >= 2)
+    SELECT event_type, h, n, zscore
+    FROM z WHERE abs(zscore) >= 2.0
+    ORDER BY event_type, h
+    """,
+    "Hourly volume anomalies: per-type z-scores of hourly event counts, "
+    "flagged at |z| >= 2. Bit-stable without quantization: counts and "
+    "their squares accumulate as EXACT integers (sum/sumsq — the "
+    "mergeable two-pass-free variance form), and mean/sigma/z are a "
+    "FIXED sequence of IEEE ops both engines evaluate identically; the "
+    "predicate tests the 1e-6-rounded score so no boundary can flip. "
+    "Plan: two bounded-key aggregations (hours x types, then types) + a "
+    "broadcast join back — the event table is scanned once. At extreme "
+    "per-hour volumes the int64 sumsq would need DECIMAL widening; the "
+    "shape is unchanged.",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    sigma = F.sqrt(
+        (F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("cnt").cast("double") * (F.col("cnt") - 1))
+    )
+    return (
+        hc.join(F.broadcast(st.filter(F.col("cnt") >= 2)), "event_type")
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.round((F.col("n").cast("double") - mean) / sigma, 6).alias(
+                "zscore"
+            ),
+        )
+        .filter(F.abs(F.col("zscore")) >= 2.0)
+        .orderBy("event_type", "h")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
