@@ -74,6 +74,7 @@ def connected_components(
             stats["rounds"] = 0
         return selfmap.select("node", F.col("node").alias("component"))
 
+    n_e = e.count()
     for _round in range(max_iter):
         # -- large-star: every neighbor v > u re-points at m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -103,14 +104,17 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # converged when the star edges stopped moving (set equality;
-        # both sides distinct, counts compared after the cheap subtract)
-        if e_next.exceptAll(e).isEmpty() and e.exceptAll(e_next).isEmpty():
+        # converged when the star edges stopped moving. Both sides are
+        # DISTINCT sets, so |A| == |B| plus A∖B == ∅ proves A == B — one
+        # subtract join per round instead of two (counts over the
+        # checkpointed sets are cheap single-stage jobs)
+        n_next = e_next.count()
+        if n_next == n_e and e_next.exceptAll(e).isEmpty():
             e = e_next
             if stats is not None:
                 stats["rounds"] = _round + 1
             break
-        e = e_next
+        e, n_e = e_next, n_next
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
