@@ -1017,13 +1017,17 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("pcs").alias("pc"))
         .select("doc_id", F.col("pc.cur").alias("cur"), F.col("pc.prev").alias("prev"))
     )
-    uni = pairs.groupBy("cur").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = uni.agg(F.sum("n").cast("bigint").alias("total"))
-    big = (
-        pairs.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    # ONE (prev, cur) aggregation (null prev = document start included)
+    # feeds every count table: unigram counts re-aggregate it over cur,
+    # the bigram table filters it, prefix marginals re-aggregate the
+    # bigram table — the token stream is built twice in this plan (here
+    # and for the scoring join below), not four times
+    big0 = pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
     )
+    uni = big0.groupBy("cur").agg(F.sum("nb").cast("bigint").alias("n"))
+    tot = uni.agg(F.sum("n").cast("bigint").alias("total"))
+    big = big0.filter(F.col("prev").isNotNull())
     pfx = big.groupBy("prev").agg(F.sum("nb").cast("bigint").alias("np"))
     pu = F.col("n").cast("double") / F.col("total").cast("double")
     pb = F.col("nb").cast("double") / F.col("np").cast("double")
