@@ -339,6 +339,12 @@ def incremental_near_dup_pairs(
               ["band", "key"])
         .select("batch_id", "corpus_id")
         .distinct()
+        # the candidate set is consumed twice (the touched-corpus prune and
+        # the verification join); without truncation the WHOLE
+        # index-join subtree — including the batch signature hashing —
+        # re-evaluates for each consumer. Candidates are the small
+        # post-LSH set, so materializing them is cheap at any scale.
+        .localCheckpoint(eager=True)
     )
     # Shingle-set construction only for touched corpus docs: the semi-join
     # prunes before the expensive posexplode/collect_set chain.
