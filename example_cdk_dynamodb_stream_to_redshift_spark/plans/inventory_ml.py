@@ -12,7 +12,7 @@ Oracle determinism strategy (validated empirically in tests/oracle.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -364,20 +364,20 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = DD.shingle_rows(docs, "text", "doc_id", _SUBSTR_N).select(
         "id", F.md5(F.col("s").cast("binary")).alias("h")
     )
-    hot = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    # one conditional aggregation computes total AND duplicated window
-    # counts together: the left join tags each shingle row with hot-ness,
-    # so only ONE id-keyed shuffle and ONE join back to docs remain (the
-    # former tot/dup pair cost an extra id aggregation + an extra join);
-    # the h-keyed exchange under the hot aggregate and the tag join is
-    # identical and AQE-reused
+    # hot-ness ("this window hash appears in >= 2 DISTINCT docs") is
+    # exactly min(id) != max(id) over the hash partition — two streaming
+    # window aggregates tag every shingle row IN-STREAM, so the whole
+    # query is ONE pass over the shingles (one h-shuffle, one id-shuffle):
+    # no hot-set aggregate, no join back, no second evaluation of the
+    # expensive shingle construction (the old two-branch form re-ran it —
+    # the branches' exchanges differ post-aggregation, so AQE can't
+    # stitch them). A boilerplate hash's f rows stream through one window
+    # group linearly; min/max state is O(1), unlike a collect_set.
+    wh = Window.partitionBy("h")
     counts = (
-        sh.join(hot.withColumn("hot", F.lit(True)), "h", "left")
+        sh.withColumn(
+            "hot", F.min("id").over(wh) != F.max("id").over(wh)
+        )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

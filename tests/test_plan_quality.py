@@ -223,16 +223,14 @@ def test_top_docs_per_source_windows_are_salt_scoped(spark):
     assert "partitionBy=[]" not in plan.replace(" ", "")
 
 
-def test_substring_dup_hot_join_is_semi_equi(spark):
-    # the duplicated-window marking must be an EQUI-join on the window
-    # hash (inverted-index shape — now a left join whose hot tag feeds ONE
-    # conditional aggregation); a nested-loop here would be all-pairs
+def test_substring_dup_is_one_shingle_pass(spark):
+    # hot-ness = min(id) != max(id) over the hash window, tagged IN-STREAM:
+    # the expensive shingle construction runs once — no self-join, no
+    # hot-set aggregate joined back, never a nested-loop/cartesian
     plan = _plan(spark, "substring_dup_stats")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # total and duplicated window counts ride one aggregation: a single
-    # id-keyed count(*) + conditional sum, not two id aggregations
-    assert "partial_count(1)" in plan or "partial_count" in plan
+    assert "partial_count" in plan  # map-side partials on the id agg
 
 
 def test_bpe_pair_scan_is_map_side_topk(spark):
