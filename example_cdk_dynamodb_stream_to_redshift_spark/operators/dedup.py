@@ -418,8 +418,14 @@ def span_dedup(
     ).withColumn("h", F.md5(F.col("span").cast("binary"))).withColumn(
         "pos", F.col("id") * F.lit(100000000).cast("long") + F.col("span_idx")
     )
-    firsts = sp.groupBy("h").agg(F.min("pos").alias("first_pos"))
-    kept = sp.join(firsts, "h").filter(F.col("pos") == F.col("first_pos"))
+    # globally-first occurrence per span hash, tagged IN-STREAM: min(pos)
+    # over the hash window marks survivors in the same pass that built
+    # them — no min-aggregate joined back, so the span explode runs once
+    # (a hash shared by f spans streams through one window group with
+    # O(1) min state)
+    kept = sp.withColumn(
+        "first_pos", F.min("pos").over(Window.partitionBy("h"))
+    ).filter(F.col("pos") == F.col("first_pos"))
     reassembled = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans_kept"),
         F.array_join(
