@@ -389,8 +389,9 @@ def span_dedup(
     (ordered by (doc_id, span_idx)); surviving spans reassemble in order.
 
     Plan: one split + posexplode per doc -> global first-occurrence per
-    span hash (groupBy min over an order-encoding integer) -> join back on
-    the hash -> keep first occurrences -> per-doc ordered reassembly
+    span hash tagged in-stream (min over the hash window of an
+    order-encoding integer; no aggregate joined back) -> per-doc ordered
+    reassembly
     (collect_list of (idx, span) structs, array_sort, array_join). Three
     shuffles, all on uniform keys (md5 span hash twice, doc id once).
     The reassembly array holds one document's SURVIVING spans — a task

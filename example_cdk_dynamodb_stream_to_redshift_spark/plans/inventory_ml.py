@@ -352,7 +352,9 @@ _SUBSTR_N = 20  # token-window length flagged as a duplicated run
     f"distributed form): every {_SUBSTR_N}-token window hashes into an "
     "inverted index (shingle_rows: one posexplode + lead windows, "
     "codegen'd); windows whose hash appears in >= 2 DISTINCT docs are "
-    "cross-doc duplicated runs, counted back per doc with a semi-join. "
+    "cross-doc duplicated runs, tagged IN-STREAM (min(id) != max(id) over "
+    "the hash window — O(1) state per group) and counted per doc in one "
+    "conditional aggregation: a single pass over the shingles. "
     "All shuffles key on uniform md5/doc_id; no arrays ever hold a whole "
     "doc's windows, so arbitrarily long docs stream. The per-doc "
     "dup_fraction is the signal a pipeline thresholds to strip "
