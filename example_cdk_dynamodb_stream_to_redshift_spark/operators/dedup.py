@@ -389,17 +389,16 @@ def span_dedup(
     (ordered by (doc_id, span_idx)); surviving spans reassemble in order.
 
     Plan: one split + posexplode per doc -> global first-occurrence per
-    span hash tagged in-stream (min over the hash window of an
-    order-encoding integer; no aggregate joined back) -> per-doc ordered
+    span hash tagged in-stream (min over the hash window of the
+    (doc_id, span_idx) STRUCT — structs order lexicographically, so this
+    is exact for ANY orderable id type: strings, negatives, uuids; no
+    arithmetic encoding, no aggregate joined back) -> per-doc ordered
     reassembly
     (collect_list of (idx, span) structs, array_sort, array_join). Three
     shuffles, all on uniform keys (md5 span hash twice, doc id once).
     The reassembly array holds one document's SURVIVING spans — a task
     must see a whole doc to rebuild it, same bound as any per-doc
     aggregation; no corpus-wide array ever materializes.
-
-    The (doc_id * 1e8 + span_idx) order encoding bounds docs at 1e8 spans
-    (10^9 words at span_words=10) — far beyond any real document.
 
     Output: (doc_id, n_spans, n_spans_kept, clean_text); docs whose every
     span occurred earlier come back with clean_text = ''.
@@ -416,17 +415,19 @@ def span_dedup(
     totals = base.select("id", F.size("_spans").alias("n_spans"))
     sp = base.select(
         "id", F.posexplode("_spans").alias("span_idx", "span")
-    ).withColumn("h", F.md5(F.col("span").cast("binary"))).withColumn(
-        "pos", F.col("id") * F.lit(100000000).cast("long") + F.col("span_idx")
-    )
-    # globally-first occurrence per span hash, tagged IN-STREAM: min(pos)
-    # over the hash window marks survivors in the same pass that built
-    # them — no min-aggregate joined back, so the span explode runs once
-    # (a hash shared by f spans streams through one window group with
-    # O(1) min state)
+    ).withColumn("h", F.md5(F.col("span").cast("binary")))
+    # globally-first occurrence per span hash, tagged IN-STREAM:
+    # min(struct(id, span_idx)) over the hash window marks survivors in
+    # the same pass that built them — no min-aggregate joined back, so
+    # the span explode runs once (a hash shared by f spans streams
+    # through one window group with O(1) min state). Struct min orders
+    # lexicographically, so ids of any orderable type (string, negative
+    # int, uuid) are handled exactly — no arithmetic encoding that a
+    # string id would silently NULL out.
+    pos = F.struct("id", "span_idx")
     kept = sp.withColumn(
-        "first_pos", F.min("pos").over(Window.partitionBy("h"))
-    ).filter(F.col("pos") == F.col("first_pos"))
+        "first_pos", F.min(pos).over(Window.partitionBy("h"))
+    ).filter(pos == F.col("first_pos"))
     reassembled = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans_kept"),
         F.array_join(

@@ -45,47 +45,45 @@ def global_row_number(
     ``order_cols`` (which MUST form a unique total order — include a
     tie-break key). No unpartitioned window anywhere in the plan."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint(eager=True) FREEZES the range partitioning: the
+    # RangePartitioner samples boundaries with a seed derived from the RDD
+    # id, so a recompute after unpersist would re-sample DIFFERENT
+    # boundaries and invalidate the driver-held offsets (duplicate /
+    # out-of-range ranks). The counting pass and the stamping pass must
+    # read the same materialized partitions — same pattern as
+    # components.py / bpe.py iteration truncation.
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        counts = {
-            r["pid"]: r["n"]
-            for r in parts.groupBy(
-                F.spark_partition_id().alias("pid")
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        offsets = []
-        acc = 0
-        for pid in range(max(counts, default=-1) + 1):
-            offsets.append(acc)
-            acc += counts.get(pid, 0)
-
-        schema = T.StructType(
-            list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    counts = {
+        r["pid"]: r["n"]
+        for r in parts.groupBy(
+            F.spark_partition_id().alias("pid")
         )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = []
+    acc = 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
 
-        def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
 
-            pid = TaskContext.get().partitionId()
-            nxt = offsets[pid] + 1 if pid < len(offsets) else 1
-            for pdf in it:
-                pdf = pdf.copy()
-                pdf[out_col] = range(nxt, nxt + len(pdf))
-                nxt += len(pdf)
-                yield pdf
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
 
-        return parts.mapInPandas(stamp, schema)
-    finally:
-        # The cache makes the counting pass cheap; it is NOT a correctness
-        # crutch. If the consumer's action recomputes the chain after this
-        # unpersist, the RangePartitioner re-derives IDENTICAL boundaries
-        # (its sample seed is fixed per partition index and the source scan
-        # order is deterministic), so the driver-held offsets stay valid —
-        # the recompute costs one extra scan+shuffle, nothing else.
-        parts.unpersist(blocking=False)
+        pid = TaskContext.get().partitionId()
+        nxt = offsets[pid] + 1 if pid < len(offsets) else 1
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(stamp, schema)

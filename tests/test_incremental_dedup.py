@@ -106,3 +106,34 @@ def test_span_dedup_reassembly_semantics(spark):
     assert out[1]["n_spans"] == 2 and out[1]["n_spans_kept"] == 1
     assert out[2]["clean_text"] == ""
     assert out[2]["n_spans"] == 1 and out[2]["n_spans_kept"] == 0
+
+
+def test_span_dedup_string_ids(spark):
+    """Regression (r4 advice): a string-keyed corpus must work — the old
+    arithmetic order encoding (id * 1e8 + idx) silently NULLed out for
+    string ids, dropping EVERY span. Struct ordering keeps first
+    occurrence by lexicographic (id, span_idx)."""
+    span = " ".join(f"w{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        ("doc-a", span + " " + tail),
+        ("doc-b", span + " u u u"),
+        ("doc-c", span),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in DD.span_dedup(df, span_words=10).collect()}
+    assert out["doc-a"]["clean_text"] == span + " " + tail
+    assert out["doc-b"]["clean_text"] == "u u u"
+    assert out["doc-c"]["clean_text"] == ""
+    assert out["doc-c"]["n_spans_kept"] == 0
+
+
+def test_span_dedup_negative_ids(spark):
+    """Negative ids order correctly under struct min: the globally-first
+    occurrence belongs to the SMALLEST id, including negatives."""
+    span = " ".join(f"w{i}" for i in range(10))
+    rows = [(5, span), (-3, span)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in DD.span_dedup(df, span_words=10).collect()}
+    assert out[-3]["n_spans_kept"] == 1 and out[-3]["clean_text"] == span
+    assert out[5]["n_spans_kept"] == 0 and out[5]["clean_text"] == ""

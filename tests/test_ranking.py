@@ -65,3 +65,28 @@ def test_recompute_is_stable(spark):
     a = sorted((r["id"], r["rn"]) for r in out.collect())
     b = sorted((r["id"], r["rn"]) for r in out.collect())  # cache is gone
     assert a == b
+
+
+def test_permutation_at_scale(spark):
+    """Regression (r4 advice): with .persist() + finally-unpersist the
+    consumer's action recomputed the range shuffle, the RangePartitioner
+    re-sampled boundaries under a fresh RDD-id-derived seed, and 400k
+    rows produced ~10k duplicate ranks (max rank > n). localCheckpoint
+    freezes the partitions the offsets were counted on; ranks must be an
+    exact permutation of 1..n at a size where boundary re-sampling would
+    actually drift."""
+    n = 400_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.hash(F.col("id").cast("string")) % 1000).alias("score"),
+    )
+    out = global_row_number(
+        df, [F.col("score").asc(), F.col("id").asc()], num_partitions=32
+    )
+    pdf = out.toPandas()  # consumer action AFTER the function returned
+    rns = sorted(pdf["rn"].tolist())
+    assert rns == list(range(1, n + 1))
+    # spot-check global order correctness at the extremes
+    by_rn = pdf.sort_values("rn")
+    keys = list(zip(by_rn["score"].tolist(), by_rn["id"].tolist()))
+    assert keys == sorted(keys)
