@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON record {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact summary line
+(same headline fields, no unbounded maps) as the LAST line of stdout —
+the driver keeps only a ~2 KB tail, and the summary is sized to always
+fit in it.
 
 Each query is timed to FULL result materialization (Arrow toPandas() of
 the result). count() would let Catalyst prune the aggregate expressions
@@ -97,10 +100,16 @@ HEADLINE = [
 ]
 
 
-def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
+def _bench_cdc_refresh(spark, n_events: int = 2000):
     """Streaming heartbeat: one AvailableNow refresh (parse -> extract ->
     3-entity partition-scoped merge) over n_events synthetic envelopes.
-    Mirrors the reference's REFRESH MV + CALL sync loop."""
+    Mirrors the reference's REFRESH MV + CALL sync loop.
+
+    Returns ``(total_sec, stage_sec)`` where stage_sec decomposes the
+    batch (parse/quarantine probe, extract write, per-entity merges,
+    sync-log write) so a drift in the headline number is attributable;
+    the stream wiring + checkpoint overhead is total minus the stages.
+    None on failure."""
     import datetime as dt
     import json
     import shutil
@@ -153,7 +162,21 @@ def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
         pipe.initial_load(export_d, sync_ts=dt.datetime(2023, 1, 1))
         t0 = time.perf_counter()
         pipe.refresh()
-        return round(time.perf_counter() - t0, 4)
+        total = round(time.perf_counter() - t0, 4)
+        stages = dict(pipe.last_batch_stages)
+        # overhead = wall minus the NON-overlapping stages (per-entity
+        # merge_*_sec run concurrently inside merge_wall_sec — summing
+        # them would double-count)
+        sequential = (
+            "parse_quarantine_sec",
+            "extract_write_sec",
+            "merge_wall_sec",
+            "sync_log_write_sec",
+        )
+        stages["stream_overhead_sec"] = round(
+            total - sum(stages.get(k, 0.0) for k in sequential), 4
+        )
+        return total, stages
     except Exception as ex:  # a broken CDC path must be VISIBLE, not omitted
         print(f"cdc_refresh bench FAILED: {ex!r}", file=sys.stderr)
         return None
@@ -162,12 +185,32 @@ def _bench_cdc_refresh(spark, n_events: int = 2000) -> float | None:
             shutil.rmtree(root, ignore_errors=True)
 
 
-def _prior_round_comparison(timings: dict[str, float]) -> dict | None:
+def _pairs_from_tail(text: str) -> dict[str, float]:
+    """Recover ``"name": float`` pairs from a (possibly escaped,
+    possibly truncated) JSON fragment — the driver's BENCH record keeps
+    only a ~2 KB tail of stdout, and r4's single ever-growing line
+    outgrew it, leaving ``parsed: null`` with the per-query numbers
+    stranded inside the tail string."""
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'\\?"([a-zA-Z0-9_]+)\\?":\s*([0-9]+\.?[0-9]*)', text)
+    }
+
+
+def _prior_round_comparison(
+    timings: dict[str, float], builds: dict[str, float]
+) -> dict | None:
     """Self-describing round-over-round signal: total seconds over the
     queries SHARED with the most recent BENCH_r{N}.json, plus their ratio.
     Emitting this from the bench itself keeps cross-round grading honest
     when the headline set grows (r1->r2 added 11 queries) or the timing
-    methodology changes (r1 timed count(), r2+ full materialization)."""
+    methodology changes (r1 timed count(), r2+ full materialization).
+
+    Two ratios: ``shared_query_ratio`` (materialization only — the
+    methodology-stable number every prior round reported) and
+    ``shared_end_to_end_ratio`` (adds eager plan-build cost for
+    training-type queries on both sides), so a regression cannot hide in
+    the build phase the bench measures but r4 did not compare."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -184,17 +227,34 @@ def _prior_round_comparison(timings: dict[str, float]) -> dict | None:
     if "queries" not in prior and isinstance(prior.get("parsed"), dict):
         prior = prior["parsed"]
     prior_q = prior.get("queries") or {}
+    prior_b = prior.get("build_sec") or {}
+    if not prior_q and isinstance(prior.get("tail"), str):
+        # r4-style record: parsed was null (line outgrew the tail
+        # capture), but the numbers survive inside the raw tail string.
+        # Query timings precede the "build_sec" marker, build costs
+        # follow it; keys that are not query names (sf, calib_sec, ...)
+        # are dropped by the `shared` intersection below.
+        head, _, buildpart = prior["tail"].partition("build_sec")
+        prior_q = _pairs_from_tail(head)
+        prior_b = _pairs_from_tail(buildpart)
     shared = [k for k in timings if isinstance(prior_q.get(k), (int, float))]
     if not shared:
         return None
     cur = round(sum(timings[k] for k in shared), 4)
     prv = round(sum(prior_q[k] for k in shared), 4)
+    cur_e2e = round(sum(timings[k] + builds.get(k, 0.0) for k in shared), 4)
+    prv_e2e = round(sum(prior_q[k] + prior_b.get(k, 0.0) for k in shared), 4)
     return {
         "prior_bench": os.path.basename(prior_file),
         "shared_queries": len(shared),
         "shared_query_sec": cur,
         "prior_shared_query_sec": prv,
         "shared_query_ratio": round(cur / prv, 4) if prv else None,
+        "shared_end_to_end_sec": cur_e2e,
+        "prior_shared_end_to_end_sec": prv_e2e,
+        "shared_end_to_end_ratio": (
+            round(cur_e2e / prv_e2e, 4) if prv_e2e else None
+        ),
     }
 
 
@@ -287,8 +347,10 @@ def main() -> None:
     # best-of-2, same as the queries: each call builds its own warehouse
     # and checkpoint, so the attempts are fully independent
     cdc_runs = [t for t in (_bench_cdc_refresh(spark, n_events=2000) for _ in range(2)) if t is not None]
+    cdc_stages: dict[str, float] = {}
     if cdc_runs:
-        timings["cdc_refresh_2k_events"] = min(cdc_runs)
+        best_total, cdc_stages = min(cdc_runs, key=lambda x: x[0])
+        timings["cdc_refresh_2k_events"] = best_total
     shutil.rmtree(chunked, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
@@ -310,11 +372,47 @@ def main() -> None:
         # queries is still visible: end_to_end(q) = build_sec[q] + queries[q]
         "build_sec": builds,
         "build_total_sec": round(sum(builds.values()), 4),
+        # stage decomposition of the BEST cdc refresh (7 bounded keys) —
+        # makes heartbeat drift attributable across rounds
+        "cdc_refresh_stages": cdc_stages,
     }
-    comparison = _prior_round_comparison(timings)
+    comparison = _prior_round_comparison(timings, builds)
     if comparison:
         out.update(comparison)
+    # The driver records only a ~2 KB TAIL of stdout; r4's single
+    # ever-growing line (64 query timings before the headline fields)
+    # outgrew it and the round's official record lost `value` entirely
+    # ("parsed": null). Print the full per-query record first, then a
+    # compact summary — every gradeable headline field, no unbounded
+    # maps — as the LAST line, so the tail capture always parses.
     print(json.dumps(out))
+    summary = {
+        k: out.get(k)
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "calib_sec",
+            "timing_mode",
+            "timing_policy",
+            "build_total_sec",
+            "prior_bench",
+            "shared_queries",
+            "shared_query_sec",
+            "prior_shared_query_sec",
+            "shared_query_ratio",
+            "shared_end_to_end_sec",
+            "prior_shared_end_to_end_sec",
+            "shared_end_to_end_ratio",
+            "cdc_refresh_stages",
+        )
+        if k in out
+    }
+    summary["cdc_refresh_sec"] = timings.get("cdc_refresh_2k_events")
+    summary["n_queries"] = len(timings)
+    summary["full_record"] = "previous stdout line"
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -488,79 +488,72 @@ def users_view_not_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW_SIZE = 50
 
+# The round this window was rotated FOR: entries in the window are expected
+# to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
+# rotation; tests/test_driver_window.py uses it to enforce the staleness
+# bound (no oracle-bearing entry's last green row more than 3 rounds old).
+CURRENT_ROUND = 5
+
 _DRIVER_WINDOW_PRIORITY = [
-    # changed in r4: oracle HUGEINT->BIGINT casts (r3 red rows, judge item 1)
-    "embedding_norm_quantize",
-    "sequence_packing",
-    # changed in r4: stop-fingerprint cap in plan AND oracle (judge item 3)
-    "winnowing_overlap_pairs",
-    # new in r4: pigeonhole-exact SimHash driver row (judge item 4)
-    "simhash_exact_near_dups",
-    # new in r4: driver-visible sync-run log (judge item 5)
-    "sync_run_log",
-    # new in r4: substring-run dedup, BPE pair scan, semantic dup clusters,
-    # near-dedup corpus materialization, domain mixture weights
-    "substring_dup_stats",
-    "bpe_pair_candidates",
-    "embedding_dup_clusters",
-    "near_dedup_corpus_keep_first",
-    "domain_mixture_weights",
-    "embedding_contamination_audit",
-    "doc_unigram_logprob",
-    "training_shard_manifest",
-    # new in r4 (second batch): C4 repeated-span removal, incremental
-    # MinHash-index dedup, int8-quantized ANN serving path, length buckets
+    # changed in r5: span_dedup order encoding -> struct min (advice item);
+    # global_row_number localCheckpoint fix feeds doc_lm_quality_buckets
     "span_dedup_docs",
-    "minhash_incremental_dedup",
-    "quantized_ann_topk",
-    "token_length_histogram",
-    # new in r4 (third batch): PQ-ANN lossless config, bigram LM score,
-    # Gopher rule filter, RANGE-frame trailing window, salted hot-key join
-    "pq_ann_exact_topk",
-    "doc_bigram_logprob",
-    "gopher_filter_docs",
-    "customer_order_trailing_30d",
-    "event_type_salted_join",
-    "orders_zorder_keys",
     "doc_lm_quality_buckets",
-    "media_phash_near_dups",
-    "contrastive_negatives",
-    "ivfpq_ann_exact_topk",
-    # new in r4 (fourth batch): correlated-subquery family (TPC-H
-    # Q4/Q17/Q21/Q11 shapes — semi/anti decorrelation, grouped-subplan join)
-    "late_ship_priority",
-    "small_quantity_part_revenue",
-    "lone_late_supplier",
-    "part_revenue_share",
-    # new in r4 (fifth batch): DSIR importance resampling (Xie et al. 2023)
-    # and cluster-balanced embedding curation (oracle re-derives assignment)
-    "dsir_select_docs",
-    "cluster_balanced_sample",
-    # new in r4 (sixth batch): product-analytics trio
-    "funnel_conversion",
-    "retention_cohorts",
-    "events_hourly_gapfill",
-    # new in r4 (seventh batch): the composed curation funnel in one plan
-    "corpus_pipeline_summary",
-    "tfidf_similar_docs",
-    # new-in-r4 rows-only entries (no oracle by design — probing/iterative
-    # forms): windowed so the driver records at least the weak rows check
-    # and every registry entry has a driver row across r2∪r3∪r4
-    "bpe_train_merges",
-    "bpe_encode_docs",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "frequent_tokens_sketch",
-    "order_price_approx_percentiles",
-    "media_frame_sample",
-    "mixture_sampled_corpus",
-    "media_resize_batch",
-    "nation_revenue_q5",
-    "events_hourly_anomalies",
-    # long-green anchors (green hash rows in CORRECTNESS_r02/r03) spanning
-    # the operator families; everything dropped past slot 50 carries a green
-    # r2/r3 row (asserted by tests/test_driver_window.py)
-    "event_type_grouping_sets",
+    # new in r5: exact heavy-hitters twin of the freqItems sketch
+    "frequent_tokens_exact",
+    # ---- re-verification duty: every oracle-bearing entry whose ONLY
+    # green row is r2 (33 entries — the stalest in the registry; with all
+    # 123 oracle-bearing queries green cumulatively, the window's job is
+    # now rotating re-verification, per the r4 verdict)
+    "region_customer_counts",
+    "event_type_stats",
+    "high_watermark_filter",
+    "prefix_like_filter",
+    "date_trunc_filter",
+    "customers_with_orders",
+    "cdc_merge_latest_state",
+    "users_click_and_purchase",
+    "event_stream_union_all",
+    "users_view_not_signup",
+    "doc_text_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "ann_bruteforce_topk",
+    "embedding_near_dup_pairs",
+    "dedup_corpus_keep_first",
+    "corpus_clean_keep",
+    "doc_binary_features",
+    "lineitem_pricing_summary",
+    "top_orders_by_revenue",
+    "events_hourly_tumbling",
+    "events_sliding_window",
+    "user_sessions",
+    "purchase_attribution_asof",
+    "latest_event_argmax",
+    "distinct_users_per_type",
+    "rollup_event_daily",
+    "user_running_spend",
+    "order_rank_in_priority",
+    "srp_bucket_near_dups",
+    "media_feature_extract",
+    # ---- r3-green anchors re-verified with the remaining slots, reference
+    # heartbeat reports first, then one per operator family
+    "rewards_by_member",
+    "rewards_by_quest",
+    "latest_event_per_user",
+    "scalar_function_suite",
+    "watermark_max",
+    "count_rows",
+    "param_events_by_user",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dups",
+    "dedup_clusters",
+    "ngram_decontamination",
+    "bm25_topk_docs",
+    "train_val_test_split",
+    "doc_winnowing_fingerprints",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1977,6 +1977,42 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_tokens_exact",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT token, COUNT(*) AS n_tokens
+    FROM tok, tot
+    GROUP BY token, n_total
+    HAVING COUNT(*) * 200 >= n_total
+    ORDER BY n_tokens DESC, token
+    """,
+    "EXACT heavy hitters over the token stream (GROUP BY token HAVING "
+    "count*200 >= total — support 0.005 as pure integer arithmetic, no "
+    "float threshold to ulp-diverge at the boundary): the oracle-provable "
+    "twin of frequent_tokens_sketch, proving the same explode -> "
+    "partial-agg plumbing. One uniform token-key shuffle carrying (token, "
+    "partial count); the 1-row total broadcast. At 100 TB the sketch form "
+    "(freqItems, O(1/support) map-side state, no token shuffle) is the "
+    "swap-in; this exact form is the audit path and the sketch's "
+    "verification harness.",
+)
+def frequent_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_tokens") * 200 >= F.col("n_total"))
+        .select("token", "n_tokens")
+        .orderBy(F.desc("n_tokens"), F.asc("token"))
+    )
+
+
+@register(
     "minhash_incremental_dedup",
     f"""
     WITH sh AS (

@@ -64,6 +64,9 @@ class CdcPipeline:
         self.spark = spark
         self.input_path = input_path
         self.warehouse = warehouse
+        # per-stage wall clock of the most recent micro-batch (see
+        # _merge_batch_inner); empty until a refresh has processed a batch
+        self.last_batch_stages: dict[str, float] = {}
         self.merge_shuffle_partitions = merge_shuffle_partitions
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
@@ -148,7 +151,17 @@ class CdcPipeline:
             self._merge_batch_inner(records, batch_id)
 
     def _merge_batch_inner(self, records: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         from pyspark.sql import functions as F
+
+        # Per-stage wall clock for the LAST processed batch, so a drift in
+        # the refresh heartbeat decomposes instead of being one opaque
+        # number (bench reports these as cdc_refresh_stages). Dict
+        # assignment overhead is nil next to any Spark job.
+        stages: dict[str, float] = {}
+        self.last_batch_stages = stages
+        _t0 = _time.perf_counter()
 
         # Dead-letter split (the engine's ACCEPTINVCHARS-grade tolerance,
         # made observable): a payload that does not parse to an envelope
@@ -179,6 +192,8 @@ class CdcPipeline:
                 bad.write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_path, f"batch_id={batch_id}")
                 )
+            stages["parse_quarantine_sec"] = round(_time.perf_counter() - _t0, 4)
+            _t0 = _time.perf_counter()
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             # batch-id-scoped overwrite, NOT append: foreachBatch is
             # at-least-once, and a replayed batch must overwrite its own
@@ -186,6 +201,8 @@ class CdcPipeline:
             extract.write.mode("overwrite").parquet(
                 os.path.join(self.extract_path, f"batch_id={batch_id}")
             )
+            stages["extract_write_sec"] = round(_time.perf_counter() - _t0, 4)
+            _t0 = _time.perf_counter()
             # The three entity merges touch disjoint targets and share only
             # the cached extract — run them CONCURRENTLY. Spark schedules
             # jobs from separate driver threads in parallel (FIFO pool),
@@ -201,6 +218,7 @@ class CdcPipeline:
             def run_merge(spec):
                 from ..operators.merge import finalize_merge_stats
 
+                tm = _time.perf_counter()
                 table = self.targets[spec.name]
                 stats: dict = {}
                 if hasattr(table, "merge"):  # partition-scoped backend
@@ -211,6 +229,9 @@ class CdcPipeline:
                     )
                     table.overwrite(merged)
                     finalize_merge_stats(stats)  # counts observed by the write
+                stages[f"merge_{spec.name}_sec"] = round(
+                    _time.perf_counter() - tm, 4
+                )
                 return spec.name, stats
 
             with ThreadPoolExecutor(max_workers=len(ALL_SPECS)) as pool:
@@ -218,9 +239,12 @@ class CdcPipeline:
                     fut.result()
                     for fut in [pool.submit(run_merge, s) for s in ALL_SPECS]
                 ]
+            stages["merge_wall_sec"] = round(_time.perf_counter() - _t0, 4)
+            _t0 = _time.perf_counter()
             # one log write per BATCH (not per entity): the rows are tiny
             # and the write-job overhead is what matters on the heartbeat
             self._write_sync_log(batch_id, sync_ts, entity_stats)
+            stages["sync_log_write_sec"] = round(_time.perf_counter() - _t0, 4)
         finally:
             tagged.unpersist()
 

@@ -20,6 +20,7 @@ import json
 import os
 
 from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+    CURRENT_ROUND,
     DRIVER_WINDOW_SIZE,
     REGISTRY,
     _DRIVER_WINDOW_PRIORITY,
@@ -28,11 +29,29 @@ from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _green_rows_from_previous_rounds() -> set[str]:
-    green: set[str] = set()
+def _round_of(path: str) -> int:
+    import re
+
+    return int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
+
+
+def _correctness_rounds() -> list[tuple[int, dict]]:
+    out = []
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
-            data = json.load(fh)
+            out.append((_round_of(path), json.load(fh)))
+    return out
+
+
+def _green_rows_from_previous_rounds() -> set[str]:
+    return set(_last_green_round())
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> most recent round whose CORRECTNESS artifact holds a full
+    green hash row for it."""
+    last: dict[str, int] = {}
+    for rnd, data in _correctness_rounds():
         for name, row in data.items():
             if (
                 row.get("rows_match")
@@ -40,8 +59,20 @@ def _green_rows_from_previous_rounds() -> set[str]:
                 and row.get("hash_match")
                 and row.get("err") is None
             ):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _rows_only_recorded() -> set[str]:
+    """Names whose declared rows-only (err=no_oracle) driver row has been
+    recorded in some round — their weak check exists; re-windowing them
+    would spend a slot on a row the driver can only ever mark `err`."""
+    rec: set[str] = set()
+    for _, data in _correctness_rounds():
+        for name, row in data.items():
+            if row.get("err") == "no_oracle":
+                rec.add(name)
+    return rec
 
 
 def test_window_names_are_registered():
@@ -66,5 +97,44 @@ def test_every_oracle_query_is_driver_covered():
         "oracle-bearing queries with NO driver coverage (not in this "
         f"round's window[:{DRIVER_WINDOW_SIZE}] and no green row in any "
         f"CORRECTNESS_r*.json): {uncovered} — rotate them into "
+        "_DRIVER_WINDOW_PRIORITY"
+    )
+
+
+def test_no_recorded_rows_only_entry_in_window():
+    """Once a rows-only (oracle=None) entry has its weak driver row
+    recorded, it must rotate OUT: its slot can only ever produce an `err`
+    row again, while an oracle-bearing query would produce a hash check
+    (r4 verdict item 2)."""
+    recorded = _rows_only_recorded()
+    stuck = [
+        n
+        for n in _DRIVER_WINDOW_PRIORITY
+        if REGISTRY[n].oracle is None and n in recorded
+    ]
+    assert not stuck, (
+        f"rows-only entries with a recorded driver row still in the "
+        f"window: {stuck}"
+    )
+
+
+def test_no_oracle_entry_staler_than_three_rounds():
+    """Staleness bound (r4 verdict item 8): every oracle-bearing entry is
+    either in the CURRENT window (earning its green row this round) or
+    carries a green row at most 3 rounds old — rotations must
+    mechanically pick up the stalest entries."""
+    last = _last_green_round()
+    window = set(_DRIVER_WINDOW_PRIORITY)
+    floor = CURRENT_ROUND - 3
+    stale = [
+        (n, last.get(n))
+        for n, q in REGISTRY.items()
+        if q.oracle is not None
+        and n not in window
+        and last.get(n, 0) < floor
+    ]
+    assert not stale, (
+        f"oracle-bearing entries outside the window with last green row "
+        f"older than round {floor}: {stale} — rotate them into "
         "_DRIVER_WINDOW_PRIORITY"
     )
