@@ -5,11 +5,14 @@ decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` operators so each task processes whole record batches and
 the (heavy) media bytes never leave the executor.
 
-The decode kernels themselves are STUBBED in this environment (no
-PIL/ffmpeg/soundfile in the image): ``decode_fn=None`` uses a deterministic
-fake decoder so the Spark-side plumbing — schema, batch iteration,
-partition sizing, output shape — is real and tested; pass a real
-``decode_fn`` to light it up unchanged.
+The DEFAULT kernels (``decode_fn=None``) are deterministic fakes so the
+oracle queries stay engine-checkable; REAL byte-level kernels exist in
+``operators/imagecodec.py`` (pure-numpy PPM/BMP decode, nearest-neighbor
+resize, pixel-statistics features) and plug into these same signatures —
+tests/test_imagecodec.py drives actual pixels through the identical
+mapInPandas paths. Compressed formats (JPEG/PNG/ffmpeg) slot in the same
+way when their libs exist; only the codec byte-parsing is absent here,
+never the Spark-side plumbing.
 
 Scale notes: media rows are large and count-skewed — ``repartition`` by a
 uniform key (content hash) before heavy decode so one executor doesn't eat
