@@ -19,6 +19,18 @@ never shuffles; the resulting seen-set (<= |batch| rows) broadcasts back
 into an anti-join on the batch. Writes are batch_id-scoped overwrites, so
 foreachBatch replays are idempotent (same recipe as the extract/quarantine/
 sync-log writes in streaming/pipeline.py).
+
+``history_probe="bloom"`` goes one step further: a PERSISTED Bloom bitset
+over every landed fingerprint (operators/bloom.py; OR-maintained
+incrementally, so replays are idempotent by set semantics) screens the
+batch BEFORE any history I/O. Only bloom-positive fingerprints — true
+repeats plus an ε of false positives — reach the exact history verify
+join, and a batch with zero bloom hits skips the history scan entirely:
+the steady-state cost of "mostly novel batches" drops from one full
+history probe per batch to one bitset lookup per doc. The bitset decides
+only WHAT gets verified, never the answer, so the kept set is IDENTICAL
+to the scan mode (tests/test_corpus_ingest.py proves equivalence on a
+multi-refresh fixture).
 """
 
 from __future__ import annotations
@@ -64,17 +76,33 @@ class CorpusIngestPipeline:
         bands: int = 4,
         jaccard_threshold: float = 0.5,
         quality_filter: bool = False,
+        history_probe: str = "scan",
+        bloom_bits: int = 1 << 23,
+        bloom_k: int = 4,
     ):
+        """``history_probe``: "scan" probes the accumulated corpus with
+        the broadcast batch fingerprint set every batch; "bloom" keeps a
+        persisted bitset of all landed fingerprints and only runs the
+        exact history verify for bloom-positive batch docs (identical
+        kept set — the bitset has no false negatives and its false
+        positives are re-checked exactly). Size ``bloom_bits`` at ~10
+        bits per expected corpus doc for ε ≈ 1%."""
+        if history_probe not in ("scan", "bloom"):
+            raise ValueError(f"history_probe must be scan|bloom, got {history_probe!r}")
         self.spark = spark
         self.input_path = input_path
         self.corpus_path = os.path.join(warehouse, "corpus")
         self.index_path = os.path.join(warehouse, "band_index")
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
+        self.bloom_path = os.path.join(warehouse, "fp_bloom.bin")
         self.near_dedup = near_dedup
         self.num_hashes = num_hashes
         self.bands = bands
         self.jaccard_threshold = jaccard_threshold
         self.quality_filter = quality_filter
+        self.history_probe = history_probe
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
 
     # -- reads ------------------------------------------------------------
     def corpus(self, exclude_batch: int | None = None) -> DataFrame:
@@ -143,9 +171,7 @@ class CorpusIngestPipeline:
         # corpus map-side with the (small) broadcast batch set, then
         # anti-join the <=|batch| seen fingerprints back into the batch
         history = self.corpus(exclude_batch=batch_id)
-        seen = history.join(
-            F.broadcast(firsts.select("fp")), "fp", "left_semi"
-        ).select("fp").distinct()
+        seen = self._seen_fingerprints(firsts, history, batch_id)
         novel = firsts.join(F.broadcast(seen), "fp", "left_anti")
         if self.near_dedup:
             novel = self._near_dedup_batch(novel, history, batch_id)
@@ -153,6 +179,14 @@ class CorpusIngestPipeline:
         novel.write.mode("overwrite").parquet(
             os.path.join(self.corpus_path, f"batch_id={batch_id}")
         )
+        if self.history_probe == "bloom":
+            # fold the landed fingerprints into the persisted bitset so
+            # FUTURE batches screen against them; OR is idempotent, so a
+            # replayed batch re-folding its own bits changes nothing
+            landed_fp = self.spark.read.parquet(
+                os.path.join(self.corpus_path, f"batch_id={batch_id}")
+            ).select("fp")
+            self._fold_into_bloom(landed_fp)
         if self.near_dedup:
             # append this batch's band rows so FUTURE batches probe them —
             # the index stays exactly the accumulated corpus's signatures,
@@ -168,6 +202,77 @@ class CorpusIngestPipeline:
             ).write.mode("overwrite").parquet(
                 os.path.join(self.index_path, f"batch_id={batch_id}")
             )
+
+    def _seen_fingerprints(
+        self, firsts: DataFrame, history: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """Fingerprints of ``firsts`` already present in ``history``
+        (<= |batch| rows). "scan": one map-side broadcast-semi probe of
+        the full history. "bloom": screen the batch against the persisted
+        bitset first; only bloom-positive fingerprints reach the exact
+        history verify, and zero positives skips history I/O entirely."""
+        if self.history_probe == "scan":
+            return history.join(
+                F.broadcast(firsts.select("fp")), "fp", "left_semi"
+            ).select("fp").distinct()
+        from ..operators import bloom as _bloom
+
+        bits = self._load_bloom(batch_id)
+        candidates = _bloom.might_contain_filter(
+            firsts.select("fp"), "fp", bits, self.bloom_bits, self.bloom_k
+        # the candidate set is consumed twice (empty probe + verify join)
+        # and is <= |batch| rows: materialize once
+        ).localCheckpoint(eager=True)
+        if candidates.isEmpty():
+            return candidates  # nothing ever seen: no history scan at all
+        return history.join(
+            F.broadcast(candidates), "fp", "left_semi"
+        ).select("fp").distinct()
+
+    # -- bloom state ------------------------------------------------------
+    def _load_bloom(self, batch_id: int | None = None):
+        """The persisted fingerprint bitset. Missing file + existing
+        corpus (a warehouse built in scan mode, or a lost sidecar) means
+        the bitset must be REBUILT from history before it is trusted — a
+        Bloom with false negatives would silently re-admit duplicates."""
+        import numpy as np
+
+        if os.path.exists(self.bloom_path):
+            bits = np.fromfile(self.bloom_path, dtype=np.uint8)
+            if bits.size == self.bloom_bits // 8:
+                return bits
+            raise ValueError(
+                f"bloom bitset at {self.bloom_path} has {bits.size * 8} bits, "
+                f"pipeline configured for {self.bloom_bits} — rebuild or fix "
+                "bloom_bits (a mis-sized probe would produce false negatives)"
+            )
+        from ..operators import bloom as _bloom
+
+        history_fp = self.corpus(exclude_batch=batch_id).select("fp")
+        bits = _bloom.build_bloom(
+            history_fp, "fp", num_bits=self.bloom_bits, k=self.bloom_k
+        )
+        self._save_bloom(bits)
+        return bits
+
+    def _fold_into_bloom(self, fps: DataFrame) -> None:
+        import numpy as np
+
+        from ..operators import bloom as _bloom
+
+        bits = self._load_bloom()
+        bits = bits | _bloom.build_bloom(
+            fps, "fp", num_bits=self.bloom_bits, k=self.bloom_k
+        )
+        self._save_bloom(bits)
+
+    def _save_bloom(self, bits) -> None:
+        # tmp + atomic rename: a crash mid-write leaves the previous
+        # bitset (or none — triggering a rebuild), never a torn file
+        tmp = self.bloom_path + ".tmp"
+        os.makedirs(os.path.dirname(self.bloom_path), exist_ok=True)
+        bits.tofile(tmp)
+        os.replace(tmp, self.bloom_path)
 
     def _near_dedup_batch(
         self, novel: DataFrame, history: DataFrame, batch_id: int

@@ -175,3 +175,119 @@ def test_quality_filter_off_keeps_everything(spark, tmp_path):
     _write_docs(os.path.join(inp, "b1.json"), [(1, GOOD), (2, SHORT)])
     pipe.refresh()
     assert _ids(pipe) == {1, 2}
+
+
+# -- bloom-prefiltered history probe ----------------------------------------
+
+
+def test_bloom_probe_equivalent_to_scan_multi_refresh(spark, tmp_path):
+    """The 100 TB swap-in (SCALE.md): the persisted-bitset probe must keep
+    the IDENTICAL doc set as the full history scan across several
+    refreshes mixing novel docs, exact repeats, and normalized repeats."""
+    inp = str(tmp_path / "in")
+    batches = [
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        [(4, "beta text"), (5, "gamma text"), (6, "  ALPHA TEXT  ")],
+        [(7, "delta text"), (8, "gamma text"), (9, "epsilon text")],
+    ]
+    pipes = {
+        mode: CorpusIngestPipeline(
+            spark, inp, str(tmp_path / f"wh_{mode}"),
+            history_probe=mode, bloom_bits=1 << 16,
+        )
+        for mode in ("scan", "bloom")
+    }
+    for i, docs in enumerate(batches):
+        _write_docs(os.path.join(inp, f"b{i}.json"), docs)
+        for pipe in pipes.values():
+            pipe.refresh()
+        assert _ids(pipes["bloom"]) == _ids(pipes["scan"])
+    assert _ids(pipes["scan"]) == {1, 2, 5, 7, 9}
+    # full row-level equality, not just ids
+    rows = {
+        mode: sorted(
+            (r["doc_id"], r["text"], r["fp"], r["batch_id"])
+            for r in p.corpus().collect()
+        )
+        for mode, p in pipes.items()
+    }
+    assert rows["bloom"] == rows["scan"]
+    assert os.path.exists(pipes["bloom"].bloom_path)
+
+
+def test_bloom_probe_composes_with_near_dedup(spark, tmp_path):
+    """history_probe='bloom' + near_dedup=True: the bitset gates only the
+    exact-fingerprint stage; the persisted-band-index near-dup probe runs
+    unchanged, and the kept set matches the scan-mode pipeline."""
+    inp = str(tmp_path / "in")
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(3, VAR), (4, NOVEL), (5, NOVEL_VAR)],  # 3 near-dups corpus, 5 near-dups 4
+        [(6, BASE), (7, " ".join(f"fresh{i}" for i in range(20)))],
+    ]
+    pipes = {
+        mode: CorpusIngestPipeline(
+            spark, inp, str(tmp_path / f"wh_{mode}"),
+            near_dedup=True, jaccard_threshold=0.5,
+            history_probe=mode, bloom_bits=1 << 16,
+        )
+        for mode in ("scan", "bloom")
+    }
+    for i, docs in enumerate(batches):
+        _write_docs(os.path.join(inp, f"b{i}.json"), docs)
+        for pipe in pipes.values():
+            pipe.refresh()
+    assert _ids(pipes["bloom"]) == _ids(pipes["scan"]) == {1, 2, 4, 7}
+    assert _index_ids(pipes["bloom"]) == _index_ids(pipes["scan"])
+
+
+def test_bloom_rebuilds_from_scan_mode_warehouse(spark, tmp_path):
+    """Opening an existing scan-mode warehouse in bloom mode must REBUILD
+    the bitset from history before trusting it — a missing sidecar read
+    as empty would have false negatives and re-admit duplicates."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    scan = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    scan.refresh()
+    assert not os.path.exists(os.path.join(wh, "fp_bloom.bin"))
+
+    bloom = CorpusIngestPipeline(
+        spark, inp, wh, history_probe="bloom", bloom_bits=1 << 16
+    )
+    _write_docs(os.path.join(inp, "b2.json"), [(3, "alpha"), (4, "gamma")])
+    bloom.refresh()
+    assert _ids(bloom) == {1, 2, 4}  # 3 suppressed via the REBUILT bitset
+
+
+def test_bloom_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch re-folds its own bits (OR: no-op) and its
+    bloom-positive fps verify against history that EXCLUDES its own
+    batch — the corpus stays unchanged."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, history_probe="bloom", bloom_bits=1 << 16
+    )
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    pipe.refresh()
+    batch = spark.createDataFrame(
+        [(1, "alpha", "en", "s"), (2, "beta", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(batch, 0)
+    assert _ids(pipe) == {1, 2}
+
+
+def test_mis_sized_bloom_refuses_loudly(spark, tmp_path):
+    import pytest
+
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, history_probe="bloom", bloom_bits=1 << 16
+    )
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha")])
+    pipe.refresh()
+    resized = CorpusIngestPipeline(
+        spark, inp, wh, history_probe="bloom", bloom_bits=1 << 17
+    )
+    with pytest.raises(ValueError, match="bloom bitset"):
+        resized._load_bloom()
