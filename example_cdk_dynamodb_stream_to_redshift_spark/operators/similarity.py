@@ -23,7 +23,7 @@ from itertools import combinations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 Vector = "list[float]"
@@ -602,4 +602,143 @@ def embedding_near_dup_pairs(
         )
     return pairs.select("id_a", "id_b", _pair_cos(exact_engine_parity)).filter(
         F.col("cos_sim") >= F.lit(threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch exact k-NN join: every query row gets its top-k corpus neighbors.
+# ---------------------------------------------------------------------------
+def _np_q6(x):
+    """numpy replica of the q6 quantizer (F.round(x*1e6) cast long):
+    HALF_UP = round half AWAY from zero — np.round would banker's-round
+    ties to even and diverge from Spark/DuckDB on exact .5 products."""
+    scaled = x * 1_000_000.0
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """EXACT cosine k-NN of every ``queries`` row against ``emb`` — the
+    batch-serving / SemDeDup-curation primitive (one query at a time is
+    ``brute_force_topk``; this amortizes ONE corpus scan over all Q
+    queries). Output: (q_id, <id_col>, cos_sim), k rows per query, ties
+    broken by ascending id.
+
+    Plan: the Q×dim query matrix is collected (bounded, O(Q·dim) — the
+    same artifact class as IVF centroids/PQ codebooks) and broadcast;
+    each corpus partition computes its scores as one (rows × dim) @
+    (dim × Q) BLAS matmul inside Arrow batches and emits only its LOCAL
+    top-k per query, so the single shuffle carries ≤ partitions·Q·k
+    candidate rows — never corpus rows — into the final per-query
+    window. Corpus never shuffles; scale by bounding Q per call (chunk a
+    huge query set into successive scans).
+
+    ``exact_engine_parity`` scores with the int64 q6-quantized cosine
+    (exact integer dot products, HALF_UP rounding identical to
+    Spark/DuckDB ``round``) so results hash-match a SQL oracle
+    bit-for-bit; the default float path is the production kernel.
+    """
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("q_id", queries.schema[q_id_col].dataType),
+                    T.StructField(id_col, emb.schema[id_col].dataType),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            ),
+        )
+    q_ids = [r[q_id_col] for r in q_rows]
+    q_mat = np.asarray([list(r[q_vec_col]) for r in q_rows], dtype=np.float64)
+    sc = emb.sparkSession.sparkContext
+    if exact_engine_parity:
+        qq = _np_q6(q_mat)
+        bc = sc.broadcast((qq, np.sqrt((qq * qq).sum(axis=1).astype(np.float64))))
+    else:
+        bc = sc.broadcast(q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True))
+    nq = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema[q_id_col].dataType),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(batches):
+        # accumulate per-batch candidates; one top-k cut per PARTITION at
+        # the end, so emitted rows stay <= Q*k regardless of batch count.
+        # Self-contained (the q6 replica is a local def, not a module
+        # reference): Python workers don't share the driver's sys.path,
+        # so a by-reference pickle of package helpers would fail to
+        # import on executors launched outside the repo root.
+        def np_q6(x):
+            scaled = x * 1_000_000.0
+            return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+        cand_ids: list[np.ndarray] = []
+        cand_sims: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            if exact_engine_parity:
+                qq, qn = bc.value
+                qm = np_q6(mat)
+                dots = (qm @ qq.T).astype(np.float64)  # exact int64 dots
+                norms = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+                sims = dots / (norms[:, None] * qn[None, :])
+            else:
+                qn = bc.value
+                mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = mn @ qn.T  # rows × Q
+            top = min(k, sims.shape[0])
+            # per-query partial top-k with the FINAL tie rule (sim desc,
+            # id asc): lexsort is ascending -> sort by (-sim, id)
+            for qi in range(nq):
+                order = np.lexsort((ids, -sims[:, qi]))[:top]
+                cand_ids.append(ids[order])
+                cand_sims.append(sims[order, qi])
+        if not cand_ids:
+            return
+        per_q_ids, per_q_sims, per_q_qi = [], [], []
+        n_batches = len(cand_ids) // nq
+        for qi in range(nq):
+            ids_q = np.concatenate(cand_ids[qi::nq]) if n_batches > 1 else cand_ids[qi]
+            sims_q = np.concatenate(cand_sims[qi::nq]) if n_batches > 1 else cand_sims[qi]
+            order = np.lexsort((ids_q, -sims_q))[:k]
+            per_q_ids.append(ids_q[order])
+            per_q_sims.append(sims_q[order])
+            per_q_qi.append(np.full(len(order), qi))
+        qi_all = np.concatenate(per_q_qi)
+        yield pd.DataFrame(
+            {
+                "q_id": [q_ids[i] for i in qi_all],
+                id_col: np.concatenate(per_q_ids),
+                "cos_sim": np.concatenate(per_q_sims),
+            }
+        )
+
+    partials = emb.select(id_col, vec_col).mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

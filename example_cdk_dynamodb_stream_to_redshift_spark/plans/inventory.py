@@ -499,8 +499,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # global_row_number localCheckpoint fix feeds doc_lm_quality_buckets
     "span_dedup_docs",
     "doc_lm_quality_buckets",
-    # new in r5: exact heavy-hitters twin of the freqItems sketch
+    # new in r5: exact heavy-hitters twin of the freqItems sketch; batch
+    # exact k-NN join (partition-local matmul top-k, bounded shuffle)
     "frequent_tokens_exact",
+    "knn_join_topk",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -553,7 +555,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_decontamination",
     "bm25_topk_docs",
     "train_val_test_split",
-    "doc_winnowing_fingerprints",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -669,6 +669,41 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_join_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS vb
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q_id, vec_id, {_COS_Q6_SQL} AS cos_sim
+      FROM (SELECT vec_id, embedding AS va FROM embeddings), q),
+    ranked AS (SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rn
+               FROM scored)
+    SELECT q_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+    ORDER BY q_id, cos_sim DESC, vec_id
+    """,
+    "Batch exact k-NN JOIN (operators/similarity.py knn_join): every "
+    "query row gets its cosine top-5 corpus neighbors from ONE corpus "
+    "scan — the SemDeDup-curation / batch-retrieval primitive. The "
+    "broadcast Q×dim query matrix scores each Arrow batch as a single "
+    "BLAS matmul; partitions emit only their LOCAL per-query top-k, so "
+    "the one shuffle carries ≤ partitions·Q·k candidate rows into the "
+    "final per-query window — corpus rows never shuffle. Parity mode "
+    "scores with exact int64 q6 dots (HALF_UP rounding replicated in "
+    "numpy) so DuckDB's window re-derivation hash-matches bit-for-bit.",
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    return SIM.knn_join(emb, queries, k=5, exact_engine_parity=True).orderBy(
+        "q_id", F.desc("cos_sim"), "vec_id"
+    )
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

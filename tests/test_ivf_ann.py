@@ -115,3 +115,57 @@ def test_append_ivf_index_equals_full_rebuild(spark, ivf, tmp_path):
             for r in SIM.ivf_topk(rebuilt, qvec, centroids, k=10, nprobe=nprobe).collect()
         ]
         assert a == b
+
+
+# -- batch exact k-NN join ---------------------------------------------------
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    """knn_join == brute_force_topk run per query (same tie rule), on a
+    deliberately multi-partition corpus so the partition-local top-k +
+    final window path is exercised."""
+    import random
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as SIM,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    got = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in SIM.knn_join(emb, queries, k=7).collect()
+    }
+    assert len(got) == 5 * 7
+    for qid in range(5):
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        want = SIM.brute_force_topk(emb, q, k=7).collect()
+        for r in want:
+            assert got[(qid, r["vec_id"])] == pytest.approx(r["cos_sim"], abs=1e-12)
+        # self is always rank-1 with cos ~1
+        assert got[(qid, qid)] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_knn_join_empty_queries(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    out = SIM.knn_join(emb, emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    ), k=3)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "vec_id", "cos_sim"]
