@@ -503,6 +503,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # exact k-NN join (partition-local matmul top-k, bounded shuffle)
     "frequent_tokens_exact",
     "knn_join_topk",
+    # new in r5: TPC-H Q3/Q7/Q19 shapes (top-N-on-aggregate, bilateral
+    # broadcast-dim disjunction, disjunctive cross-join-range pushdown)
+    "shipping_priority_q3",
+    "volume_shipping_q7",
+    "disjunctive_part_revenue_q19",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -552,9 +557,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "exact_dedup_docs",
     "minhash_lsh_near_dups",
     "dedup_clusters",
-    "ngram_decontamination",
-    "bm25_topk_docs",
-    "train_val_test_split",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

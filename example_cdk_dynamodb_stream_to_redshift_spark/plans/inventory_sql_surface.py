@@ -871,6 +871,195 @@ def nation_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: top unshipped orders by revenue — 3-way join, group on the
+# join key, top-N on an aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority_q3",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: revenue of not-yet-shipped lineitems for BUILDING-"
+    "segment orders placed before the cutoff, top-10 orders. The segment "
+    "filter prunes customer BEFORE its join (predicate pushdown to the "
+    "scan), the date filters push to the orders/lineitem scans, the "
+    "group key includes the join key so the aggregate is one uniform "
+    "l_orderkey shuffle, and ORDER BY + LIMIT compiles to "
+    "TakeOrderedAndProject over the aggregate — never a full sort.",
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 1000000).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral volume shipping between two nations by year.
+# ---------------------------------------------------------------------------
+@register(
+    "volume_shipping_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) / 1000000 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS DECIMAL(28,0)) AS vol
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: shipment revenue between two nations, either "
+    "direction, by ship year. Both nation dims BROADCAST twice under "
+    "different aliases; the bilateral disjunction rides the second "
+    "nation join as a residual over two broadcast-joined name columns, "
+    "so the big chain shuffles only on its uniform keys and the final "
+    "aggregate groups a 2x2xyears-bounded key space.",
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            vol.alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("vol").cast("double") / 1000000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive ranges across a join.
+# ---------------------------------------------------------------------------
+@register(
+    "disjunctive_part_revenue_q19",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "TPC-H Q19 shape (adapted to this schema's columns): revenue over a "
+    "DISJUNCTION of brand/size/quantity conjunct ranges spanning a join. "
+    "The single-side implications factor out and PUSH DOWN — part scans "
+    "only the three brands (p_brand IN, p_size <= 50), lineitem scans "
+    "only l_quantity BETWEEN 1 AND 50 — while the cross-side residual "
+    "evaluates post-join; part broadcasts, so the big side never "
+    "shuffles. One-row global aggregate.",
+)
+def disjunctive_part_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cases = [
+        ("Brand#1", 1, 15, 1, 20),
+        ("Brand#13", 10, 30, 10, 35),
+        ("Brand#20", 20, 50, 20, 50),
+    ]
+    disj = None
+    for brand, s_lo, s_hi, q_lo, q_hi in cases:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        disj = c if disj is None else (disj | c)
+    # single-side implications, pushed to the scans explicitly (Catalyst
+    # does not factor disjunctions): part reads 3 brands, lineitem reads
+    # the quantity hull — the residual disjunction evaluates post-join
+    part = part.filter(
+        F.col("p_brand").isin([c[0] for c in cases]) & F.col("p_size").between(1, 50)
+    )
+    li = li.filter(F.col("l_quantity").between(1, 50))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(
+            (F.sum(rev).cast("double") / 1000000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
