@@ -397,3 +397,45 @@ def test_q5_dims_broadcast_and_region_filter_pushes(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_topk_and_pushdown(spark):
+    plan = _plan(spark, "shipping_priority_q3")
+    assert "TakeOrderedAndProject" in plan  # top-10 never a global sort
+    # segment filter pushed to the customer scan, date filters to both scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q7_nation_dims_broadcast_twice(spark):
+    plan = _plan(spark, "volume_shipping_q7")
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation aliases
+
+
+def test_q19_single_side_implications_reach_scans(spark):
+    plan = _plan(spark, "disjunctive_part_revenue_q19")
+    # factored implications at the scans: part reads only the 3 brands,
+    # lineitem only the quantity hull
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    assert "LessThanOrEqual(l_quantity,50" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_shuffles_only_candidate_partials(spark):
+    # the corpus flows scan -> MapInPandas with NO exchange below the
+    # kernel; the single exchange in the plan (q_id hash for the final
+    # per-query window) sits ABOVE it and carries only the
+    # <= partitions*Q*k candidate rows
+    df = REGISTRY["knn_join_topk"].spark_fn(spark, SF_CORRECTNESS)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+    # toString prints parents before children: the exchange must appear
+    # above the kernel, and the parquet scan below it (corpus unshuffled)
+    assert (
+        tree.index("Exchange hashpartitioning")
+        < tree.index("MapInPandas")
+        < tree.index("Scan parquet")
+    ), tree
