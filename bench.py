@@ -97,6 +97,11 @@ HEADLINE = [
     "corpus_pipeline_summary",
     "tfidf_similar_docs",
     "nation_revenue_q5",
+    "knn_join_topk",
+    "frequent_tokens_exact",
+    "shipping_priority_q3",
+    "volume_shipping_q7",
+    "disjunctive_part_revenue_q19",
 ]
 
 
