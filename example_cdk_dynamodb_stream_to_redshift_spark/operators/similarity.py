@@ -742,3 +742,64 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_knn_join(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Batch k-NN through IVF list pruning — ``knn_join``'s 100 TB serving
+    path: each query probes only its ``nprobe`` nearest inverted lists, so
+    the scan reads ~nprobe/K of the corpus (a storage-level partition
+    prune when the index is persisted via ``write_ivf_index``).
+
+    Plan, fully JVM-side (no Python kernel): probe-cid selection is O(Q·K)
+    on the driver (the same bounded artifact class as the centroids); the
+    (q_id, cid, qvec) probe table BROADCASTS into an equi-join on cid
+    against the index — never a cross join — scoring rides the join output
+    as a codegen cosine expression, and the per-query window ranks only
+    the pruned candidate rows. ``nprobe == len(centroids)`` degrades to
+    the exact brute-force k-NN join (driver-proven against the same
+    oracle as knn_join); recall at partial probe is the standard IVF
+    trade, tested in tests/test_ivf_ann.py.
+    """
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[q_vec_col]]
+        dists = sorted(
+            (sum((x - c[i]) ** 2 for i, x in enumerate(qv)), cid)
+            for cid, c in enumerate(centroids)
+        )
+        for _, cid in dists[:nprobe]:
+            probe_rows.append((r[q_id_col], cid, qv))
+    probes = index.sparkSession.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("q_id", queries.schema[q_id_col].dataType),
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("q", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    sim = cosine_q6 if exact_engine_parity else cosine
+    scored = index.join(F.broadcast(probes), "cid").select(
+        "q_id", F.col(id_col), sim(F.col(vec_col), F.col("q")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

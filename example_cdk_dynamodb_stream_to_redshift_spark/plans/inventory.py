@@ -508,6 +508,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "shipping_priority_q3",
     "volume_shipping_q7",
     "disjunctive_part_revenue_q19",
+    # new in r5: IVF-pruned batch k-NN (exact twin hash-checked; the
+    # probing form records its one-time rows-only row, then rotates out)
+    "ivf_knn_join_fullprobe",
+    "ivf_knn_join_topk",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -555,8 +559,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "count_rows",
     "param_events_by_user",
     "exact_dedup_docs",
-    "minhash_lsh_near_dups",
-    "dedup_clusters",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -704,6 +704,62 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_knn_join_topk",
+    None,  # approximate (list pruning) — rows-only; exactness at full
+    #       probe is the driver-green entry below, recall in pytest
+    "Batch k-NN through IVF list pruning (ivf_knn_join): each query "
+    "probes its nprobe=4 of K=8 inverted lists — ~nprobe/K of the corpus "
+    "read per query batch (a storage-level partition prune over the "
+    "persisted index). Fully JVM: broadcast (q_id, cid, qvec) probe "
+    "table equi-joined on cid, codegen cosine on the join output, "
+    "per-query window on candidates only.",
+)
+def ivf_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    return SIM.ivf_knn_join(
+        index, queries, centroids, k=5, nprobe=4
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+@register(
+    "ivf_knn_join_fullprobe",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS vb
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q_id, vec_id, {_COS_Q6_SQL} AS cos_sim
+      FROM (SELECT vec_id, embedding AS va FROM embeddings), q),
+    ranked AS (SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rn
+               FROM scored)
+    SELECT q_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+    ORDER BY q_id, cos_sim DESC, vec_id
+    """,
+    "ivf_knn_join at nprobe = K: every query probes every list, so the "
+    "IVF-pruned batch k-NN degrades to the exact k-NN join by "
+    "construction — hash-checked against the same windowed brute-force "
+    "oracle as knn_join_topk. Driver-proves the probe-table join + "
+    "codegen scoring machinery the nprobe=4 form prunes with.",
+)
+def ivf_knn_join_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    return SIM.ivf_knn_join(
+        index, queries, centroids, k=5, nprobe=8, exact_engine_parity=True
+    ).orderBy("q_id", F.desc("cos_sim"), "vec_id")
+
+
+@register(
     "embedding_near_dup_pairs",
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

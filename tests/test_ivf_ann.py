@@ -169,3 +169,46 @@ def test_knn_join_empty_queries(spark):
     ), k=3)
     assert out.count() == 0
     assert out.columns == ["q_id", "vec_id", "cos_sim"]
+
+
+def test_ivf_knn_join_fullprobe_is_exact(spark):
+    """nprobe=K: the IVF-pruned batch k-NN must equal the exact knn_join
+    on every (q_id, neighbor, sim) triple."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    got = sorted(
+        (r["q_id"], r["vec_id"], round(r["cos_sim"], 10))
+        for r in SIM.ivf_knn_join(
+            index, queries, centroids, k=5, nprobe=8
+        ).collect()
+    )
+    want = sorted(
+        (r["q_id"], r["vec_id"], round(r["cos_sim"], 10))
+        for r in SIM.knn_join(emb, queries, k=5).collect()
+    )
+    assert got == want
+
+
+def test_ivf_knn_join_partial_probe_recall(spark):
+    """nprobe=4 of 8: per-query recall vs exact top-5 stays useful (the
+    standard IVF trade; self-match always recalled since a query's own
+    list is its nearest centroid)."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    index = SIM.build_ivf_index(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    approx = SIM.ivf_knn_join(index, queries, centroids, k=5, nprobe=4).collect()
+    exact = SIM.knn_join(emb, queries, k=5).collect()
+    approx_set = {(r["q_id"], r["vec_id"]) for r in approx}
+    exact_set = {(r["q_id"], r["vec_id"]) for r in exact}
+    # every query still returns k rows, from its probed lists
+    assert len(approx) == 8 * 5
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    assert all((q, q) in approx_set for q in range(8))  # self recalled
