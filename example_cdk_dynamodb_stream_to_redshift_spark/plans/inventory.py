@@ -512,6 +512,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # probing form records its one-time rows-only row, then rotates out)
     "ivf_knn_join_fullprobe",
     "ivf_knn_join_topk",
+    # new in r5: TPC-H Q18 (aggregate-derived IN-subquery -> semi join)
+    "large_volume_customers_q18",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -558,7 +560,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "watermark_max",
     "count_rows",
     "param_events_by_user",
-    "exact_dedup_docs",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1060,6 +1060,55 @@ def disjunctive_part_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: IN (grouped HAVING subquery) — aggregate-derived semi join.
+# ---------------------------------------------------------------------------
+@register(
+    "large_volume_customers_q18",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 shape: customers whose orders exceed 250 total units. The "
+    "IN-subquery is an AGGREGATE-derived key set — one uniform-key "
+    "partial-agg over lineitem with the HAVING cut applied before "
+    "anything joins, then a LEFT-SEMI hash join prunes orders to the "
+    "~200 qualifying keys ahead of the customer join and the final "
+    "re-aggregation; top-100 via TakeOrderedAndProject. total_qty sums "
+    "integral doubles (< 2^53), so the cross-engine sum is exact.",
+)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
