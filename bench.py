@@ -102,6 +102,7 @@ HEADLINE = [
     "shipping_priority_q3",
     "volume_shipping_q7",
     "disjunctive_part_revenue_q19",
+    "large_volume_customers_q18",
 ]
 
 

@@ -439,3 +439,10 @@ def test_knn_join_shuffles_only_candidate_partials(spark):
         < tree.index("MapInPandas")
         < tree.index("Scan parquet")
     ), tree
+
+
+def test_q18_semi_join_before_reaggregation(spark):
+    plan = _plan(spark, "large_volume_customers_q18")
+    assert "LeftSemi" in plan  # the IN-subquery decorrelates to a semi join
+    assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
+    assert "partial_sum" in plan  # both aggregates keep map-side partials
