@@ -63,12 +63,17 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-def _rows_only_recorded() -> set[str]:
-    """Names whose declared rows-only (err=no_oracle) driver row has been
-    recorded in some round — their weak check exists; re-windowing them
-    would spend a slot on a row the driver can only ever mark `err`."""
+def _rows_only_recorded_before(round_no: int) -> set[str]:
+    """Names whose declared rows-only (err=no_oracle) driver row was
+    recorded in a round BEFORE ``round_no`` — their weak check exists;
+    re-windowing them would spend a slot on a row the driver can only
+    ever mark `err`. Rows recorded by the CURRENT round's own window are
+    exempt (that IS the one-time recording), so the suite stays green
+    when the driver lands CORRECTNESS_r{CURRENT_ROUND}.json at round end."""
     rec: set[str] = set()
-    for _, data in _correctness_rounds():
+    for rnd, data in _correctness_rounds():
+        if rnd >= round_no:
+            continue
         for name, row in data.items():
             if row.get("err") == "no_oracle":
                 rec.add(name)
@@ -106,7 +111,7 @@ def test_no_recorded_rows_only_entry_in_window():
     recorded, it must rotate OUT: its slot can only ever produce an `err`
     row again, while an oracle-bearing query would produce a hash check
     (r4 verdict item 2)."""
-    recorded = _rows_only_recorded()
+    recorded = _rows_only_recorded_before(CURRENT_ROUND)
     stuck = [
         n
         for n in _DRIVER_WINDOW_PRIORITY
