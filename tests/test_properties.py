@@ -115,3 +115,95 @@ def test_merge_replay_is_idempotent(spark, tmp_path):
     twice = incremental_merge(once, extract, MEMBER_SPEC, sync_ts=sync)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.count() == 2
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.data(),
+    n=st.integers(min_value=1, max_value=24),
+    nq=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_knn_join_matches_python_reference(spark, data, n, nq, k):
+    """knn_join == plain-Python cosine ranking for every query, under
+    random corpus sizes (incl. k > corpus), query counts, and ties
+    (small integer-valued vectors collide in cosine deliberately)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.similarity import (
+        knn_join,
+    )
+
+    dim = 4
+    vecs = [
+        [
+            float(data.draw(st.integers(min_value=-2, max_value=2), label="c"))
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    # cosine needs nonzero vectors
+    vecs = [v if any(x != 0.0 for x in v) else [1.0, 0.0, 0.0, 0.0] for v in vecs]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    q_ids = list(range(min(nq, n)))
+    queries = emb.filter(F.col("vec_id") < len(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_join(emb, queries, k=k).collect()
+    }
+    want = set()
+    for qid in q_ids:
+        ranked = sorted(
+            range(n), key=lambda i: (-cos(vecs[i], vecs[qid]), i)
+        )[:k]
+        want |= {(qid, i) for i in ranked}
+    # ties at the k boundary may legitimately differ in float vs numpy
+    # only if values differ — both use float64, same products, so exact
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_dedup_matches_python_reference(spark, texts):
+    """span_dedup == a plain-Python first-occurrence pass over (doc_id,
+    span_idx) order, with random tiny vocabularies forcing heavy span
+    collisions within and across docs (span_words=2)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    docs = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
+
+    seen: set[str] = set()
+    for i, text in docs:
+        toks = text.split(" ")
+        spans = [" ".join(toks[j : j + 2]) for j in range(0, len(toks), 2)]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        r = out[i]
+        assert r["n_spans"] == len(spans), (i, spans)
+        assert r["n_spans_kept"] == len(kept)
+        assert r["clean_text"] == " ".join(kept)
