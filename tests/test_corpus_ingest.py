@@ -291,3 +291,112 @@ def test_mis_sized_bloom_refuses_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bloom bitset"):
         resized._load_bloom()
+
+
+# -- compaction --------------------------------------------------------------
+
+
+def _full_rows(pipe):
+    return sorted(
+        (r["doc_id"], r["text"], r["fp"], r["batch_id"])
+        for r in pipe.corpus().collect()
+    )
+
+
+def test_compact_preserves_rows_and_dedup(spark, tmp_path):
+    """Compaction rewrites N batch dirs into one compact dir with rows —
+    including original batch_id lineage — bit-identical, and the
+    cross-batch dedup keeps working against the compacted history."""
+    import glob
+
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    pipe.refresh()
+    _write_docs(os.path.join(inp, "b2.json"), [(3, "gamma"), (4, "alpha")])
+    pipe.refresh()
+    _write_docs(os.path.join(inp, "b3.json"), [(5, "delta")])
+    pipe.refresh()
+    before = _full_rows(pipe)
+
+    pipe.compact(target_partitions=2)
+    assert glob.glob(os.path.join(wh, "corpus", "batch_id=*")) == []
+    assert len(glob.glob(os.path.join(wh, "corpus", "compact=*"))) == 1
+    assert _full_rows(pipe) == before  # lineage batch_id preserved
+
+    # dedup continues against compacted history; new novel doc lands
+    _write_docs(os.path.join(inp, "b4.json"), [(6, "beta"), (7, "epsilon")])
+    pipe.refresh()
+    assert _ids(pipe) == {1, 2, 3, 5, 7}
+
+    # second compact folds the compacted dir + the new batch dir into one
+    pipe.compact(target_partitions=2)
+    assert len(glob.glob(os.path.join(wh, "corpus", "compact=*"))) == 1
+    assert _ids(pipe) == {1, 2, 3, 5, 7}
+
+
+def test_compact_replay_guard_survives(spark, tmp_path):
+    """A micro-batch replayed AFTER its directory was compacted away must
+    still exclude its own prior rows (batch_id filters the compacted
+    data by value) — corpus unchanged."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    pipe.refresh()
+    pipe.compact()
+    batch = spark.createDataFrame(
+        [(1, "alpha", "en", "s"), (2, "beta", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(batch, 0)  # at-least-once replay of batch 0
+    assert _ids(pipe) == {1, 2}
+
+
+def test_compact_marker_hides_undeleted_sources(spark, tmp_path):
+    """Crash window: a superseded dir still on disk (deletion didn't run)
+    must stay invisible to reads, and the next compact() cleans it up."""
+    import glob
+    import shutil
+
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    _write_docs(os.path.join(inp, "b1.json"), [(1, "alpha"), (2, "beta")])
+    pipe.refresh()
+    _write_docs(os.path.join(inp, "b2.json"), [(3, "gamma")]);
+    pipe.refresh()
+    before = _full_rows(pipe)
+    # preserve a source dir, compact, then "resurrect" it = the crash state
+    src = os.path.join(wh, "corpus", "batch_id=0")
+    saved = str(tmp_path / "saved")
+    shutil.copytree(src, saved)
+    pipe.compact()
+    shutil.copytree(saved, src)
+    assert _full_rows(pipe) == before  # marker hides the stale dir
+    pipe.compact()  # cleanup pass
+    assert not os.path.exists(src)
+    assert _full_rows(pipe) == before
+
+
+def test_compact_near_dedup_index_keeps_probing(spark, tmp_path):
+    """near_dedup mode: the band index compacts alongside the corpus and
+    the persisted-index probe still suppresses near-duplicates of
+    compacted history."""
+    import glob
+
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, near_dedup=True, jaccard_threshold=0.5
+    )
+    _write_docs(os.path.join(inp, "b1.json"), [(1, BASE), (2, OTHER)])
+    pipe.refresh()
+    _write_docs(os.path.join(inp, "b2.json"), [(4, NOVEL)])
+    pipe.refresh()
+    pipe.compact()
+    assert glob.glob(os.path.join(wh, "band_index", "batch_id=*")) == []
+    assert len(glob.glob(os.path.join(wh, "band_index", "compact=*"))) == 1
+    _write_docs(os.path.join(inp, "b3.json"), [(3, VAR), (5, NOVEL_VAR)])
+    pipe.refresh()
+    # 3 near-dups compacted doc 1, 5 near-dups compacted doc 4 — both
+    # suppressed via the COMPACTED index
+    assert _ids(pipe) == {1, 2, 4}
+    assert _index_ids(pipe) == {1, 2, 4}
