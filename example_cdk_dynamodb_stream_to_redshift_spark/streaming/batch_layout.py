@@ -1,0 +1,160 @@
+"""Batch-id directory layout with crash-safe compaction.
+
+Every foreachBatch store in this engine uses the same idempotence
+recipe: each micro-batch OVERWRITES its own ``batch_id=<n>``
+subdirectory, so an at-least-once replay rewrites its own data instead
+of appending duplicates. The cost is one directory (and a few files)
+per micro-batch forever — the classic streaming small-files problem: at
+one batch a minute, a year of ingestion is half a million directories
+and the LISTING, not the data, dominates read planning.
+
+``compact_root`` consolidates the layout into a single ``compact=<k>``
+directory, crash-safe by construction:
+
+1. the consolidated data is written to a hidden temp dir together with a
+   ``_compacted_from.json`` marker naming every superseded directory;
+2. the temp dir is atomically renamed into place (``os.replace``) — the
+   marker and the data become visible together or not at all;
+3. the superseded directories are deleted; readers honor markers, so the
+   window between (2) and (3) never shows duplicate rows, and a re-run
+   finishes any pending cleanup first.
+
+Compacted rows keep their original ``batch_id`` as a DATA column, so
+consumers that filter by batch (the replay guard's ``exclude_batch``)
+keep working by value where the directory no longer exists. The
+compactor reads exactly the source dirs it listed — a batch landing
+mid-compaction is neither absorbed nor deleted. ``keep_last`` protects
+the newest N batch dirs for stores where the streaming checkpoint may
+still replay them (the CDC extract: only the last uncommitted batch can
+ever be retried, so ``keep_last=2`` is already conservative).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os
+import shutil as _shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def superseded(root: str) -> set[str]:
+    """Basenames under ``root`` superseded by compaction markers — kept
+    out of every read even while their deletion is still pending."""
+    gone: set[str] = set()
+    for marker in _glob.glob(
+        os.path.join(root, "compact=*", "_compacted_from.json")
+    ):
+        try:
+            with open(marker) as fh:
+                gone.update(_json.load(fh)["superseded"])
+        except (OSError, ValueError, KeyError):
+            # unreadable marker = torn compact dir; ignore the dir itself
+            gone.add(os.path.basename(os.path.dirname(marker)))
+    return gone
+
+
+def live_dirs(
+    root: str, exclude_batch: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(batch_dirs, compact_dirs) currently visible under ``root``."""
+    gone = superseded(root)
+    batch_dirs = [
+        d
+        for d in sorted(_glob.glob(os.path.join(root, "batch_id=*")))
+        if os.path.basename(d) not in gone
+        and (
+            exclude_batch is None
+            or not d.endswith(f"batch_id={exclude_batch}")
+        )
+    ]
+    compact_dirs = [
+        d
+        for d in sorted(_glob.glob(os.path.join(root, "compact=*")))
+        if os.path.basename(d) not in gone
+    ]
+    return batch_dirs, compact_dirs
+
+
+def read_root(
+    spark: SparkSession,
+    root: str,
+    empty_fields: list[T.StructField],
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Union of the live batch dirs (batch_id from partition discovery)
+    and compacted dirs (batch_id as a stored column, still subject to the
+    ``exclude_batch`` replay guard by VALUE). Empty DataFrame with the
+    full schema when nothing has landed."""
+    batch_dirs, compact_dirs = live_dirs(root, exclude_batch)
+    parts = []
+    if batch_dirs:
+        parts.append(spark.read.option("basePath", root).parquet(*batch_dirs))
+    if compact_dirs:
+        dc = spark.read.parquet(*compact_dirs)
+        if exclude_batch is not None:
+            dc = dc.filter(F.col("batch_id") != exclude_batch)
+        parts.append(dc)
+    if not parts:
+        return spark.createDataFrame([], T.StructType(empty_fields))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_root(
+    spark: SparkSession,
+    root: str,
+    target_partitions: int = 8,
+    keep_last: int = 0,
+) -> bool:
+    """Consolidate ``root``'s live layout into one ``compact=<k>`` dir
+    (see module docstring for the crash-safety protocol). Returns True
+    if a compaction ran, False if there was nothing to do."""
+    if not os.path.isdir(root):
+        return False
+    # finish any prior compaction's pending cleanup (idempotent)
+    for base in superseded(root):
+        _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
+    batch_dirs, compact_dirs = live_dirs(root)
+    if keep_last:
+        # protect the newest batch ids (numeric order, not lexicographic)
+        batch_dirs = sorted(
+            batch_dirs, key=lambda d: int(os.path.basename(d).split("=", 1)[1])
+        )[: -keep_last or None]
+    sources = batch_dirs + compact_dirs
+    if len(sources) <= 1:
+        return False
+    # read EXACTLY the captured source dirs (not a re-glob: a micro-batch
+    # landing mid-compaction must be neither absorbed nor deleted)
+    parts = []
+    if batch_dirs:
+        parts.append(spark.read.option("basePath", root).parquet(*batch_dirs))
+    if compact_dirs:
+        parts.append(spark.read.parquet(*compact_dirs))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    next_k = (
+        max(
+            (
+                int(os.path.basename(d).split("=", 1)[1])
+                for d in compact_dirs
+            ),
+            default=-1,
+        )
+        + 1
+    )
+    tmp = os.path.join(root, f".compact_tmp_{next_k}")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_compacted_from.json"), "w") as fh:
+        _json.dump({"superseded": [os.path.basename(d) for d in sources]}, fh)
+    os.replace(tmp, os.path.join(root, f"compact={next_k}"))
+    for d in sources:
+        _shutil.rmtree(d, ignore_errors=True)
+    return True

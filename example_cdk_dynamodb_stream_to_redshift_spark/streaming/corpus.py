@@ -105,58 +105,12 @@ class CorpusIngestPipeline:
         self.bloom_k = bloom_k
 
     # -- reads ------------------------------------------------------------
-    @staticmethod
-    def _superseded(root: str) -> set[str]:
-        """Basenames superseded by compaction markers under ``root``. A
-        compacted directory carries ``_compacted_from.json`` naming the
-        source dirs it replaced; those stay excluded from every read even
-        if their deletion hasn't happened yet (the crash window between
-        marker publication and cleanup never shows duplicate rows)."""
-        import json as _json
-
-        gone: set[str] = set()
-        for marker in _glob.glob(os.path.join(root, "compact=*", "_compacted_from.json")):
-            try:
-                with open(marker) as fh:
-                    gone.update(_json.load(fh)["superseded"])
-            except (OSError, ValueError, KeyError):
-                # unreadable marker = torn compact dir; ignore the dir
-                gone.add(os.path.basename(os.path.dirname(marker)))
-        return gone
-
     def _read_store(
         self, root: str, empty_fields: list, exclude_batch: int | None
     ) -> DataFrame:
-        gone = self._superseded(root)
-        batch_dirs = [
-            d
-            for d in _glob.glob(os.path.join(root, "batch_id=*"))
-            if os.path.basename(d) not in gone
-            and (exclude_batch is None or not d.endswith(f"batch_id={exclude_batch}"))
-        ]
-        compact_dirs = [
-            d
-            for d in _glob.glob(os.path.join(root, "compact=*"))
-            if os.path.basename(d) not in gone
-        ]
-        parts = []
-        if batch_dirs:
-            parts.append(
-                self.spark.read.option("basePath", root).parquet(*batch_dirs)
-            )
-        if compact_dirs:
-            # compacted files store batch_id as a DATA column (original
-            # landing batch preserved); the replay guard must still apply
-            dc = self.spark.read.parquet(*compact_dirs)
-            if exclude_batch is not None:
-                dc = dc.filter(F.col("batch_id") != exclude_batch)
-            parts.append(dc)
-        if not parts:
-            return self.spark.createDataFrame([], T.StructType(empty_fields))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        from . import batch_layout
+
+        return batch_layout.read_root(self.spark, root, empty_fields, exclude_batch)
 
     def corpus(self, exclude_batch: int | None = None) -> DataFrame:
         """The accumulated deduplicated corpus (doc_id, text, lang, source,
@@ -367,70 +321,18 @@ class CorpusIngestPipeline:
     # -- maintenance ------------------------------------------------------
     def compact(self, target_partitions: int = 8) -> None:
         """Consolidate the per-micro-batch directory layout into one
-        ``compact=<k>`` directory per store — the streaming small-files
-        fix: N micro-batches otherwise mean N directories × a few files
-        each, and at ingest-forever scale the file listing (not the data)
-        becomes the read bottleneck.
-
-        Crash-safe by construction: the consolidated data is written to a
-        hidden temp dir together with a ``_compacted_from.json`` marker
-        naming every superseded directory, then atomically renamed into
-        place; readers honor markers, so the window between publication
-        and source deletion never shows duplicate rows, and a crash
-        anywhere leaves either the old layout or a fully-valid new one.
-        Re-running compact() completes any pending cleanup first.
-
-        Replay safety: compacted rows keep their original ``batch_id`` as
-        a data column, so a replayed micro-batch still excludes its own
-        prior rows (the ``exclude_batch`` guard filters compacted dirs by
-        value). Run from the maintenance side while the stream is the
-        only writer of NEW batch dirs — compaction never touches a
-        directory created after it listed its sources."""
-        import json as _json
-        import shutil as _shutil
+        ``compact=<k>`` directory per store (corpus and, in near-dedup
+        mode, the band index) — the streaming small-files fix. Protocol,
+        crash-safety, and replay guarantees live in
+        ``streaming/batch_layout.py`` (shared with CdcPipeline.compact);
+        run from the maintenance side while the stream is the only
+        writer of NEW batch dirs."""
+        from . import batch_layout
 
         roots = [self.corpus_path]
         if self.near_dedup:
             roots.append(self.index_path)
         for root in roots:
-            if not os.path.isdir(root):
-                continue
-            # finish any prior compaction's pending cleanup (idempotent)
-            for base in self._superseded(root):
-                _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
-            batch_dirs = sorted(_glob.glob(os.path.join(root, "batch_id=*")))
-            compact_dirs = sorted(_glob.glob(os.path.join(root, "compact=*")))
-            sources = batch_dirs + compact_dirs
-            if len(sources) <= 1:
-                continue
-            # read EXACTLY the captured source dirs (not a re-glob: a
-            # micro-batch landing mid-compaction must be neither absorbed
-            # nor deleted); batch_id becomes a data column
-            parts = []
-            if batch_dirs:
-                parts.append(
-                    self.spark.read.option("basePath", root).parquet(*batch_dirs)
-                )
-            if compact_dirs:
-                parts.append(self.spark.read.parquet(*compact_dirs))
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
-            df = df.repartition(target_partitions)
-            next_k = (
-                max(
-                    (int(os.path.basename(d).split("=", 1)[1]) for d in compact_dirs),
-                    default=-1,
-                )
-                + 1
+            batch_layout.compact_root(
+                self.spark, root, target_partitions=target_partitions
             )
-            tmp = os.path.join(root, f".compact_tmp_{next_k}")
-            _shutil.rmtree(tmp, ignore_errors=True)
-            df.write.mode("overwrite").parquet(tmp)
-            with open(os.path.join(tmp, "_compacted_from.json"), "w") as fh:
-                _json.dump(
-                    {"superseded": [os.path.basename(d) for d in sources]}, fh
-                )
-            os.replace(tmp, os.path.join(root, f"compact={next_k}"))
-            for d in sources:
-                _shutil.rmtree(d, ignore_errors=True)

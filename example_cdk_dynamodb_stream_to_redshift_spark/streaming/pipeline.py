@@ -336,21 +336,43 @@ class CdcPipeline:
 
     def sync_log_table(self) -> DataFrame:
         """The sync-run log as a DataFrame; batch_id comes back as a
-        partition column, entity is a regular column (one file per batch).
-        Empty (with full schema) when no merge has ever logged — same
-        monitor-friendly contract as quarantine_table."""
-        import glob as _glob
-
+        partition column (or a stored column after compaction), entity is
+        a regular column. Empty (with full schema) when no merge has ever
+        logged — same monitor-friendly contract as quarantine_table."""
         from pyspark.sql import types as T
 
-        if not _glob.glob(os.path.join(self.sync_log_path, "batch_id=*")):
-            fields = self._sync_log_fields() + [
-                T.StructField("batch_id", T.IntegerType())
-            ]
-            return self.spark.createDataFrame([], T.StructType(fields))
-        return self.spark.read.option("basePath", self.sync_log_path).parquet(
-            os.path.join(self.sync_log_path, "batch_id=*")
-        )
+        from . import batch_layout
+
+        fields = self._sync_log_fields() + [
+            T.StructField("batch_id", T.IntegerType())
+        ]
+        return batch_layout.read_root(self.spark, self.sync_log_path, fields)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(
+        self, target_partitions: int = 8, keep_last: int = 2
+    ) -> None:
+        """Consolidate the extract / quarantine / sync-log batch-dir
+        layouts (streaming/batch_layout.py — crash-safe marker protocol,
+        original batch_id preserved as a data column). At one micro-batch
+        a minute these stores grow ~1.4k directories a day; after
+        compaction the extract MV reads one directory plus the recent
+        tail.
+
+        ``keep_last`` protects the newest batch dirs: Structured
+        Streaming can only ever replay the last uncommitted batch (its
+        overwrite must hit a real ``batch_id=<n>`` dir, not rows folded
+        into a compact dir), so 2 is already conservative. Target tables
+        have their own compaction (operators/storage.py backends)."""
+        from . import batch_layout
+
+        for root in (self.extract_path, self.quarantine_path, self.sync_log_path):
+            batch_layout.compact_root(
+                self.spark,
+                root,
+                target_partitions=target_partitions,
+                keep_last=keep_last,
+            )
 
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -363,25 +385,19 @@ class CdcPipeline:
         seen a bad payload returns an EMPTY DataFrame (the quarantine dir is
         only created when bad rows exist) — monitors can distinguish
         'nothing quarantined' from a query error."""
-        import glob as _glob
-
         from pyspark.sql import types as T
 
-        if not _glob.glob(os.path.join(self.quarantine_path, "batch_id=*")):
-            empty_schema = T.StructType(
-                [
-                    T.StructField("approximatearrivaltimestamp", T.TimestampType()),
-                    T.StructField("partitionkey", T.StringType()),
-                    T.StructField("shardid", T.StringType()),
-                    T.StructField("sequencenumber", T.StringType()),
-                    T.StructField("kinesis_data", T.StringType()),
-                    T.StructField("batch_id", T.IntegerType()),
-                ]
-            )
-            return self.spark.createDataFrame([], empty_schema)
-        return self.spark.read.option("basePath", self.quarantine_path).parquet(
-            os.path.join(self.quarantine_path, "batch_id=*")
-        )
+        from . import batch_layout
+
+        fields = [
+            T.StructField("approximatearrivaltimestamp", T.TimestampType()),
+            T.StructField("partitionkey", T.StringType()),
+            T.StructField("shardid", T.StringType()),
+            T.StructField("sequencenumber", T.StringType()),
+            T.StructField("kinesis_data", T.StringType()),
+            T.StructField("batch_id", T.IntegerType()),
+        ]
+        return batch_layout.read_root(self.spark, self.quarantine_path, fields)
 
     def history_table(self, name: str) -> DataFrame:
         """SCD Type 2 history of one entity, derived from the accumulated
@@ -426,14 +442,16 @@ class CdcPipeline:
         # union (legacy rows predate idempotent writes; nothing to dedup).
         import glob as _glob
 
+        from . import batch_layout
+
         legacy = _glob.glob(os.path.join(self.extract_path, "part-*.parquet"))
-        batched_dirs = _glob.glob(os.path.join(self.extract_path, "batch_id=*"))
+        batch_dirs, compact_dirs = batch_layout.live_dirs(self.extract_path)
         parts = []
-        if batched_dirs:
+        if batch_dirs or compact_dirs:
             parts.append(
-                self.spark.read.option("basePath", self.extract_path)
-                .parquet(*batched_dirs)
-                .drop("batch_id")
+                batch_layout.read_root(self.spark, self.extract_path, []).drop(
+                    "batch_id"
+                )
             )
         if legacy:
             parts.append(self.spark.read.parquet(*legacy))

@@ -571,3 +571,68 @@ def test_pipeline_history_table_spans_refreshes(spark, tmp_path):
     # cross-batch interval stitching: batch-1's version closes at batch-2's
     assert hist[0]["valid_to"] == hist[1]["valid_from"]
     assert (hist[0]["is_current"], hist[1]["is_current"]) == (0, 1)
+
+
+def test_pipeline_compact_preserves_stores(spark, tmp_path):
+    """CdcPipeline.compact(): extract / sync-log batch dirs consolidate
+    with rows (and batch_id lineage) intact, keep_last protects the
+    replayable tail, SCD2 history still derives from the compacted
+    change log, and subsequent refreshes keep working."""
+    import glob
+    import os as _os
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+    for i, (eid, name, ms) in enumerate(
+        [("e1", "A1", 1000), ("e2", "A2", 2000), ("e3", "A3", 3000)]
+    ):
+        write_jsonl(
+            str(stream_dir / f"b{i}.json"),
+            [member_env(i + 1, eid, "MODIFY", "m1", name, BASE_MS + ms)],
+        )
+        pipe.refresh()
+
+    extract_before = sorted(map(str, pipe.extract_table().collect()))
+    log_before = sorted(
+        (r["batch_id"], r["entity"], r["staged_count"])
+        for r in pipe.sync_log_table().collect()
+    )
+    wh = str(tmp_path / "wh")
+    assert len(glob.glob(_os.path.join(wh, "member_quest_data_extract", "batch_id=*"))) == 3
+
+    pipe.compact(keep_last=1)
+    # newest batch dir protected for replay; older two folded into one
+    assert len(glob.glob(_os.path.join(wh, "member_quest_data_extract", "batch_id=*"))) == 1
+    assert len(glob.glob(_os.path.join(wh, "member_quest_data_extract", "compact=*"))) == 1
+    assert sorted(map(str, pipe.extract_table().collect())) == extract_before
+    assert (
+        sorted(
+            (r["batch_id"], r["entity"], r["staged_count"])
+            for r in pipe.sync_log_table().collect()
+        )
+        == log_before
+    )
+    # SCD2 history derives from the compacted change log unchanged
+    hist = pipe.history_table("member").filter("memberId = 'm1'").collect()
+    assert [r["memberName"] for r in sorted(hist, key=lambda r: r["valid_from"])][-3:] == [
+        "A1", "A2", "A3",
+    ]
+    # the pipeline keeps ingesting after compaction
+    write_jsonl(
+        str(stream_dir / "b3.json"),
+        [member_env(9, "e9", "MODIFY", "m1", "A4", BASE_MS + 9000)],
+    )
+    pipe.refresh()
+    assert pipe.table("member").collect()[0]["memberName"] == "A4"
+    assert pipe.extract_table().count() == 4
