@@ -50,3 +50,15 @@ def test_summary_fields_are_bounded():
     block = src[start : src.index("print(json.dumps(summary))")]
     assert '"queries"' not in block
     assert '"build_sec"' not in block
+
+
+def test_headline_names_are_registered():
+    """A typo'd HEADLINE name would crash the driver's graded bench run
+    at the KeyError — pin every name against the registry."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+        REGISTRY,
+    )
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no duplicates
