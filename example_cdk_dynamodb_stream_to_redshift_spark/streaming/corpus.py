@@ -35,7 +35,6 @@ multi-refresh fixture).
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
