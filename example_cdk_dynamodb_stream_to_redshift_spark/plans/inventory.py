@@ -512,8 +512,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # probing form records its one-time rows-only row, then rotates out)
     "ivf_knn_join_fullprobe",
     "ivf_knn_join_topk",
-    # new in r5: TPC-H Q18 (aggregate-derived IN-subquery -> semi join)
+    # new in r5: TPC-H Q18 (aggregate-derived IN-subquery -> semi join);
+    # Efraimidis-Spirakis weighted sampling without replacement
     "large_volume_customers_q18",
+    "weighted_sample_topk",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -558,7 +560,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "latest_event_per_user",
     "scalar_function_suite",
     "watermark_max",
-    "count_rows",
     "param_events_by_user",
 ]
 

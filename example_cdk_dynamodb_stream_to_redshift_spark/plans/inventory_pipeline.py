@@ -758,6 +758,62 @@ def tfidf_topk_from_postings(
 
 
 @register(
+    "weighted_sample_topk",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(round(ln(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1) / 4294967296.0
+             ) * 1000000000) AS BIGINT) AS sample_key
+      FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sample_key
+    FROM a
+    ORDER BY CAST(sample_key AS DOUBLE) / n_tokens DESC, doc_id
+    LIMIT 100
+    """,
+    "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006 "
+    "A-Res): each doc draws u = (hash32(doc_id)+1)/2^32 and ranks by "
+    "ln(u)/w with weight w = token count — the top-k under that key is "
+    "exactly a weight-proportional sample, the primitive behind "
+    "quality-weighted corpus selection. Deterministic u (md5-derived, "
+    "the split/sample convention) makes the draw re-ingestion-stable "
+    "AND oracle-checkable; ln is quantized to 1e-9 int64 (sample_key) "
+    "before the rank so libm ulp differences cannot reorder, and the "
+    "rank itself is one IEEE division of identical int64 inputs. "
+    "One projection + TakeOrderedAndProject: no shuffle of the corpus, "
+    "per-partition heaps of k. Distinct from the Bernoulli "
+    "hash-threshold family (language_rebalance/mixture): this draws an "
+    "EXACT-size sample with per-row inclusion odds proportional to "
+    "weight.",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    qln = F.round(F.log(u) * F.lit(1_000_000_000.0)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            TX.token_count("text").cast("bigint").alias("n_tokens"),
+            qln.alias("sample_key"),
+        )
+        .orderBy(
+            F.desc(F.col("sample_key").cast("double") / F.col("n_tokens")),
+            F.asc("doc_id"),
+        )
+        .limit(100)
+    )
+
+
+@register(
     "language_rebalance_sample",
     """
     WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),

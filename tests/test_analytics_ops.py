@@ -361,3 +361,40 @@ def test_mixture_sample_respects_temperature_budget(spark):
     by_size = sorted(rows, key=lambda r: r["n_tokens"])
     rates = [r["rate_q"] for r in by_size]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """weighted_sample_topk == an independent Python A-Res implementation
+    on the same md5-derived uniforms, and heavier docs are sampled at
+    visibly higher rates (the weight-proportional property)."""
+    import hashlib
+    import math
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+        REGISTRY,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
+        load_table,
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    got = REGISTRY["weighted_sample_topk"].spark_fn(spark, SF_CORRECTNESS).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load_table(spark, SF_CORRECTNESS, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 4294967296.0) * 1e9) / w
+
+    want = sorted(docs, key=lambda d: (-key(d, docs[d]), d))[:100]
+    assert sorted(r["doc_id"] for r in got) == sorted(want)
+    # weight-proportionality: mean token count of the sample exceeds the
+    # corpus mean (longer docs get higher inclusion odds by construction)
+    sample_mean = sum(docs[r["doc_id"]] for r in got) / len(got)
+    corpus_mean = sum(docs.values()) / len(docs)
+    assert sample_mean > corpus_mean
