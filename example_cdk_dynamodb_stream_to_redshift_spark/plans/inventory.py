@@ -516,6 +516,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # Efraimidis-Spirakis weighted sampling without replacement
     "large_volume_customers_q18",
     "weighted_sample_topk",
+    "weighted_sample_per_source",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -560,7 +561,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "latest_event_per_user",
     "scalar_function_suite",
     "watermark_max",
-    "param_events_by_user",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -814,6 +814,74 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_per_source",
+    """
+    WITH a AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(round(ln(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1) / 4294967296.0
+             ) * 1000000000) AS BIGINT) AS sample_key
+      FROM documents)
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(sample_key AS DOUBLE) / n_tokens DESC, doc_id
+             ) AS rank
+      FROM a) w
+    WHERE rank <= 8
+    ORDER BY source, rank
+    """,
+    "STRATIFIED weighted sampling without replacement: 8 docs per source "
+    "drawn weight-proportionally (the same A-Res ln(u)/w key as "
+    "weighted_sample_topk) — per-domain quality-weighted selection in "
+    "one pass. The per-group top-N runs through the salted two-phase "
+    "operator (operators/topn.py): phase 1 takes each (source, salt) "
+    "slice's local top-8 so no single task ever sorts a whole hot "
+    "source, phase 2 ranks survivors only — the oracle is the plain "
+    "per-source window, the plan is the hot-key-proof form.",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from ..operators.topn import top_n_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    qln = F.round(F.log(u) * F.lit(1_000_000_000.0)).cast("long")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        qln.alias("sample_key"),
+    )
+    return (
+        top_n_per_key(
+            keyed,
+            ["source"],
+            [
+                F.desc(F.col("sample_key").cast("double") / F.col("n_tokens")),
+                F.asc("doc_id"),
+            ],
+            n=8,
+            unique_key="doc_id",
+        )
+        .select(
+            "source", "doc_id", "n_tokens", F.col("rank").cast("bigint").alias("rank")
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@register(
     "language_rebalance_sample",
     """
     WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
