@@ -65,16 +65,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(content: bytes, n_features: int = 8) -> list[float]:
+def _make_fake_decode(n_features: int = 8) -> Callable[[bytes], list]:
     """Deterministic stand-in for a real decoder+embedder: derives
-    n_features floats in [0,1) from the sha256 of the bytes."""
-    if content is None:
-        return []
-    digest = hashlib.sha256(content).digest()
-    return [
-        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
-        for i in range(n_features)
-    ]
+    n_features floats in [0,1) from the sha256 of the bytes.
+
+    Returns a NESTED closure on purpose: cloudpickle serializes nested
+    functions by VALUE, while a module-level function is pickled as a
+    reference its Python worker must re-import — and workers only share
+    the driver's CWD, not its sys.path, so a kernel referencing this
+    package by name dies with ModuleNotFoundError the moment the driver
+    runs from outside the repo root. Every default kernel below follows
+    this factory pattern for that reason."""
+
+    def fake(content: bytes) -> list:
+        import hashlib as _hl
+
+        if content is None:
+            return []
+        digest = _hl.sha256(content).digest()
+        return [
+            int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+            for i in range(n_features)
+        ]
+
+    return fake
 
 
 def extract_media_features(
@@ -88,7 +102,7 @@ def extract_media_features(
     runs the feature model; batches stream through Arrow so memory stays
     bounded by batch size, not partition size.
     """
-    fn = decode_fn or (lambda b: _fake_decode(b, n_features))
+    fn = decode_fn or _make_fake_decode(n_features)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,12 +122,19 @@ def extract_media_features(
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
-def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+def _make_fake_resize() -> Callable[[bytes, int, int], bytes]:
     """Deterministic stand-in for decode->resize->re-encode (PIL/opencv not
-    in this image): output bytes derived from (content, w, h)."""
-    if content is None:
-        return b""
-    return hashlib.sha256(content + f"|{width}x{height}".encode()).digest()
+    in this image): output bytes derived from (content, w, h). Factory ->
+    closure, pickled by value (see _make_fake_decode)."""
+
+    def fake(content: bytes, width: int, height: int) -> bytes:
+        import hashlib as _hl
+
+        if content is None:
+            return b""
+        return _hl.sha256(content + f"|{width}x{height}".encode()).digest()
+
+    return fake
 
 
 def resize_images(
@@ -127,7 +148,7 @@ def resize_images(
     pluggable (``resize_fn(content, w, h) -> bytes``); the default is the
     clearly-marked deterministic fake. Plumbing — Arrow batching, schema,
     meta rewrite — is real and tested either way."""
-    fn = resize_fn or _fake_resize
+    fn = resize_fn or _make_fake_resize()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,10 +177,17 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _fake_frame(content: bytes, idx: int) -> bytes:
-    if content is None:
-        return b""
-    return hashlib.sha256(content + f"|frame{idx}".encode()).digest()
+def _make_fake_frame() -> Callable[[bytes, int], bytes]:
+    """Factory -> closure, pickled by value (see _make_fake_decode)."""
+
+    def fake(content: bytes, idx: int) -> bytes:
+        import hashlib as _hl
+
+        if content is None:
+            return b""
+        return _hl.sha256(content + f"|frame{idx}".encode()).digest()
+
+    return fake
 
 
 def sample_video_frames(
@@ -172,7 +200,7 @@ def sample_video_frames(
     comes from ``meta.duration_ms``; rows with no duration emit no frames.
     The frame-extraction kernel is pluggable; default is the deterministic
     fake."""
-    fn = frame_fn or _fake_frame
+    fn = frame_fn or _make_fake_frame()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

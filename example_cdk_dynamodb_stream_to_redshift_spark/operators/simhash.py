@@ -16,8 +16,6 @@ d+1 cheap equi-joins instead of an all-pairs scan.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,52 +23,61 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _token_bits(token: str) -> int:
-    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
-
-
-_BIT_IDX = np.arange(63, -1, -1, dtype=np.uint64)
-_POW2 = (np.uint64(1) << _BIT_IDX).astype(np.uint64)
-
-
-def _token_votes(token: str, cache: dict) -> np.ndarray:
-    """±1 vote row (int32[64]) for one token, memoized: corpora have small
-    vocabularies relative to token volume, so hashing each DISTINCT token
-    once per Arrow batch removes the md5 from the per-token hot path."""
-    row = cache.get(token)
-    if row is None:
-        h = np.uint64(_token_bits(token))
-        bits = ((h >> _BIT_IDX) & np.uint64(1)).astype(np.int32)
-        row = 2 * bits - 1
-        cache[token] = row
-    return row
-
-
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace-tokenized text (Arrow-batched).
+def _make_simhash64():
+    """64-bit SimHash pandas_udf (Arrow-batched), built as a FACTORY:
+    the kernel is a nested closure so cloudpickle serializes it by
+    VALUE — a module-level pandas_udf pickles as a reference this
+    package's Python workers must re-import, and workers only share the
+    driver's CWD, not its sys.path, so that dies with
+    ModuleNotFoundError whenever the driver runs outside the repo root
+    (same hardening as multimodal._make_fake_decode / knn_join).
 
     Per doc: token-count vector × (±1 bit-vote matrix of its DISTINCT
-    tokens) — one integer matvec instead of a per-occurrence Python loop,
-    with the per-token vote rows memoized across the batch. Empty/null
-    text keeps the historical all-ones signature (every vote sum is 0,
-    and 0 >= 0 sets the bit)."""
-    from collections import Counter
+    tokens) — one integer matvec instead of a per-occurrence Python
+    loop, with the per-token vote rows memoized across the batch (small
+    vocabulary relative to token volume, so each distinct token's md5
+    runs once). Empty/null text keeps the historical all-ones signature
+    (every vote sum is 0, and 0 >= 0 sets the bit)."""
 
-    cache: dict = {}
-    out = np.empty(len(texts), dtype=np.int64)
-    all_ones = np.int64(np.uint64(0xFFFFFFFFFFFFFFFF).astype(np.int64))
-    for i, text in enumerate(texts):
-        toks = str(text).split() if text else []
-        if not toks:
-            out[i] = all_ones
-            continue
-        cnt = Counter(toks)
-        votes_matrix = np.stack([_token_votes(t, cache) for t in cnt])
-        counts = np.fromiter(cnt.values(), dtype=np.int32, count=len(cnt))
-        weights = counts @ votes_matrix
-        out[i] = np.int64(np.bitwise_or.reduce(_POW2[weights >= 0], initial=np.uint64(0)))
-    return pd.Series(out)
+    def kernel(texts: pd.Series) -> pd.Series:
+        import hashlib as _hl
+        from collections import Counter
+
+        bit_idx = np.arange(63, -1, -1, dtype=np.uint64)
+        pow2 = (np.uint64(1) << bit_idx).astype(np.uint64)
+        cache: dict = {}
+
+        def votes(token: str) -> np.ndarray:
+            row = cache.get(token)
+            if row is None:
+                h = np.uint64(
+                    int.from_bytes(_hl.md5(token.encode("utf-8")).digest()[:8], "big")
+                )
+                bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int32)
+                row = 2 * bits - 1
+                cache[token] = row
+            return row
+
+        out = np.empty(len(texts), dtype=np.int64)
+        all_ones = np.int64(np.uint64(0xFFFFFFFFFFFFFFFF).astype(np.int64))
+        for i, text in enumerate(texts):
+            toks = str(text).split() if text else []
+            if not toks:
+                out[i] = all_ones
+                continue
+            cnt = Counter(toks)
+            votes_matrix = np.stack([votes(t) for t in cnt])
+            counts = np.fromiter(cnt.values(), dtype=np.int32, count=len(cnt))
+            weights = counts @ votes_matrix
+            out[i] = np.int64(
+                np.bitwise_or.reduce(pow2[weights >= 0], initial=np.uint64(0))
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, T.LongType())
+
+
+simhash64 = _make_simhash64()
 
 
 def simhash_signatures(
