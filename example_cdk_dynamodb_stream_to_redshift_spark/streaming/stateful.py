@@ -29,25 +29,31 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n_events bigint, total_value double"
 
 
-def _update_user_stats(
-    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
-    )
-
-
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Streaming per-user lifetime event count + value total. Emits the
-    updated running totals for every user seen in each micro-batch."""
+    updated running totals for every user seen in each micro-batch.
+
+    The state function is a NESTED def: cloudpickle serializes it by
+    value, whereas a module-level function pickles as a reference the
+    Python workers must re-import — workers don't share the driver's
+    sys.path, so that breaks whenever the driver runs outside the repo
+    root (same hardening as simhash64 / the multimodal kernels)."""
+
+    def update_user_stats(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        update_user_stats,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
