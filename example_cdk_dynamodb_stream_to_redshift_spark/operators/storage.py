@@ -58,16 +58,31 @@ class ParquetTable:
             os.path.join(self.root, f"v{v}")
         )
 
-    def overwrite(self, df: DataFrame) -> None:
-        """Commit new contents: write v{n+1}, flip pointer, GC versions
-        older than the keep window (see __init__)."""
+    def meta(self) -> dict:
+        """Commit metadata of the current version (empty dict before the
+        first commit or for commits that attached none). Because the
+        pointer file carries both the version and its metadata, a reader
+        can never observe data from one commit with metadata from
+        another — this is what makes exactly-once ledgers (e.g.
+        IncrementalAggTable's last-applied batch id) atomic with the
+        state they describe."""
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh).get("meta", {})
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+        """Commit new contents: write v{n+1}, flip pointer (carrying
+        ``meta`` atomically with it), GC versions older than the keep
+        window (see __init__)."""
         old = self._current_version()
         new = (old or 0) + 1
         out = os.path.join(self.root, f"v{new}")
         df.write.mode("overwrite").parquet(out)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": new}, fh)
+            json.dump({"version": new, "meta": meta or {}}, fh)
         os.replace(tmp, self._pointer)  # atomic flip
         expired = new - self.keep_versions
         if expired >= 1:

@@ -517,6 +517,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "large_volume_customers_q18",
     "weighted_sample_topk",
     "weighted_sample_per_source",
+    # new in r5: incremental view maintenance driven end-to-end
+    "incremental_mv_user_value",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -560,7 +562,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rewards_by_quest",
     "latest_event_per_user",
     "scalar_function_suite",
-    "watermark_max",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -263,6 +263,88 @@ def sync_run_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema).orderBy("entity")
 
 
+@register(
+    "incremental_mv_user_value",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Incremental view maintenance, driver-proven end-to-end: the events "
+    "table is split into 3 deterministic micro-batches (event_id % 3) "
+    "and fed through IncrementalAggTable "
+    "(streaming/agg_maintenance.py) — per batch ONE partial aggregation "
+    "merged group-wise into the versioned state (count/sum/min/max "
+    "algebra, sum in exact DECIMAL so merge order cannot show), ledgered "
+    "exactly-once via the atomic pointer metadata. The oracle is the "
+    "one-shot GROUP BY over the same events: the maintained MV must "
+    "equal the from-scratch aggregate bit-for-bit. This is the "
+    "reference's report family (sql/queries.sql:22-45) upgraded from "
+    "recompute-on-query to maintain-on-ingest: at 100 TB each refresh "
+    "costs the micro-batch, never the history.",
+)
+def incremental_mv_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.agg_maintenance import IncrementalAggTable
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="ivm_mv_")
+    try:
+        t = IncrementalAggTable(
+            spark,
+            os.path.join(root, "mv"),
+            key_cols=["user_id"],
+            key_types=[T.LongType()],
+            aggs=[
+                ("n_events", "count", None),
+                ("total_value", "sum", "value"),
+                ("min_value", "min", "value"),
+                ("max_value", "max", "value"),
+            ],
+            out_types={
+                "total_value": T.DecimalType(18, 2),
+                "min_value": T.DoubleType(),
+                "max_value": T.DoubleType(),
+            },
+        )
+        for i in range(3):  # three deterministic micro-batches
+            t.apply_batch(events.filter(F.col("event_id") % 3 == i), i)
+        rows = (
+            t.read()
+            .select(
+                "user_id",
+                "n_events",
+                F.col("total_value").cast("double").alias("total_value"),
+                "min_value",
+                "max_value",
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # re-wrapped locally (the sync_run_log convention) so the returned
+    # DataFrame has no dependency on the deleted fixture warehouse
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("min_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

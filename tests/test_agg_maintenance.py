@@ -1,0 +1,149 @@
+"""Incremental aggregate maintenance (streaming/agg_maintenance.py):
+merge algebra vs full recompute, exactly-once replay, streaming e2e."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.agg_maintenance import (
+    IncrementalAggTable,
+)
+
+AGGS = [
+    ("n_events", "count", None),
+    ("total_value", "sum", "value"),
+    ("min_value", "min", "value"),
+    ("max_value", "max", "value"),
+]
+
+
+def _mk(spark, path):
+    return IncrementalAggTable(
+        spark,
+        path,
+        key_cols=["user_id"],
+        key_types=[T.LongType()],
+        aggs=AGGS,
+        out_types={
+            "total_value": T.DecimalType(18, 2),
+            "min_value": T.DoubleType(),
+            "max_value": T.DoubleType(),
+        },
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, value double")
+
+
+def _state(t):
+    return {
+        r["user_id"]: (
+            r["n_events"],
+            float(r["total_value"]),
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in t.read().collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "mv"))
+    batches = [
+        [(1, 10.0), (1, 2.5), (2, -4.0)],
+        [(2, 7.0), (3, 0.25)],          # new group 3; 1 absent this batch
+        [(1, -100.0), (3, 0.25), (3, 99.0)],
+    ]
+    seen = []
+    for i, rows in enumerate(batches):
+        assert t.apply_batch(_batch(spark, rows), i) is True
+        seen.extend(rows)
+        want = {
+            r["user_id"]: (
+                r["n"], float(r["s"]), r["mn"], r["mx"]
+            )
+            for r in _batch(spark, seen)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert _state(t) == want, f"divergence after batch {i}"
+    # derived average reads off the mergeable components
+    avg = {
+        r["user_id"]: r["avg_value"]
+        for r in t.read_with_avg("avg_value", "total_value", "n_events").collect()
+    }
+    assert avg[3] == (0.25 + 0.25 + 99.0) / 3
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "mv"))
+    b0 = _batch(spark, [(1, 5.0), (2, 1.0)])
+    assert t.apply_batch(b0, 0) is True
+    before = _state(t)
+    assert t.apply_batch(b0, 0) is False  # at-least-once replay: no-op
+    assert _state(t) == before
+    # an OLDER id replayed after newer batches is also a no-op
+    assert t.apply_batch(_batch(spark, [(1, 1.0)]), 1) is True
+    assert t.apply_batch(b0, 0) is False
+    assert t.last_applied() == 1
+
+
+def test_crash_before_pointer_flip_is_recoverable(spark, tmp_path):
+    """A state-version directory written WITHOUT the pointer flip (crash
+    window) is invisible; the retry re-applies onto the old state."""
+    t = _mk(spark, str(tmp_path / "mv"))
+    t.apply_batch(_batch(spark, [(1, 5.0)]), 0)
+    before = _state(t)
+    # simulate the crash: write the would-be v2 data but keep the pointer
+    ptr = os.path.join(str(tmp_path / "mv"), "_CURRENT")
+    saved = open(ptr).read()
+    t.apply_batch(_batch(spark, [(1, 3.0)]), 1)
+    with open(ptr, "w") as fh:
+        fh.write(saved)  # roll the pointer back = crash before flip
+    assert _state(t) == before
+    assert t.last_applied() == 0
+    # the foreachBatch retry re-delivers batch 1: applies cleanly once
+    assert t.apply_batch(_batch(spark, [(1, 3.0)]), 1) is True
+    assert _state(t)[1] == (2, 8.0, 3.0, 5.0)
+
+
+def test_streaming_foreach_batch_e2e(spark, tmp_path):
+    """Real readStream -> foreachBatch maintenance across two refreshes;
+    the second refresh is incremental (checkpointed file source)."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    t = _mk(spark, str(tmp_path / "mv"))
+
+    def refresh():
+        q = (
+            spark.readStream.schema("user_id long, value double")
+            .json(str(inp))
+            .writeStream.foreachBatch(t.foreach_batch())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(inp / "b0.json", "w") as fh:
+        for u, v in [(1, 2.0), (1, 3.0), (2, 10.0)]:
+            fh.write(json.dumps({"user_id": u, "value": v}) + "\n")
+    refresh()
+    assert _state(t) == {1: (2, 5.0, 2.0, 3.0), 2: (1, 10.0, 10.0, 10.0)}
+
+    with open(inp / "b1.json", "w") as fh:
+        fh.write(json.dumps({"user_id": 2, "value": -1.0}) + "\n")
+    refresh()
+    assert _state(t) == {1: (2, 5.0, 2.0, 3.0), 2: (2, 9.0, -1.0, 10.0)}
+    assert t.last_applied() == 1
