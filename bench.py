@@ -103,6 +103,7 @@ HEADLINE = [
     "volume_shipping_q7",
     "disjunctive_part_revenue_q19",
     "large_volume_customers_q18",
+    "weighted_sample_topk",
 ]
 
 
