@@ -43,6 +43,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     stats: dict | None = None,
+    driver_finish_edges: int = 1 << 18,
 ) -> DataFrame:
     """Resolve the edge list to ``(node, component)`` where ``component``
     is the minimum node id reachable from ``node`` (the canonical-doc
@@ -51,10 +52,25 @@ def connected_components(
     the edge list are absent from the output (join the corpus back with
     a coalesce to keep singletons — see plans.inventory_ml.dedup_clusters).
 
-    ``stats`` (optional dict) receives ``rounds`` — the number of
-    large-star/small-star rounds to convergence. tests/test_components.py
-    uses it to pin the O(log n) bound empirically on chain graphs (the
-    diameter-bound worst case for label propagation).
+    ``driver_finish_edges``: the size-adaptive cutover. The star rounds
+    collapse redundant edges toward a star forest (one edge per non-root
+    node), so the working set shrinks wherever components carry
+    redundancy; whenever the current set fits under this bound
+    (explicit O(E) driver memory — the same artifact-size discipline as
+    the k-means centroid collects), the transitive closure finishes with
+    one collect + min-rooted union-find instead of paying ~7 Spark jobs
+    per remaining round for a set that no longer needs a cluster. Dedup
+    graphs usually START under the bound (near-dup pairs are a vanishing
+    fraction of the corpus), so the common case is zero distributed
+    rounds; a 100 TB worst case runs distributed rounds only while the
+    volume genuinely demands them. Pass 0 to force the fully-distributed
+    path (the O(log n) round-count tests do).
+
+    ``stats`` (optional dict) receives ``rounds`` — distributed
+    large-star/small-star rounds executed — and ``driver_finish_edges``
+    (edge count collected by the finish, absent when it never ran).
+    tests/test_components.py pins the O(log n) bound empirically on
+    chain graphs (the diameter-bound worst case for label propagation).
     """
     e = (
         edges.select(
@@ -76,6 +92,10 @@ def connected_components(
 
     n_e = e.count()
     for _round in range(max_iter):
+        if n_e <= driver_finish_edges:
+            if stats is not None:
+                stats["rounds"] = _round
+            return _driver_finish(e, selfmap, n_e, stats)
         # -- large-star: every neighbor v > u re-points at m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
@@ -83,18 +103,25 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
+        # no intermediate distinct: min-aggregations and equi-joins are
+        # duplicate-insensitive, and e_next's single final distinct is the
+        # only set-semantics point the algebra needs. Each dropped
+        # distinct is one less shuffle of the edge volume per round —
+        # invisible at bench SF (per-job overhead dominates there) but
+        # volume-proportional at scale; dedup-graph duplicates
+        # (multi-path neighbors) only add a small constant factor to the
+        # intermediate volume in exchange
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star: orient u > v; all small neighbors AND u re-point at
         #    m = min of the small neighborhood (m < u always, so no least())
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         mn = oriented.groupBy("u").agg(F.min("v").alias("m"))
         e_next = (
             oriented.join(mn, "u")
@@ -127,3 +154,39 @@ def connected_components(
         child.select(F.col("node")), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return child.union(roots)
+
+
+def _driver_finish(e: DataFrame, selfmap: DataFrame, n_e: int, stats: dict | None) -> DataFrame:
+    """Finish the closure locally: one bounded collect + min-rooted
+    union-find (union always parents the larger root under the smaller,
+    so find() yields the component's MINIMUM id — the same canonical
+    convention as the distributed rounds). Output contract matches the
+    distributed exit: every edge endpoint mapped, self-loop-only nodes
+    map to themselves."""
+    if stats is not None:
+        stats["driver_finish_edges"] = n_e
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.collect():
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    spark = e.sparkSession
+    mapping = spark.createDataFrame(
+        [(n, find(n)) for n in parent] or [(None, None)],
+        "node long, component long",
+    ).filter(F.col("node").isNotNull())
+    roots = selfmap.join(mapping.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return mapping.union(roots)

@@ -88,7 +88,9 @@ def test_chain_round_count_is_logarithmic(spark):
         got = {
             r["node"]: r["component"]
             for r in connected_components(
-                spark.createDataFrame(edges, "src long, dst long"), stats=stats
+                spark.createDataFrame(edges, "src long, dst long"),
+                stats=stats,
+                driver_finish_edges=0,  # pin the DISTRIBUTED algebra
             ).collect()
         }
         assert got == {i: 0 for i in range(n)}  # one component rooted at min
@@ -129,7 +131,7 @@ def test_empty_edges(spark):
 def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_finish_edges=0)
 
 
 def test_cluster_query_canonical_invariants(spark):
@@ -154,3 +156,53 @@ def test_cluster_query_canonical_invariants(spark):
     assert bad == 0
     # every clustered doc appears once
     assert out.select("doc_id").distinct().count() == out.count()
+
+
+def test_driver_finish_equals_distributed(spark):
+    """The size-adaptive cutover (collect + min-rooted union-find) must
+    produce the identical (node, component) mapping as the distributed
+    rounds, on a graph mixing chains, stars, self-loops and singleton
+    endpoints."""
+    edges = (
+        [(i, i + 1) for i in range(30)]          # chain
+        + [(100, x) for x in (103, 101, 107)]    # star
+        + [(200, 200), (300, 300)]               # self-loop-only nodes
+        + [(400, 399)]                           # reversed pair
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats_d: dict = {}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats_d, driver_finish_edges=0).collect()
+    }
+    stats_f: dict = {}
+    fin = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats_f).collect()
+    }
+    assert fin == dist
+    assert stats_f["rounds"] == 0  # cutover fired immediately (tiny set)
+    assert stats_f["driver_finish_edges"] == 34  # distinct non-self edges
+    assert "driver_finish_edges" not in stats_d
+
+
+def test_driver_finish_cutover_mid_iteration(spark):
+    """A threshold between the initial and contracted edge-set sizes runs
+    SOME distributed rounds, then finishes locally — same answer. A
+    30-clique's 435 redundant edges contract toward its 29-edge star, so
+    the count genuinely crosses a 100-edge bound mid-iteration."""
+    n = 30
+    df = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)],
+        "src long, dst long",
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, stats=stats, driver_finish_edges=100
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] >= 1            # the set started above the bound
+    assert stats["driver_finish_edges"] <= 100
