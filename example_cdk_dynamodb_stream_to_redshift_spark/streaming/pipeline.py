@@ -258,6 +258,74 @@ class CdcPipeline:
             .start()
         )
         query.awaitTermination()
+        self._record_progress(query)
+
+    def _record_progress(self, query) -> None:
+        """Persist the engine-level per-trigger metrics Spark collected
+        for this run (StreamingQueryProgress): input volume and trigger
+        wall-clock per micro-batch. The operational complement to the
+        sync-run log — the log says what the MERGE did (staged/deleted/
+        inserted counts), this says what the ENGINE did (rows in, ms
+        spent), which is the number the reference's lag monitors
+        (sql/queries.sql:1-19) watch from the outside. Append-mode by
+        design: this is a log of RUNS, not state — replays add rows
+        (each carrying its runId) instead of rewriting history."""
+        import json as _json
+
+        lines = []
+        for p in query.recentProgress:
+            if p is None or p.get("numInputRows") is None:
+                continue
+            lines.append(
+                _json.dumps(
+                    {
+                        "run_id": str(p.get("runId")),
+                        "batch_id": int(p.get("batchId", -1)),
+                        "num_input_rows": int(p.get("numInputRows", 0)),
+                        "trigger_ms": float(
+                            p.get("durationMs", {}).get("triggerExecution", 0)
+                        ),
+                        "trigger_ts": str(p.get("timestamp")),
+                    }
+                )
+            )
+        if not lines:
+            return
+        # plain driver-side JSONL append (microseconds) — a Spark write
+        # job here would tax the refresh heartbeat ~0.3s per run for
+        # 1-row observability data; the table reader parses the log with
+        # an explicit schema (PERMISSIVE: a torn last line from a crash
+        # mid-append drops instead of failing the monitor)
+        os.makedirs(os.path.join(self.warehouse, "progress_log"), exist_ok=True)
+        with open(
+            os.path.join(self.warehouse, "progress_log", "progress.jsonl"), "a"
+        ) as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    _PROGRESS_FIELDS = (
+        ("run_id", "string"),
+        ("batch_id", "long"),
+        ("num_input_rows", "long"),
+        ("trigger_ms", "double"),
+        ("trigger_ts", "string"),
+    )
+
+    def progress_log_table(self) -> DataFrame:
+        """Per-trigger engine metrics accumulated by refresh(); empty
+        (with full schema) before the first recorded run."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField(n, getattr(T, "StringType")() if t == "string"
+                           else T.LongType() if t == "long" else T.DoubleType())
+             for n, t in self._PROGRESS_FIELDS]
+        )
+        path = os.path.join(self.warehouse, "progress_log")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).option("mode", "PERMISSIVE").json(
+            path
+        )
 
     def start(self, processing_time: str = "60 seconds"):
         """CONTINUOUS operation (ST1's other half): the reference runs its

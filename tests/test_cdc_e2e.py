@@ -636,3 +636,40 @@ def test_pipeline_compact_preserves_stores(spark, tmp_path):
     pipe.refresh()
     assert pipe.table("member").collect()[0]["memberName"] == "A4"
     assert pipe.extract_table().count() == 4
+
+
+def test_progress_log_records_engine_metrics(spark, tmp_path):
+    """Each refresh appends Spark's per-trigger metrics: input row counts
+    match the envelope volumes, batch ids advance, durations are real."""
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+    assert pipe.progress_log_table().count() == 0  # schema-stable empty
+
+    write_jsonl(
+        str(stream_dir / "b0.json"),
+        [member_env(i, f"e{i}", "MODIFY", "m1", f"A{i}", BASE_MS + i * 1000)
+         for i in range(1, 4)],
+    )
+    pipe.refresh()
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [member_env(9, "e9", "MODIFY", "m1", "A9", BASE_MS + 9000)],
+    )
+    pipe.refresh()
+
+    rows = {r["batch_id"]: r for r in pipe.progress_log_table().collect()}
+    assert rows[0]["num_input_rows"] == 3
+    assert rows[1]["num_input_rows"] == 1
+    assert all(r["trigger_ms"] > 0 for r in rows.values())
+    assert len({r["run_id"] for r in rows.values()}) == 2  # one per refresh
