@@ -147,3 +147,37 @@ def test_streaming_foreach_batch_e2e(spark, tmp_path):
     refresh()
     assert _state(t) == {1: (2, 5.0, 2.0, 3.0), 2: (2, 9.0, -1.0, 10.0)}
     assert t.last_applied() == 1
+
+
+def test_multi_key_groups(spark, tmp_path):
+    t = IncrementalAggTable(
+        spark,
+        str(tmp_path / "mv"),
+        key_cols=["user_id", "kind"],
+        key_types=[T.LongType(), T.StringType()],
+        aggs=[("n", "count", None), ("mx", "max", "value")],
+        out_types={"mx": T.DoubleType()},
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, kind string, value double"
+    )
+    t.apply_batch(mk([(1, "a", 5.0), (1, "b", 2.0), (1, "a", 7.0)]), 0)
+    t.apply_batch(mk([(1, "a", 1.0), (2, "a", 9.0)]), 1)
+    got = {
+        (r["user_id"], r["kind"]): (r["n"], r["mx"])
+        for r in t.read().collect()
+    }
+    assert got == {(1, "a"): (3, 7.0), (1, "b"): (1, 2.0), (2, "a"): (1, 9.0)}
+
+
+def test_unsupported_aggregate_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        IncrementalAggTable(
+            spark,
+            str(tmp_path / "mv"),
+            key_cols=["k"],
+            key_types=[T.LongType()],
+            aggs=[("a", "avg", "v")],  # avg is derived, not mergeable
+        )
