@@ -11,7 +11,12 @@ aggregation plus a merge against the (|groups|-sized) state.
 Algebra: count/sum/min/max are mergeable — ``new_state = state ⊕
 partial(batch)`` group-wise, where ⊕ is +, +, least, greatest
 (null-tolerant: a group absent on one side keeps the other side's value).
-avg is derived at read time as sum/count. Scope: APPEND-ONLY streams —
+avg is derived at read time as sum/count. approx_distinct keeps a
+Datasketches HLL sketch (binary) per group — union is the register-wise
+max, so accuracy never degrades with the number of merges (the estimate
+can differ by a fraction of a percent from a one-shot sketch: the HIP
+estimator is ingestion-path-dependent and unions fall back to the raw
+estimator); read the number via ``read_with_distinct``. Scope: APPEND-ONLY streams —
 retractions would need invertible aggregates (count/sum subtract fine;
 min/max do not) or re-aggregation; the CDC latest-state targets
 (operators/merge.py) remain the tool for update/delete semantics.
@@ -31,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_KINDS = ("count", "sum", "min", "max")
+_KINDS = ("count", "sum", "min", "max", "approx_distinct")
 
 
 class IncrementalAggTable:
@@ -65,6 +70,8 @@ class IncrementalAggTable:
                 out,
                 T.LongType()
                 if kind == "count"
+                else T.BinaryType()
+                if kind == "approx_distinct"
                 else (out_types or {}).get(out, T.DoubleType()),
             )
             for out, kind, _ in aggs
@@ -80,6 +87,8 @@ class IncrementalAggTable:
         for out, kind, col in self.aggs:
             if kind == "count":
                 exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            elif kind == "approx_distinct":
+                exprs.append(F.hll_sketch_agg(col).alias(out))
             else:
                 agg = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
                 field = self.table.schema[out].dataType
@@ -95,6 +104,12 @@ class IncrementalAggTable:
             # precision (18,2 + 18,2 -> 19,2) and the state schema must
             # stay stable across commits
             return (F.coalesce(a, zero) + F.coalesce(b, zero)).cast(field).alias(out)
+        if kind == "approx_distinct":
+            # HLL union is the register-wise max; a group absent on one
+            # side keeps the other side's sketch
+            return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+                F.hll_union(a, b)
+            ).alias(out)
         op = F.least if kind == "min" else F.greatest
         # least/greatest propagate nulls asymmetrically across engines;
         # coalesce pairing keeps the present side when a group is absent
@@ -136,4 +151,12 @@ class IncrementalAggTable:
         return self.table.read().withColumn(
             avg_col,
             F.col(sum_col).cast("double") / F.col(count_col).cast("double"),
+        )
+
+    def read_with_distinct(self, est_col: str, sketch_col: str) -> DataFrame:
+        """State with the HLL sketch column resolved to its cardinality
+        estimate (the sketch itself stays in the state for future
+        merges)."""
+        return self.table.read().withColumn(
+            est_col, F.hll_sketch_estimate(F.col(sketch_col))
         )

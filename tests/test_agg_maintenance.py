@@ -181,3 +181,41 @@ def test_unsupported_aggregate_raises(spark, tmp_path):
             key_types=[T.LongType()],
             aggs=[("a", "avg", "v")],  # avg is derived, not mergeable
         )
+
+
+def test_approx_distinct_sketches_merge_losslessly(spark, tmp_path):
+    """Maintained HLL distinct-user counts: after N batches the estimate
+    sits within the sketch's error bound of the exact distinct, and
+    re-applying a batch (replay) leaves the sketch state byte-identical.
+    (Union estimates may differ a fraction of a percent from a one-shot
+    sketch — the HIP estimator is ingestion-path-dependent — so EXACT
+    equality is asserted against the error bound, not the one-shot.)"""
+    t = IncrementalAggTable(
+        spark,
+        str(tmp_path / "mv"),
+        key_cols=["kind"],
+        key_types=[T.StringType()],
+        aggs=[("n", "count", None), ("users", "approx_distinct", "user_id")],
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "kind string, user_id long"
+    )
+    batches = [
+        [("a", i) for i in range(300)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(200, 500)],       # half overlaps batch 0
+        [("b", i) for i in range(50, 120)] + [("a", 0)],
+    ]
+    for i, rows in enumerate(batches):
+        t.apply_batch(mk(rows), i)
+    got = {
+        r["kind"]: r["n_users"]
+        for r in t.read_with_distinct("n_users", "users").collect()
+    }
+    exact = {"a": 500, "b": 120}
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est)
+    # replay leaves state byte-identical (exactly-once ledger)
+    before = {r["kind"]: bytes(r["users"]) for r in t.read().collect()}
+    assert t.apply_batch(mk(batches[-1]), 2) is False
+    after = {r["kind"]: bytes(r["users"]) for r in t.read().collect()}
+    assert after == before
