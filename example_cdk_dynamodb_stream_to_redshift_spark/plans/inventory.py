@@ -517,8 +517,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "large_volume_customers_q18",
     "weighted_sample_topk",
     "weighted_sample_per_source",
-    # new in r5: incremental view maintenance driven end-to-end
+    # new in r5: incremental view maintenance driven end-to-end; TPC-H
+    # Q10 reporting shape
     "incremental_mv_user_value",
+    "returned_item_customers_q10",
     # ---- re-verification duty: every oracle-bearing entry whose ONLY
     # green row is r2 (33 entries — the stalest in the registry; with all
     # 123 oracle-bearing queries green cumulatively, the window's job is
@@ -561,7 +563,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "rewards_by_member",
     "rewards_by_quest",
     "latest_event_per_user",
-    "scalar_function_suite",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

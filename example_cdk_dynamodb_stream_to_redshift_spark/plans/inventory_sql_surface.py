@@ -1109,6 +1109,62 @@ def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer, top-20.
+# ---------------------------------------------------------------------------
+@register(
+    "returned_item_customers_q10",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS revenue,
+           n_name, c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: revenue lost to returned items per customer over "
+    "one order-date year, top-20. The returnflag filter pushes to the "
+    "lineitem scan and the date range to the orders scan (both "
+    "PushedFilters), nation broadcasts, the aggregate keys on the "
+    "customer join key (uniform shuffle), and the top-20 compiles to "
+    "TakeOrderedAndProject — the canonical reporting query a warehouse "
+    "serves continuously.",
+)
+def returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg((F.sum(rev).cast("double") / 1000000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

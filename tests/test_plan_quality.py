@@ -446,3 +446,10 @@ def test_q18_semi_join_before_reaggregation(spark):
     assert "LeftSemi" in plan  # the IN-subquery decorrelates to a semi join
     assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
     assert "partial_sum" in plan  # both aggregates keep map-side partials
+
+
+def test_q10_pushdown_and_topk(spark):
+    plan = _plan(spark, "returned_item_customers_q10")
+    assert "EqualTo(l_returnflag,R)" in plan        # flag at the lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date range at orders scan
+    assert "TakeOrderedAndProject" in plan
