@@ -205,7 +205,10 @@ def _pairs_from_tail(text: str) -> dict[str, float]:
 
 
 def _prior_round_comparison(
-    timings: dict[str, float], builds: dict[str, float]
+    timings: dict[str, float],
+    builds: dict[str, float],
+    calib: float | None = None,
+    prior_file: str | None = None,
 ) -> dict | None:
     """Self-describing round-over-round signal: total seconds over the
     queries SHARED with the most recent BENCH_r{N}.json, plus their ratio.
@@ -213,37 +216,81 @@ def _prior_round_comparison(
     when the headline set grows (r1->r2 added 11 queries) or the timing
     methodology changes (r1 timed count(), r2+ full materialization).
 
+    Per-query numbers for the prior round are sourced, in order of
+    fidelity: (1) a committed BENCH_LOCAL_r{N}.json full record (the
+    driver's own BENCH_r{N}.json keeps only a ~2 KB stdout tail, and
+    since r5 its parsed line is a deliberately compact summary with no
+    per-query map); (2) the driver record's ``parsed.queries`` when the
+    full line did fit (r2/r3 shape); (3) pair-recovery from the OUTER
+    record's raw ``tail`` string (r4 shape: parsed was null, the numbers
+    survive escaped inside the tail — and the r5 shape degrades here to
+    the suffix of the query map the tail happened to keep).
+
     Two ratios: ``shared_query_ratio`` (materialization only — the
     methodology-stable number every prior round reported) and
     ``shared_end_to_end_ratio`` (adds eager plan-build cost for
     training-type queries on both sides), so a regression cannot hide in
-    the build phase the bench measures but r4 did not compare."""
+    the build phase the bench measures but r4 did not compare. When both
+    rounds' fixed-size calibration timings are known, ``*_ratio_calib``
+    variants divide out the machine-speed drift (this VM is a shared
+    host: r5's calibration ran 1.28x slower than r4's on identical
+    work, which over-explained the whole nominal 3% regression)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior_files:
-        return None
-    prior_file = prior_files[-1]
+    if prior_file is None:
+        prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if not prior_files:
+            return None
+        prior_file = prior_files[-1]
     try:
         with open(prior_file) as fh:
-            prior = json.load(fh)
+            outer = json.load(fh)
     except (OSError, ValueError):
         return None
-    # the driver wraps the bench's JSON line under a "parsed" key
-    if "queries" not in prior and isinstance(prior.get("parsed"), dict):
-        prior = prior["parsed"]
-    prior_q = prior.get("queries") or {}
-    prior_b = prior.get("build_sec") or {}
-    if not prior_q and isinstance(prior.get("tail"), str):
-        # r4-style record: parsed was null (line outgrew the tail
-        # capture), but the numbers survive inside the raw tail string.
-        # Query timings precede the "build_sec" marker, build costs
-        # follow it; keys that are not query names (sf, calib_sec, ...)
-        # are dropped by the `shared` intersection below.
-        head, _, buildpart = prior["tail"].partition("build_sec")
+    # the driver wraps the bench's JSON line under a "parsed" key; keep
+    # the OUTER record too — the raw tail fallback lives there, and
+    # reassigning (the r5 bug) stranded it
+    parsed = outer.get("parsed") if isinstance(outer.get("parsed"), dict) else None
+    record = parsed if parsed is not None and "queries" not in outer else outer
+    prior_q = dict(record.get("queries") or {})
+    prior_b = dict(record.get("build_sec") or {})
+    prior_calib = record.get("calib_sec") or outer.get("calib_sec")
+    if not prior_q:
+        # committed full record for the same round (written by main()
+        # alongside the stdout summary precisely because the driver
+        # artifact cannot carry the per-query map)
+        m = re.search(r"BENCH_r?(\d+)\.json$", os.path.basename(prior_file))
+        if m:
+            local = os.path.join(
+                os.path.dirname(os.path.abspath(prior_file)),
+                f"BENCH_LOCAL_r{m.group(1).zfill(2)}.json",
+            )
+            try:
+                with open(local) as fh:
+                    full = json.load(fh)
+                if full.get("sf") == (record.get("sf") or outer.get("sf")):
+                    prior_q = dict(full.get("queries") or {})
+                    prior_b = dict(full.get("build_sec") or {})
+                    prior_calib = full.get("calib_sec") or prior_calib
+            except (OSError, ValueError):
+                pass
+    if not prior_q and parsed is None and isinstance(outer.get("tail"), str):
+        # last resort, ONLY for the r4 shape (parsed: null because the
+        # single full-record line outgrew the tail): the numbers survive
+        # inside the raw tail string, query timings preceding the
+        # "build_sec" marker and build costs following it. NOT applied
+        # to compact-summary records (r5+ shape): their tail keeps only
+        # the build_sec map's suffix, whose name:number pairs would be
+        # silently mistaken for query timings (observed: r5 tail holds
+        # pq_ann_topk 6.56 = its BUILD, vs 0.45 query). Keys that are
+        # not query names (sf, calib_sec, ...) are dropped by the
+        # `shared` intersection below.
+        head, _, buildpart = outer["tail"].partition("build_sec")
         prior_q = _pairs_from_tail(head)
         prior_b = _pairs_from_tail(buildpart)
+        if prior_calib is None:
+            prior_calib = _pairs_from_tail(outer["tail"]).get("calib_sec")
     shared = [k for k in timings if isinstance(prior_q.get(k), (int, float))]
     if not shared:
         return None
@@ -251,7 +298,7 @@ def _prior_round_comparison(
     prv = round(sum(prior_q[k] for k in shared), 4)
     cur_e2e = round(sum(timings[k] + builds.get(k, 0.0) for k in shared), 4)
     prv_e2e = round(sum(prior_q[k] + prior_b.get(k, 0.0) for k in shared), 4)
-    return {
+    out = {
         "prior_bench": os.path.basename(prior_file),
         "shared_queries": len(shared),
         "shared_query_sec": cur,
@@ -263,6 +310,13 @@ def _prior_round_comparison(
             round(cur_e2e / prv_e2e, 4) if prv_e2e else None
         ),
     }
+    if calib and prior_calib:
+        speed = calib / prior_calib  # >1 = this round's VM is slower
+        out["calib_speed_ratio"] = round(speed, 4)
+        for k in ("shared_query_ratio", "shared_end_to_end_ratio"):
+            if out[k] is not None:
+                out[k + "_calib"] = round(out[k] / speed, 4)
+    return out
 
 
 def main() -> None:
@@ -383,9 +437,33 @@ def main() -> None:
         # makes heartbeat drift attributable across rounds
         "cdc_refresh_stages": cdc_stages,
     }
-    comparison = _prior_round_comparison(timings, builds)
+    comparison = _prior_round_comparison(timings, builds, calib=calib)
     if comparison:
         out.update(comparison)
+    # Persist the FULL record to a committed file keyed by the round the
+    # driver is about to record (next after the newest BENCH_r*.json):
+    # the driver artifact keeps only a 2 KB tail + compact summary, so
+    # without this file per-query drift attribution depends on tail
+    # archaeology (r5's +3.2% could not be attributed to any query).
+    # Skipped for non-default SF runs so local sf0.01 iteration never
+    # clobbers the graded sf0.1 record.
+    if sf == 0.1:
+        import glob as _glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        nxt = (max(rounds) + 1) if rounds else 1
+        try:
+            with open(
+                os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json"), "w"
+            ) as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+        except OSError as ex:
+            print(f"BENCH_LOCAL write failed: {ex!r}", file=sys.stderr)
     # The driver records only a ~2 KB TAIL of stdout; r4's single
     # ever-growing line (64 query timings before the headline fields)
     # outgrew it and the round's official record lost `value` entirely
@@ -412,6 +490,9 @@ def main() -> None:
             "shared_end_to_end_sec",
             "prior_shared_end_to_end_sec",
             "shared_end_to_end_ratio",
+            "calib_speed_ratio",
+            "shared_query_ratio_calib",
+            "shared_end_to_end_ratio_calib",
             "cdc_refresh_stages",
         )
         if k in out

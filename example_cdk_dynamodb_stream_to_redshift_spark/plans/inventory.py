@@ -492,77 +492,69 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 5
+CURRENT_ROUND = 6
 
 _DRIVER_WINDOW_PRIORITY = [
-    # changed in r5: span_dedup order encoding -> struct min (advice item);
-    # global_row_number localCheckpoint fix feeds doc_lm_quality_buckets
-    "span_dedup_docs",
-    "doc_lm_quality_buckets",
-    # new in r5: exact heavy-hitters twin of the freqItems sketch; batch
-    # exact k-NN join (partition-local matmul top-k, bounded shuffle)
-    "frequent_tokens_exact",
-    "knn_join_topk",
-    # new in r5: TPC-H Q3/Q7/Q19 shapes (top-N-on-aggregate, bilateral
-    # broadcast-dim disjunction, disjunctive cross-join-range pushdown)
-    "shipping_priority_q3",
-    "volume_shipping_q7",
-    "disjunctive_part_revenue_q19",
-    # new in r5: IVF-pruned batch k-NN (exact twin hash-checked; the
-    # probing form records its one-time rows-only row, then rotates out)
-    "ivf_knn_join_fullprobe",
-    "ivf_knn_join_topk",
-    # new in r5: TPC-H Q18 (aggregate-derived IN-subquery -> semi join);
-    # Efraimidis-Spirakis weighted sampling without replacement
-    "large_volume_customers_q18",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
-    # new in r5: incremental view maintenance driven end-to-end; TPC-H
-    # Q10 reporting shape
-    "incremental_mv_user_value",
-    "returned_item_customers_q10",
-    # ---- re-verification duty: every oracle-bearing entry whose ONLY
-    # green row is r2 (33 entries — the stalest in the registry; with all
-    # 123 oracle-bearing queries green cumulatively, the window's job is
-    # now rotating re-verification, per the r4 verdict)
-    "region_customer_counts",
-    "event_type_stats",
-    "high_watermark_filter",
-    "prefix_like_filter",
-    "date_trunc_filter",
-    "customers_with_orders",
-    "cdc_merge_latest_state",
-    "users_click_and_purchase",
-    "event_stream_union_all",
-    "users_view_not_signup",
-    "doc_text_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_fingerprints",
-    "ngram_jaccard_pairs",
-    "ann_bruteforce_topk",
-    "embedding_near_dup_pairs",
-    "dedup_corpus_keep_first",
-    "corpus_clean_keep",
-    "doc_binary_features",
-    "lineitem_pricing_summary",
-    "top_orders_by_revenue",
-    "events_hourly_tumbling",
-    "events_sliding_window",
-    "user_sessions",
-    "purchase_attribution_asof",
-    "latest_event_argmax",
-    "distinct_users_per_type",
-    "rollup_event_daily",
-    "user_running_spend",
-    "order_rank_in_priority",
-    "srp_bucket_near_dups",
-    "media_feature_extract",
-    # ---- r3-green anchors re-verified with the remaining slots, reference
-    # heartbeat reports first, then one per operator family
-    "rewards_by_member",
-    "rewards_by_quest",
-    "latest_event_per_user",
+    # new in r6: CDC-retraction view maintenance (the reference's rewards
+    # report maintained through INSERT/MODIFY/REMOVE instead of
+    # recomputed) + its freshness stamped into the sync log
+    "incremental_mv_rewards_cdc",
+    "mv_rewards_freshness",
+    # ---- re-verification duty: the full r3-green cohort (43 entries) —
+    # the oldest green rows in the registry; rotating them all through
+    # keeps every oracle-bearing entry within the 3-round staleness bound
+    # (ivf_knn_join_topk rotates OUT per the rows-only policy: its weak
+    # row is recorded in r5, its recall pinned in tests/test_ivf_ann.py)
+    "recent_events_topk",
+    "event_lag_topk",
+    "watermark_max",
+    "count_rows",
+    "scalar_function_suite",
+    "customers_without_orders",
+    "top_docs_per_source",
+    "doc_winnowing_fingerprints",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dups",
+    "srp_ann_exact_topk",
+    "dedup_clusters",
+    "ivf_ann_fullprobe_topk",
+    "doc_repetition_stats",
+    "user_event_type_pivot",
+    "props_variant_extract",
+    "param_events_by_user",
+    "user_state_history",
+    "user_event_type_unpivot",
+    "doc_token_topk",
+    "order_priority_having",
+    "returns_conditional_agg",
+    "orders_above_avg_price",
+    "event_type_daily_cube",
+    "event_gap_topk",
+    "user_event_type_profile",
+    "order_price_quartiles",
+    "customer_order_counts_left",
+    "supplier_customer_nations_full",
+    "view_purchase_interval_join",
+    "order_price_percentiles",
+    "pii_scrub_docs",
+    "doc_distinctive_terms",
+    "train_test_contamination",
+    "stratified_sample_by_source",
+    "ngram_decontamination",
+    "train_val_test_split",
+    "quality_trim_bottom_decile",
+    "ngram_decontamination_bloom",
+    "bm25_topk_docs",
+    "language_rebalance_sample",
+    "doc_chunk_windows",
+    "source_centroid_embeddings",
+    # ---- r4-green anchors with the remaining slots (the next-oldest
+    # cohort; swapped for new registrations as round 6 adds them)
+    "winnowing_overlap_pairs",
+    "substring_dup_stats",
+    "bpe_pair_candidates",
+    "simhash_exact_near_dups",
+    "embedding_contamination_audit",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -345,6 +345,351 @@ def incremental_mv_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(r) for r in rows], schema)
 
 
+# ---------------------------------------------------------------------------
+# CDC-maintained rewards view (delta-mode IVM, driver-proved end-to-end)
+# ---------------------------------------------------------------------------
+
+# wave split: events below go in refresh 1, the rest in refresh 2 — chosen
+# so BOTH waves are non-empty at every testdata SF (events has 1000 rows
+# at sf0.001)
+_WAVE_SPLIT = 500
+
+
+def _mq_envelope_lines(events: DataFrame) -> DataFrame:
+    """events rows -> member_quest CDC envelopes (distributed JSON-lines
+    construction, same transport shape as _envelope_lines): key
+    q<event_id % 97> so keys see INSERT/MODIFY chains, member
+    m<kid % 10>, REMOVE every 11th event, INSERT every 5th (semantically
+    an upsert either way — the REMOVE cadence is what the merge and the
+    maintained view must get right), dollars ((event_id % 500)+1)*0.25
+    (exact binary quarters: maintained sums stay bit-exact), event time
+    base + event_id + 1 so latest-per-key is decided by event time
+    alone."""
+    e = events.select(
+        "event_id",
+        (F.col("event_id") % 97).cast("int").alias("kid"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("REMOVE"))
+        .when(F.col("event_id") % 5 == 0, F.lit("INSERT"))
+        .otherwise(F.lit("MODIFY"))
+        .alias("event_name"),
+        ((F.col("event_id") % 500 + 1) * F.lit(0.25))
+        .cast("decimal(10,2)")
+        .cast("string")
+        .alias("dollars"),
+        ((F.lit(_BASE_EPOCH_S) + F.col("event_id") + 1) * 1000).alias(
+            "creation_ms"
+        ),
+    ).select(
+        "event_id",
+        "event_name",
+        "dollars",
+        "creation_ms",
+        F.concat(F.lit("MQ#M_m"), (F.col("kid") % 10).cast("string")).alias("pk"),
+        F.concat(F.lit("MQ_q"), F.col("kid").cast("string")).alias("sk"),
+    )
+    env = F.to_json(
+        F.struct(
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("eventID"),
+            F.lit("us-east-1").alias("awsRegion"),
+            F.col("event_name").alias("eventName"),
+            F.lit("activity").alias("tableName"),
+            F.lit("aws:dynamodb").alias("eventSource"),
+            F.struct(
+                F.col("creation_ms").alias("ApproximateCreationDateTime"),
+                F.struct(
+                    _av(F.col("pk")).alias("pk"), _av(F.col("sk")).alias("sk")
+                ).alias("Keys"),
+                F.when(F.col("event_name") == "REMOVE", F.lit(None))
+                .otherwise(
+                    F.struct(
+                        _av(F.col("pk")).alias("pk"),
+                        _av(F.col("sk")).alias("sk"),
+                        _av(F.lit("qx")).alias("questId"),
+                        F.struct(F.col("dollars").alias("N")).alias(
+                            "dollarsEarned"
+                        ),
+                    )
+                )
+                .alias("NewImage"),
+            ).alias("dynamodb"),
+        )
+    )
+    return e.select(
+        F.to_json(
+            F.struct(
+                F.lit(_ARRIVAL).alias("approximate_arrival_timestamp"),
+                F.col("pk").alias("partition_key"),
+                F.lit("shardId-000000000000").alias("shard_id"),
+                F.lpad(F.col("event_id").cast("string"), 20, "0").alias(
+                    "sequence_number"
+                ),
+                env.alias("kinesis_data"),
+            )
+        ).alias("value")
+    )
+
+
+# one fixture run serves both registered queries below (the MV state and
+# its freshness log come out of the SAME two-refresh pipeline run); rows
+# are collected before the workdir is deleted, so caching plain lists is
+# safe across driver calls
+_rewards_cdc_cache: dict[str, dict] = {}
+
+
+def _rewards_cdc_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    from pyspark import StorageLevel  # noqa: F401  (import locality)
+
+    from ..streaming.agg_maintenance import IncrementalAggTable
+    from ..streaming.pipeline import CdcPipeline
+
+    if sf_dir in _rewards_cdc_cache:
+        return _rewards_cdc_cache[sf_dir]
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    workdir = tempfile.mkdtemp(prefix="rewards_cdc_")
+    try:
+        stream_dir = os.path.join(workdir, "stream")
+        _mq_envelope_lines(
+            events.filter(F.col("event_id") < _WAVE_SPLIT)
+        ).write.mode("overwrite").text(stream_dir)
+        pipeline = CdcPipeline(
+            spark, stream_dir, os.path.join(workdir, "warehouse")
+        )
+        base_ts = F.timestamp_seconds(F.lit(_BASE_EPOCH_S))
+        common = [
+            base_ts.alias("approximateUpdateTimestamp"),
+            F.lit("INITIAL_LOAD").alias("eventName"),
+            base_ts.alias("syncTimestamp"),
+        ]
+        one = spark.range(1)
+        pipeline.targets["member"].overwrite(
+            one.select(
+                F.lit("seed").alias("memberId"),
+                F.lit("seed").alias("memberName"),
+                *common,
+            )
+        )
+        pipeline.targets["quest"].overwrite(
+            one.select(
+                F.lit("seed").alias("questId"),
+                F.lit("seed").alias("questName"),
+                *common,
+            )
+        )
+        # 30 bootstrap member_quest rows: q0..q19 (WILL be hit by the
+        # stream wherever those kids occur — their old images must be
+        # retracted) and b0..b9 (never streamed — must survive into the
+        # maintained totals untouched)
+        qkey = F.col("id") < 20
+        pipeline.targets["member_quest"].overwrite(
+            spark.range(30).select(
+                F.when(
+                    qkey, F.concat(F.lit("q"), F.col("id").cast("string"))
+                )
+                .otherwise(
+                    F.concat(F.lit("b"), (F.col("id") - 20).cast("string"))
+                )
+                .alias("memberQuestId"),
+                F.when(
+                    qkey,
+                    F.concat(F.lit("m"), (F.col("id") % 10).cast("string")),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("mb"), ((F.col("id") - 20) % 5).cast("string")
+                    )
+                )
+                .alias("memberId"),
+                F.lit("qx").alias("questId"),
+                F.lit(2.0).alias("dollarsEarned"),
+                *common,
+            )
+        )
+        mv = IncrementalAggTable(
+            spark,
+            os.path.join(workdir, "rewards_mv"),
+            key_cols=["memberId"],
+            key_types=[T.StringType()],
+            aggs=[
+                ("n_quests", "count", None),
+                ("total_dollars", "sum", "dollarsEarned"),
+            ],
+            out_types={"total_dollars": T.DoubleType()},
+            retractable=True,
+        )
+        mv.bootstrap(pipeline.targets["member_quest"].read())
+        pipeline.attach_maintained_view(
+            "rewards", "member_quest", mv, ["memberId", "dollarsEarned"]
+        )
+        pipeline.refresh()
+        _mq_envelope_lines(
+            events.filter(F.col("event_id") >= _WAVE_SPLIT)
+        ).write.mode("append").text(stream_dir)
+        pipeline.refresh()
+        mv_rows = [
+            tuple(r)
+            for r in mv.read()
+            .select(
+                F.col("memberId").alias("member_id"),
+                "n_quests",
+                "total_dollars",
+            )
+            .orderBy("member_id")
+            .collect()
+        ]
+        fresh_rows = [
+            tuple(r)
+            for r in pipeline.sync_log_table()
+            .filter(F.col("entity") == "mv:rewards")
+            .select(
+                F.col("batch_id").cast("int").alias("batch_id"),
+                "watermark",
+                "staged_count",
+                "deleted_count",
+                "inserted_count",
+            )
+            .orderBy("batch_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out = {"mv": mv_rows, "freshness": fresh_rows}
+    _rewards_cdc_cache[sf_dir] = out
+    return out
+
+
+@register(
+    "incremental_mv_rewards_cdc",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(event_id % 97 AS INTEGER) AS kid FROM events
+    ),
+    latest AS (SELECT kid, MAX(event_id) AS last_id FROM e GROUP BY kid),
+    streamed AS (
+      SELECT 'm' || CAST(kid % 10 AS VARCHAR) AS member_id,
+             CAST(CAST(((last_id % 500) + 1) * 0.25 AS DECIMAL(10,2))
+                  AS DOUBLE) AS dollars
+      FROM latest WHERE last_id % 11 <> 0
+    ),
+    boot_survivors AS (
+      SELECT 'm' || CAST(k % 10 AS VARCHAR) AS member_id,
+             CAST(2.0 AS DOUBLE) AS dollars
+      FROM generate_series(0, 19) AS t(k)
+      WHERE k NOT IN (SELECT kid FROM e)
+    ),
+    b_rows AS (
+      SELECT 'mb' || CAST(j % 5 AS VARCHAR) AS member_id,
+             CAST(2.0 AS DOUBLE) AS dollars
+      FROM generate_series(0, 9) AS t(j)
+    ),
+    fin AS (
+      SELECT * FROM streamed
+      UNION ALL SELECT * FROM boot_survivors
+      UNION ALL SELECT * FROM b_rows
+    )
+    SELECT member_id, CAST(COUNT(*) AS BIGINT) AS n_quests,
+           CAST(SUM(dollars) AS DOUBLE) AS total_dollars
+    FROM fin GROUP BY member_id ORDER BY member_id
+    """,
+    "CDC-retraction view maintenance, driver-proved end-to-end: the "
+    "reference's rewards report (sql/queries.sql:24-33) over a stream "
+    "with INSERT + MODIFY + REMOVE (sql/incremental_sync_member_quests"
+    ".sql:42-52), MAINTAINED instead of recomputed. A deterministic "
+    "member_quest CDC fixture derived from the events table runs the "
+    "REAL pipeline across two AvailableNow refreshes; a retractable "
+    "IncrementalAggTable (count support + invertible sum) is fed the "
+    "merge's own before/after images (cdc_delta: old target rows of "
+    "staged keys at -1, new non-REMOVE images at +1) BEFORE each target "
+    "commit. The oracle re-derives the from-scratch GROUP BY over the "
+    "final target analytically: MODIFY nets to (new-old), REMOVE "
+    "subtracts, emptied member groups disappear, untouched bootstrap "
+    "rows survive. Dollars are exact binary quarters so maintained "
+    "double sums are bit-identical to one-shot sums. min/max stay "
+    "append-only scope by construction (non-invertible; the table "
+    "refuses them in delta mode).",
+)
+def incremental_mv_rewards_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _rewards_cdc_fixture(spark, sf_dir)["mv"]
+    schema = T.StructType(
+        [
+            T.StructField("member_id", T.StringType()),
+            T.StructField("n_quests", T.LongType()),
+            T.StructField("total_dollars", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("member_id")
+
+
+@register(
+    "mv_rewards_freshness",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(event_id % 97 AS INTEGER) AS kid,
+             CASE WHEN event_id < 500 THEN 0 ELSE 1 END AS wave
+      FROM events
+    ),
+    l1 AS (SELECT kid, MAX(event_id) AS last_id FROM e WHERE wave = 0
+           GROUP BY kid),
+    l2 AS (SELECT kid, MAX(event_id) AS last_id FROM e WHERE wave = 1
+           GROUP BY kid),
+    after1 AS (
+      SELECT kid FROM l1 WHERE last_id % 11 <> 0
+      UNION
+      SELECT k AS kid FROM generate_series(0, 19) AS t(k)
+      WHERE k NOT IN (SELECT kid FROM l1)
+    ),
+    b0 AS (
+      SELECT CAST(0 AS INTEGER) AS batch_id,
+             TIMESTAMP '2024-01-01 00:00:00' AS watermark,
+             CAST((SELECT COUNT(*) FROM l1 WHERE kid <= 19)
+                + (SELECT COUNT(*) FROM l1 WHERE last_id % 11 <> 0)
+                AS BIGINT) AS staged_count,
+             CAST((SELECT COUNT(*) FROM l1 WHERE kid <= 19) AS BIGINT)
+               AS deleted_count,
+             CAST((SELECT COUNT(*) FROM l1 WHERE last_id % 11 <> 0)
+               AS BIGINT) AS inserted_count
+    ),
+    b1 AS (
+      SELECT CAST(1 AS INTEGER) AS batch_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + ((SELECT MAX(event_id) FROM e WHERE wave = 0) + 1)
+                 * INTERVAL 1 SECOND AS watermark,
+             CAST((SELECT COUNT(*) FROM l2
+                   WHERE kid IN (SELECT kid FROM after1))
+                + (SELECT COUNT(*) FROM l2 WHERE last_id % 11 <> 0)
+                AS BIGINT) AS staged_count,
+             CAST((SELECT COUNT(*) FROM l2
+                   WHERE kid IN (SELECT kid FROM after1)) AS BIGINT)
+               AS deleted_count,
+             CAST((SELECT COUNT(*) FROM l2 WHERE last_id % 11 <> 0)
+               AS BIGINT) AS inserted_count
+    )
+    SELECT * FROM b0 UNION ALL SELECT * FROM b1 ORDER BY batch_id
+    """,
+    "Maintained-view freshness in the sync log (the reference's lag "
+    "monitors, sql/queries.sql:1-19, extended to cover maintained "
+    "reports): each micro-batch the pipeline stamps one 'mv:rewards' "
+    "row with the watermark the view's delta was staged against and the "
+    "delta decomposition (retractions vs upserts, observed on the state "
+    "write itself — zero extra jobs). The oracle re-derives both "
+    "batches' rows analytically from the events table: batch 0 stages "
+    "against the initial-load watermark and retracts exactly the "
+    "bootstrap keys the stream touches; batch 1 stages against wave 1's "
+    "max event time and retracts the keys wave 1 left in the target.",
+)
+def mv_rewards_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _rewards_cdc_fixture(spark, sf_dir)["freshness"]
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.IntegerType()),
+            T.StructField("watermark", T.TimestampType()),
+            T.StructField("staged_count", T.LongType()),
+            T.StructField("deleted_count", T.LongType()),
+            T.StructField("inserted_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("batch_id")
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -16,10 +16,30 @@ Datasketches HLL sketch (binary) per group — union is the register-wise
 max, so accuracy never degrades with the number of merges (the estimate
 can differ by a fraction of a percent from a one-shot sketch: the HIP
 estimator is ingestion-path-dependent and unions fall back to the raw
-estimator); read the number via ``read_with_distinct``. Scope: APPEND-ONLY streams —
-retractions would need invertible aggregates (count/sum subtract fine;
-min/max do not) or re-aggregation; the CDC latest-state targets
-(operators/merge.py) remain the tool for update/delete semantics.
+estimator); read the number via ``read_with_distinct``.
+
+Two maintenance modes:
+
+- ``apply_batch`` — APPEND-ONLY streams; all five kinds supported.
+- ``apply_delta`` — CDC streams with retractions: each row carries a
+  signed ``_weight`` (+1 insert / -1 retract), the exact delta shape the
+  engine's own merge materializes (``cdc_delta`` below: old images of
+  replaced keys at -1, new non-REMOVE images at +1). Only the
+  INVERTIBLE kinds are legal here — count adjusts by Σweight and sum by
+  Σ(weight·value), so a MODIFY nets to (new−old) and a REMOVE
+  subtracts; min/max cannot un-see a retracted extremum without
+  re-scanning the group's history and approx_distinct sketches have no
+  difference operator, so constructing a delta-mode table with any of
+  them raises. Groups whose support (the first count aggregate, which
+  delta mode therefore requires) reaches 0 are DELETED from the state —
+  a from-scratch GROUP BY has no row for an emptied group, and the
+  maintained view must stay bit-identical to it.
+
+This is the reference's architecture completed: its stream is CDC with
+MODIFY/REMOVE (sql/incremental_sync_members.sql:42-52) and its reports
+(sql/queries.sql:22-45) re-aggregate the latest-state targets on every
+query; delta-mode maintenance turns those reports into views whose
+refresh costs the micro-batch, never the 100 TB history.
 
 Exactly-once effect on at-least-once foreachBatch: micro-batch ids from
 one checkpoint are strictly increasing and a retry re-delivers the SAME
@@ -37,6 +57,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _KINDS = ("count", "sum", "min", "max", "approx_distinct")
+# kinds with a subtraction operator — the only ones a retraction stream
+# can maintain without re-aggregating history
+_INVERTIBLE = ("count", "sum")
+
+
+def cdc_delta(
+    target: DataFrame,
+    staged: DataFrame,
+    key_col: str,
+    cols: list[str],
+    weight_col: str = "_weight",
+) -> DataFrame:
+    """Signed delta stream for one CDC merge (operators/merge.py): the
+    merge replaces every staged key's target row (delete+insert,
+    sql/incremental_sync_members.sql:42-52), so the view-maintenance
+    delta is exactly
+
+    - the OLD images: target rows whose key is staged, at weight -1
+      (they are about to be deleted — the before-image the reference's
+      DELETE..USING discards);
+    - the NEW images: staged non-REMOVE rows, at weight +1.
+
+    A MODIFY contributes both (net new−old); a REMOVE contributes only
+    the retraction; an INSERT of a fresh key only the +1. Must be
+    computed against the target BEFORE the merge commit (the caller's
+    ordering obligation — CdcPipeline applies deltas pre-commit so a
+    crash between the two replays idempotently on both sides).
+
+    Same scale posture as the merge itself: the staged key set is
+    micro-batch-sized and broadcast, so the (huge) target is probed
+    map-side with zero shuffle.
+    """
+    keys = F.broadcast(staged.select(key_col).distinct())
+    old = (
+        target.join(keys, key_col, "left_semi")
+        .select(*cols)
+        .withColumn(weight_col, F.lit(-1).cast("long"))
+    )
+    new = (
+        staged.filter(F.col("eventName") != F.lit("REMOVE"))
+        .select(*cols)
+        .withColumn(weight_col, F.lit(1).cast("long"))
+    )
+    return old.unionByName(new)
 
 
 class IncrementalAggTable:
@@ -45,6 +109,12 @@ class IncrementalAggTable:
     ``aggs``: list of (out_col, kind, in_col) with kind in
     count|sum|min|max (in_col ignored for count). ``out_types`` maps each
     out_col to its Spark type (count is always long).
+
+    ``retractable=True`` declares the table will be fed CDC deltas via
+    ``apply_delta``: every kind must then be invertible (count/sum) and
+    the FIRST aggregate must be a count — it is the group's support,
+    used to delete emptied groups. ``apply_batch`` still works on such a
+    table (an append-only batch is a delta with all weights +1).
     """
 
     def __init__(
@@ -55,12 +125,33 @@ class IncrementalAggTable:
         key_types: list[T.DataType],
         aggs: list[tuple[str, str, str | None]],
         out_types: dict[str, T.DataType] | None = None,
+        retractable: bool = False,
     ):
         from ..operators.storage import ParquetTable
 
         for out, kind, _ in aggs:
             if kind not in _KINDS:
                 raise ValueError(f"unsupported aggregate {kind!r} for {out!r}")
+        if retractable:
+            bad = [
+                (out, kind) for out, kind, _ in aggs if kind not in _INVERTIBLE
+            ]
+            if bad:
+                raise ValueError(
+                    "retractable table requires invertible aggregates "
+                    f"(count/sum); {bad!r} cannot subtract a retraction — "
+                    "min/max would need the group's full history to recover "
+                    "a retracted extremum, and HLL sketches have no "
+                    "difference operator. Maintain those append-only, or "
+                    "recompute from the latest-state target."
+                )
+            if aggs[0][1] != "count":
+                raise ValueError(
+                    "retractable table requires its first aggregate to be a "
+                    "count: it is the group's support, used to drop groups "
+                    "whose membership reaches zero"
+                )
+        self.retractable = retractable
         self.key_cols = list(key_cols)
         self.aggs = list(aggs)
         fields = [
@@ -82,16 +173,27 @@ class IncrementalAggTable:
     def last_applied(self) -> int:
         return self.table.meta().get("last_batch", -1)
 
-    def _partial(self, batch: DataFrame) -> DataFrame:
+    def _partial(
+        self, batch: DataFrame, weight_col: str | None = None
+    ) -> DataFrame:
+        """Batch-sized partial aggregate; with ``weight_col``, the signed
+        (delta-mode) form: count → Σw, sum → Σ(w·value)."""
+        w = F.col(weight_col) if weight_col else F.lit(1)
         exprs = []
         for out, kind, col in self.aggs:
+            field = self.table.schema[out].dataType
             if kind == "count":
-                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+                exprs.append(F.sum(w).cast("long").alias(out))
             elif kind == "approx_distinct":
                 exprs.append(F.hll_sketch_agg(col).alias(out))
+            elif kind == "sum":
+                exprs.append(
+                    F.sum(w.cast(field) * F.col(col).cast(field))
+                    .cast(field)
+                    .alias(out)
+                )
             else:
-                agg = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
-                field = self.table.schema[out].dataType
+                agg = {"min": F.min, "max": F.max}[kind]
                 exprs.append(agg(F.col(col).cast(field)).cast(field).alias(out))
         return batch.groupBy(*self.key_cols).agg(*exprs)
 
@@ -115,13 +217,9 @@ class IncrementalAggTable:
         # coalesce pairing keeps the present side when a group is absent
         return F.coalesce(op(a, b), a, b).cast(field).alias(out)
 
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> bool:
-        """Merge one micro-batch into the state; returns False (no-op) for
-        an already-applied batch id (at-least-once replay)."""
-        if batch_id <= self.last_applied():
-            return False
-        partial = self._partial(batch).alias("p")
+    def _merge_partial(self, partial: DataFrame, batch_id: int) -> None:
         state = self.table.read().alias("s")
+        partial = partial.alias("p")
         keys = [
             F.coalesce(F.col(f"s.{k}"), F.col(f"p.{k}")).alias(k)
             for k in self.key_cols
@@ -129,8 +227,44 @@ class IncrementalAggTable:
         merged = state.join(partial, on=self.key_cols, how="full_outer").select(
             *keys, *[self._merge_col(out, kind) for out, kind, _ in self.aggs]
         )
+        if self.retractable:
+            # a group whose support hits zero has no row in the
+            # from-scratch aggregate — drop it (support is the first
+            # aggregate, enforced by the constructor)
+            merged = merged.filter(F.col(self.aggs[0][0]) != 0)
         self.table.overwrite(merged, meta={"last_batch": batch_id})
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> bool:
+        """Merge one micro-batch into the state; returns False (no-op) for
+        an already-applied batch id (at-least-once replay)."""
+        if batch_id <= self.last_applied():
+            return False
+        self._merge_partial(self._partial(batch), batch_id)
         return True
+
+    def apply_delta(
+        self, delta: DataFrame, batch_id: int, weight_col: str = "_weight"
+    ) -> bool:
+        """Merge one signed CDC delta (see ``cdc_delta``) into the state;
+        same exactly-once ledger as ``apply_batch``. MODIFY nets to
+        (new−old), REMOVE subtracts, emptied groups are deleted."""
+        if not self.retractable:
+            raise ValueError(
+                "apply_delta requires a retractable=True table (invertible "
+                "aggregates with a leading count support column)"
+            )
+        if batch_id <= self.last_applied():
+            return False
+        self._merge_partial(self._partial(delta, weight_col), batch_id)
+        return True
+
+    def bootstrap(self, rows: DataFrame) -> None:
+        """Initialize the state from an existing table's CURRENT contents
+        (the initial-load complement of delta maintenance: the first
+        delta batch arrives against a target the bulk COPY already
+        populated, scripts/initial_load_from_export.sh). Overwrites any
+        prior state and resets the ledger so batch 0 is the next apply."""
+        self.table.overwrite(self._partial(rows), meta={"last_batch": -1})
 
     def foreach_batch(self):
         """The function to hand to ``writeStream.foreachBatch`` (runs on

@@ -67,6 +67,8 @@ class CdcPipeline:
         # per-stage wall clock of the most recent micro-batch (see
         # _merge_batch_inner); empty until a refresh has processed a batch
         self.last_batch_stages: dict[str, float] = {}
+        # entity name -> [(view name, IncrementalAggTable, delta cols)]
+        self.maintained_views: dict[str, list] = {}
         self.merge_shuffle_partitions = merge_shuffle_partitions
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
@@ -91,6 +93,87 @@ class CdcPipeline:
                 name: ParquetTable(spark, os.path.join(warehouse, name), schema)
                 for name, schema in TARGET_SCHEMAS.items()
             }
+
+    def attach_maintained_view(
+        self, name: str, entity: str, view, delta_cols: list[str]
+    ) -> None:
+        """Register an IncrementalAggTable (retractable, see
+        streaming/agg_maintenance.py) to be maintained from ``entity``'s
+        CDC deltas: every micro-batch, the merge's before/after images
+        (old target rows of staged keys at -1, new non-REMOVE images at
+        +1) are applied to the view BEFORE the target commit — so a
+        crash between the two replays idempotently on both sides (the
+        view's batch ledger skips the replay, the watermark-guarded
+        merge re-runs as written). This is the reference's report family
+        (sql/queries.sql:22-45) maintained instead of recomputed: the
+        per-batch cost is the micro-batch plus one broadcast probe of
+        the target, never the history. ``delta_cols`` are the columns
+        the view's keys/aggregates read (must exist in both the target
+        schema and the staged projection)."""
+        self.maintained_views.setdefault(entity, []).append(
+            (name, view, list(delta_cols))
+        )
+
+    def _apply_maintained_views(
+        self, table, spec, extract: DataFrame, batch_id: int
+    ) -> list[tuple[str, dict]]:
+        """Compute this entity's CDC delta once per view and apply it;
+        returns sync-log rows stamping each view's freshness (the
+        watermark its delta was staged against + applied batch id) so
+        the reference's lag monitors (sql/queries.sql:1-19) cover the
+        maintained reports too. Delta row counts ride the view's own
+        state-write action via ``observe`` — zero extra jobs."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from ..operators.merge import _EPOCH, read_watermark, stage_changes
+        from .agg_maintenance import cdc_delta
+
+        views = self.maintained_views.get(spec.name, ())
+        if not views:
+            return []
+        target_df = table.read()
+        watermark = read_watermark(target_df)
+        if watermark is None or watermark == _EPOCH:
+            raise ValueError(
+                f"initial load has not been performed for {spec.name}: "
+                "cannot maintain views over an unbootstrapped target"
+            )
+        staged = stage_changes(extract, spec, watermark)
+        out = []
+        for name, view, cols in views:
+            obs = Observation()
+            delta = cdc_delta(target_df, staged, spec.key_col, cols).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("_weight") < 0, 1)).alias("neg"),
+            )
+            applied = view.apply_delta(delta, batch_id)
+            if applied:
+                m = obs.get  # state write already ran: metrics are present
+                n, neg = int(m["n"]), int(m["neg"])
+            else:  # at-least-once replay: ledger no-op, nothing observed
+                n = neg = 0
+            out.append(
+                (
+                    f"mv:{name}",
+                    {
+                        "watermark": watermark,
+                        "staged_count": n,
+                        "deleted_count": neg,
+                        "inserted_count": n - neg,
+                        "_message": (
+                            f"Maintained view {name} applied batch {batch_id}: "
+                            f"{n - neg} upserts, {neg} retractions"
+                            if applied
+                            else f"Maintained view {name} replay no-op for "
+                            f"batch {batch_id} (last applied "
+                            f"{view.last_applied()})"
+                        ),
+                    },
+                )
+            )
+        return out
 
     @contextmanager
     def _batch_sized_shuffle(self):
@@ -221,6 +304,14 @@ class CdcPipeline:
                 tm = _time.perf_counter()
                 table = self.targets[spec.name]
                 stats: dict = {}
+                # maintained views FIRST, against the pre-merge target:
+                # their before-images are the rows the merge is about to
+                # delete, and their ledger makes a crash between view
+                # apply and target commit replay-safe (see
+                # attach_maintained_view)
+                mv_rows = self._apply_maintained_views(
+                    table, spec, extract, batch_id
+                )
                 if hasattr(table, "merge"):  # partition-scoped backend
                     table.merge(extract, spec, sync_ts, stats=stats)
                 else:
@@ -232,12 +323,13 @@ class CdcPipeline:
                 stages[f"merge_{spec.name}_sec"] = round(
                     _time.perf_counter() - tm, 4
                 )
-                return spec.name, stats
+                return [(spec.name, stats)] + mv_rows
 
             with ThreadPoolExecutor(max_workers=len(ALL_SPECS)) as pool:
                 entity_stats = [
-                    fut.result()
+                    row
                     for fut in [pool.submit(run_merge, s) for s in ALL_SPECS]
+                    for row in fut.result()
                 ]
             stages["merge_wall_sec"] = round(_time.perf_counter() - _t0, 4)
             _t0 = _time.perf_counter()
@@ -384,7 +476,8 @@ class CdcPipeline:
                 stats["deleted_count"],
                 stats["inserted_count"],
                 sync_ts,
-                f"Staged {stats['staged_count']} {entity} records; "
+                stats.get("_message")
+                or f"Staged {stats['staged_count']} {entity} records; "
                 f"deleted {stats['deleted_count']}; "
                 f"inserted {stats['inserted_count']}",
             )

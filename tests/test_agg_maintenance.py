@@ -219,3 +219,146 @@ def test_approx_distinct_sketches_merge_losslessly(spark, tmp_path):
     assert t.apply_batch(mk(batches[-1]), 2) is False
     after = {r["kind"]: bytes(r["users"]) for r in t.read().collect()}
     assert after == before
+
+
+# -- CDC retraction (delta) mode ------------------------------------------
+
+
+def _mk_delta(spark, path):
+    return IncrementalAggTable(
+        spark,
+        path,
+        key_cols=["member_id"],
+        key_types=[T.StringType()],
+        aggs=[("n_quests", "count", None), ("total", "sum", "dollars")],
+        out_types={"total": T.DecimalType(18, 2)},
+        retractable=True,
+    )
+
+
+def _delta(spark, rows):
+    """rows: (member_id, dollars, weight)"""
+    return spark.createDataFrame(
+        rows, "member_id string, dollars double, _weight long"
+    )
+
+
+def _delta_state(t):
+    return {
+        r["member_id"]: (r["n_quests"], float(r["total"]))
+        for r in t.read().collect()
+    }
+
+
+def test_delta_mode_matches_recompute(spark, tmp_path):
+    """Maintain through INSERT / MODIFY (old -1 + new +1) / REMOVE and
+    compare against the from-scratch GROUP BY over the live row set after
+    every batch — including deletion of a group whose support empties."""
+    t = _mk_delta(spark, str(tmp_path / "mv"))
+    live: dict[str, list[float]] = {}  # member -> live quest dollars
+
+    def apply(batch_id, rows):
+        assert t.apply_delta(_delta(spark, rows), batch_id) is True
+        for m, v, w in rows:
+            live.setdefault(m, [])
+            if w > 0:
+                live[m].append(v)
+            else:
+                live[m].remove(v)
+        want = {
+            m: (len(vs), round(sum(vs), 2)) for m, vs in live.items() if vs
+        }
+        assert _delta_state(t) == want, f"divergence after batch {batch_id}"
+
+    apply(0, [("a", 5.0, 1), ("a", 2.0, 1), ("b", 7.0, 1)])  # INSERTs
+    apply(1, [("a", 5.0, -1), ("a", 9.0, 1)])  # MODIFY: 5.0 -> 9.0
+    apply(2, [("b", 7.0, -1)])  # REMOVE empties b: its row must vanish
+    assert "b" not in _delta_state(t)
+    apply(3, [("b", 1.0, 1), ("a", 2.0, -1)])  # b returns; a shrinks
+
+
+def test_delta_replay_is_exactly_once(spark, tmp_path):
+    t = _mk_delta(spark, str(tmp_path / "mv"))
+    d = _delta(spark, [("a", 5.0, 1)])
+    assert t.apply_delta(d, 0) is True
+    before = _delta_state(t)
+    assert t.apply_delta(d, 0) is False
+    assert _delta_state(t) == before
+
+
+def test_bootstrap_then_delta(spark, tmp_path):
+    """The initial-load complement: state seeded from a populated target's
+    current rows, then maintained by deltas — matching the reference shape
+    where COPY bulk-load precedes the stream merges
+    (scripts/initial_load_from_export.sh + incremental_sync_*)."""
+    t = _mk_delta(spark, str(tmp_path / "mv"))
+    t.bootstrap(
+        spark.createDataFrame(
+            [("a", 5.0), ("a", 3.0), ("b", 1.0)], "member_id string, dollars double"
+        )
+    )
+    assert t.last_applied() == -1
+    assert _delta_state(t) == {"a": (2, 8.0), "b": (1, 1.0)}
+    t.apply_delta(_delta(spark, [("a", 3.0, -1), ("b", 4.0, 1)]), 0)
+    assert _delta_state(t) == {"a": (1, 5.0), "b": (2, 5.0)}
+
+
+def test_delta_mode_rejects_non_invertible(spark, tmp_path):
+    import pytest
+
+    for kind in ("min", "max", "approx_distinct"):
+        with pytest.raises(ValueError, match="invertible"):
+            IncrementalAggTable(
+                spark,
+                str(tmp_path / f"mv_{kind}"),
+                key_cols=["k"],
+                key_types=[T.StringType()],
+                aggs=[("n", "count", None), ("x", kind, "v")],
+                out_types={"x": T.DoubleType()},
+                retractable=True,
+            )
+    with pytest.raises(ValueError, match="first aggregate"):
+        IncrementalAggTable(
+            spark,
+            str(tmp_path / "mv_nosupport"),
+            key_cols=["k"],
+            key_types=[T.StringType()],
+            aggs=[("s", "sum", "v")],  # no count support column
+            out_types={"s": T.DoubleType()},
+            retractable=True,
+        )
+    t = _mk(spark, str(tmp_path / "mv_append"))  # append-only table
+    with pytest.raises(ValueError, match="retractable"):
+        t.apply_delta(_delta(spark, [("a", 1.0, 1)]), 0)
+
+
+def test_cdc_delta_shape(spark, tmp_path):
+    """cdc_delta: old images of staged keys at -1, new non-REMOVE images
+    at +1 — a MODIFY contributes both, a REMOVE only the retraction, an
+    INSERT of a fresh key only the +1."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.agg_maintenance import (
+        cdc_delta,
+    )
+
+    target = spark.createDataFrame(
+        [("k1", "a", 5.0), ("k2", "b", 7.0), ("k3", "b", 2.0)],
+        "mq_id string, member_id string, dollars double",
+    )
+    staged = spark.createDataFrame(
+        [("k1", "a", 9.0, "MODIFY"), ("k2", None, None, "REMOVE"),
+         ("k9", "c", 4.0, "INSERT")],
+        "mq_id string, member_id string, dollars double, eventName string",
+    )
+    got = {
+        (r["mq_id"], r["_weight"]): (r["member_id"], r["dollars"])
+        for r in cdc_delta(
+            target, staged, "mq_id", ["mq_id", "member_id", "dollars"]
+        ).collect()
+    }
+    assert got == {
+        ("k1", -1): ("a", 5.0),   # old image of the MODIFY
+        ("k1", 1): ("a", 9.0),    # new image of the MODIFY
+        ("k2", -1): ("b", 7.0),   # REMOVE retracts only
+        ("k9", 1): ("c", 4.0),    # fresh INSERT adds only
+        # k3 untouched: no delta rows
+    }

@@ -673,3 +673,104 @@ def test_progress_log_records_engine_metrics(spark, tmp_path):
     assert rows[1]["num_input_rows"] == 1
     assert all(r["trigger_ms"] > 0 for r in rows.values())
     assert len({r["run_id"] for r in rows.values()}) == 2  # one per refresh
+
+
+# ---- maintained rewards view over the CDC stream (delta-mode IVM) ----
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_maintained_rewards_view_tracks_cdc(spark, tmp_path, partitioned):
+    """The reference's rewards report (sql/queries.sql:24-33) maintained
+    instead of recomputed: an IncrementalAggTable fed the merge's own
+    before/after images stays bit-identical to the from-scratch GROUP BY
+    over the member_quest target through INSERT + MODIFY + REMOVE, and
+    its freshness is stamped into the sync log."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.agg_maintenance import (
+        IncrementalAggTable,
+    )
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk 10,000 steps"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+    pipe = CdcPipeline(
+        spark, str(stream_dir), str(tmp_path / "wh"), partitioned=partitioned
+    )
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    mv = IncrementalAggTable(
+        spark,
+        str(tmp_path / "rewards_mv"),
+        key_cols=["memberId"],
+        key_types=[T.StringType()],
+        aggs=[("n_quests", "count", None), ("total", "sum", "dollarsEarned")],
+        out_types={"total": T.DoubleType()},
+        retractable=True,
+    )
+    mv.bootstrap(pipe.table("member_quest"))
+    pipe.attach_maintained_view(
+        "rewards", "member_quest", mv, ["memberId", "dollarsEarned"]
+    )
+
+    def mv_state():
+        return {
+            r["memberId"]: (r["n_quests"], r["total"])
+            for r in mv.read().collect()
+        }
+
+    def recomputed():
+        return {
+            r["memberId"]: (r["n"], r["t"])
+            for r in pipe.table("member_quest")
+            .groupBy("memberId")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dollarsEarned").alias("t"))
+            .collect()
+        }
+
+    assert mv_state() == {"m1": (1, 10.0)}
+
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            mq_env(1, "e1", "INSERT", "mq2", "m3", "q1", "25.50", BASE_MS + 1000),
+            mq_env(2, "e2", "MODIFY", "mq1", "m1", "q1", "12.00", BASE_MS + 2000),
+        ],
+    )
+    pipe.refresh()
+    assert mv_state() == {"m1": (1, 12.0), "m3": (1, 25.5)}
+    assert mv_state() == recomputed()
+
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [
+            mq_env(3, "e3", "REMOVE", "mq1", "m1", None, None, BASE_MS + 3000),
+            mq_env(4, "e4", "INSERT", "mq3", "m3", "q1", "1.50", BASE_MS + 4000),
+        ],
+    )
+    pipe.refresh()
+    assert mv_state() == {"m3": (2, 27.0)}  # m1's group emptied -> deleted
+    assert mv_state() == recomputed()
+    assert mv.last_applied() == 1
+
+    # freshness rows in the sync log: one mv: row per batch with the delta
+    # decomposition (upserts vs retractions) riding the state write
+    log = {
+        r["batch_id"]: (r["staged_count"], r["deleted_count"], r["inserted_count"])
+        for r in pipe.sync_log_table().filter("entity = 'mv:rewards'").collect()
+    }
+    # b1: old mq1 retracted, new mq1 + mq2 inserted; b2: old mq1 retracted,
+    # mq3 inserted (REMOVE contributes no insert)
+    assert log == {0: (3, 1, 2), 1: (2, 1, 1)}
+    wm = {
+        r["batch_id"]: r["watermark"]
+        for r in pipe.sync_log_table().filter("entity = 'mv:rewards'").collect()
+    }
+    assert wm[0] == OLD  # batch 0 staged against the initial-load watermark
