@@ -16,7 +16,8 @@ corpus's distinct-word vocab is bounded (tens of millions of rows,
 uniform md5-ish keys). Each iteration is (a) one bounded-key pair
 aggregation with map-side partials + a driver top-1, and (b) one
 Arrow-batched merge application over the vocab. Lineage is truncated
-every iteration with localCheckpoint, the components.py trick, so N
+every iteration via operators/lineage.py truncate_lineage (reliable
+checkpoint opt-in for executor-loss recovery), the components.py trick, so N
 merges never stack N plan generations.
 """
 
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from .lineage import truncate_lineage
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -163,7 +165,7 @@ def train_bpe_merges(
     pair_count)]. Deterministic tie-break: count desc, then (left, right)
     lexicographic — reproducible across partitionings because the top-1
     reduces exact integer counts."""
-    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).transform(truncate_lineage)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -176,5 +178,5 @@ def train_bpe_merges(
             break
         left, right, pc = top[0]["left"], top[0]["right"], top[0]["pc"]
         merges.append((rank, left, right, int(pc)))
-        vocab = _apply_merge(vocab, left, right).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, left, right).transform(truncate_lineage)
     return merges

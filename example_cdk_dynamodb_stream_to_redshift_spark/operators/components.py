@@ -16,7 +16,9 @@ Scale notes (100 TB posture):
 - every round shuffles by node id only — uniform key, no skew amplifier;
   a high-degree node (common template dup'd 1M times) is handled by the
   groupBy-min partial aggregation (map-side combine), never by fan-out.
-- lineage is truncated every round with an eager localCheckpoint —
+- lineage is truncated every round via operators/lineage.py
+  (localCheckpoint by default, reliable checkpoint when the session sets
+  spark.graft.checkpoint.reliable=true) —
   without it the plan doubles per iteration and the DAG scheduler, not
   the data, becomes the bottleneck by round ~15. On a real cluster swap
   in ``df.checkpoint()`` against reliable storage for executor-loss
@@ -35,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .lineage import truncate_lineage
 
 
 def connected_components(
@@ -78,7 +82,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     selfmap = (
         edges.select(F.col(src).cast("long").alias("node"))
@@ -129,7 +133,7 @@ def connected_components(
             .union(mn.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         # converged when the star edges stopped moving. Both sides are
         # DISTINCT sets, so |A| == |B| plus A∖B == ∅ proves A == B — one

@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .lineage import truncate_lineage
+
 
 def global_row_number(
     df: DataFrame,
@@ -45,7 +47,7 @@ def global_row_number(
     ``order_cols`` (which MUST form a unique total order — include a
     tie-break key). No unpartitioned window anywhere in the plan."""
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint(eager=True) FREEZES the range partitioning: the
+    # truncate_lineage (eager) FREEZES the range partitioning: the
     # RangePartitioner samples boundaries with a seed derived from the RDD
     # id, so a recompute after unpersist would re-sample DIFFERENT
     # boundaries and invalidate the driver-held offsets (duplicate /
@@ -55,7 +57,7 @@ def global_row_number(
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     counts = {
         r["pid"]: r["n"]

@@ -625,6 +625,7 @@ def knn_join(
     q_id_col: str = "q_id",
     q_vec_col: str = "q",
     exact_engine_parity: bool = False,
+    q_chunk_rows: int | None = None,
 ) -> DataFrame:
     """EXACT cosine k-NN of every ``queries`` row against ``emb`` — the
     batch-serving / SemDeDup-curation primitive (one query at a time is
@@ -638,30 +639,78 @@ def knn_join(
     (dim × Q) BLAS matmul inside Arrow batches and emits only its LOCAL
     top-k per query, so the single shuffle carries ≤ partitions·Q·k
     candidate rows — never corpus rows — into the final per-query
-    window. Corpus never shuffles; scale by bounding Q per call (chunk a
-    huge query set into successive scans).
+    window. Corpus never shuffles.
+
+    ``q_chunk_rows`` bounds the driver/broadcast footprint IN CODE
+    rather than by caller discipline: a query set larger than the bound
+    is split into ⌈Q/chunk⌉ independent broadcast+scan passes whose
+    results are unioned — per-query results are independent, so chunked
+    output is row-identical to unchunked (pinned by
+    tests/test_knn_join.py). Each chunk pays one corpus scan: at 100 TB
+    pick the largest chunk that fits executor memory
+    (~chunk × dim × 8 bytes broadcast + rows_per_batch × chunk × 8
+    scores) so the scan count stays minimal.
 
     ``exact_engine_parity`` scores with the int64 q6-quantized cosine
     (exact integer dot products, HALF_UP rounding identical to
     Spark/DuckDB ``round``) so results hash-match a SQL oracle
     bit-for-bit; the default float path is the production kernel.
     """
-    import pandas as pd  # noqa: F811
-
     from pyspark.sql import types as T
 
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema[q_id_col].dataType),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
     q_rows = queries.select(q_id_col, q_vec_col).collect()
     if not q_rows:
-        return emb.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("q_id", queries.schema[q_id_col].dataType),
-                    T.StructField(id_col, emb.schema[id_col].dataType),
-                    T.StructField("cos_sim", T.DoubleType()),
-                ]
-            ),
-        )
+        return emb.sparkSession.createDataFrame([], out_schema)
+    if q_chunk_rows is not None and q_chunk_rows < len(q_rows):
+        out = None
+        for i in range(0, len(q_rows), q_chunk_rows):
+            part = _knn_join_chunk(
+                emb,
+                q_rows[i : i + q_chunk_rows],
+                out_schema,
+                k,
+                id_col,
+                vec_col,
+                q_id_col,
+                q_vec_col,
+                exact_engine_parity,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    return _knn_join_chunk(
+        emb,
+        q_rows,
+        out_schema,
+        k,
+        id_col,
+        vec_col,
+        q_id_col,
+        q_vec_col,
+        exact_engine_parity,
+    )
+
+
+def _knn_join_chunk(
+    emb: DataFrame,
+    q_rows: list,
+    out_schema,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    exact_engine_parity: bool,
+) -> DataFrame:
+    """One broadcast+scan pass of ``knn_join`` over a bounded query list."""
+    import pandas as pd  # noqa: F811
+
     q_ids = [r[q_id_col] for r in q_rows]
     q_mat = np.asarray([list(r[q_vec_col]) for r in q_rows], dtype=np.float64)
     sc = emb.sparkSession.sparkContext
@@ -671,14 +720,6 @@ def knn_join(
     else:
         bc = sc.broadcast(q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True))
     nq = len(q_ids)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("q_id", queries.schema[q_id_col].dataType),
-            T.StructField(id_col, emb.schema[id_col].dataType),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
 
     def part_topk(batches):
         # accumulate per-batch candidates; one top-k cut per PARTITION at

@@ -212,3 +212,38 @@ def test_ivf_knn_join_partial_probe_recall(spark):
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.5, recall
     assert all((q, q) in approx_set for q in range(8))  # self recalled
+
+
+def test_knn_join_chunked_equals_unchunked(spark):
+    """q_chunk_rows bounds the broadcast query matrix in code: splitting
+    the query set into successive broadcast+scan passes must be
+    row-identical to the single-pass join (per-query results are
+    independent), including a ragged final chunk and chunk == 1."""
+    import random
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators import (
+        similarity as SIM,
+    )
+
+    random.seed(23)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+
+    def result(**kw):
+        return sorted(
+            (r["q_id"], r["vec_id"], round(r["cos_sim"], 12))
+            for r in SIM.knn_join(emb, queries, k=4, **kw).collect()
+        )
+
+    base = result()
+    assert len(base) == 7 * 4
+    assert result(q_chunk_rows=3) == base  # 3+3+1: ragged tail
+    assert result(q_chunk_rows=1) == base  # degenerate: one scan per query
+    assert result(q_chunk_rows=500) == base  # bound above Q: single pass

@@ -1,0 +1,120 @@
+"""Lineage-truncation modes (operators/lineage.py): the default
+localCheckpoint and the opt-in reliable checkpoint must produce identical
+operator results — the flag trades recovery posture (executor-loss
+survival at 100 TB) for extra I/O, never semantics."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.lineage import (
+    DIR_CONF,
+    RELIABLE_CONF,
+    truncate_lineage,
+)
+
+
+@contextlib.contextmanager
+def reliable_mode(spark, ckpt_dir):
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(DIR_CONF, str(ckpt_dir))
+    try:
+        yield
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_reliable_mode_without_dir_raises(spark):
+    # only when NO checkpoint dir was ever set on the context; the spark
+    # fixture may share a context across tests, so skip if one exists
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session already has a checkpoint dir")
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.unset(DIR_CONF) if spark.conf.get(DIR_CONF, None) else None
+    try:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            truncate_lineage(spark.range(5))
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_truncate_lineage_reliable_writes_checkpoint(spark, tmp_path):
+    import os
+
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    with reliable_mode(spark, tmp_path / "ckpt"):
+        out = truncate_lineage(df)
+        assert sorted(r["x"] for r in out.collect()) == list(range(0, 200, 2))
+        # the reliable checkpoint landed on disk
+        assert any(
+            files
+            for _, _, files in os.walk(str(tmp_path / "ckpt"))
+        )
+    # default mode still works after the flag flips back
+    out2 = truncate_lineage(df)
+    assert out2.count() == 100
+
+
+def test_connected_components_agree_across_modes(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]  # 20 two-node components
+        + [(100 + i, 100 + i + 1) for i in range(30)],  # one 31-node chain
+        "src long, dst long",
+    )
+    base = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, driver_finish_edges=0).collect()
+    }
+    with reliable_mode(spark, tmp_path / "ckpt"):
+        reliable = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, driver_finish_edges=0).collect()
+        }
+    assert base == reliable
+
+
+def test_bpe_merges_agree_across_modes(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.bpe import (
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [("low lower lowest newest widest",), ("new newer low newest",)],
+        "text string",
+    )
+    base = train_bpe_merges(docs, n_merges=6)
+    with reliable_mode(spark, tmp_path / "ckpt"):
+        reliable = train_bpe_merges(docs, n_merges=6)
+    assert base == reliable
+
+
+def test_global_row_number_agrees_across_modes(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 500).alias("key"), F.col("id")
+    )
+    base = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, [F.asc("key"), F.asc("id")], num_partitions=8
+        ).collect()
+    }
+    with reliable_mode(spark, tmp_path / "ckpt"):
+        reliable = {
+            r["id"]: r["rn"]
+            for r in global_row_number(
+                df, [F.asc("key"), F.asc("id")], num_partitions=8
+            ).collect()
+        }
+    assert base == reliable
+    assert sorted(base.values()) == list(range(1, 501))
