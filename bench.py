@@ -104,6 +104,12 @@ HEADLINE = [
     "disjunctive_part_revenue_q19",
     "large_volume_customers_q18",
     "weighted_sample_topk",
+    "promo_revenue_q14",
+    "late_lines_by_priority_q12",
+    "untapped_customers_q22",
+    "nation_market_share_q8",
+    "top_supplier_revenue_q15",
+    "incremental_mv_rewards_cdc",
 ]
 
 

@@ -548,13 +548,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "language_rebalance_sample",
     "doc_chunk_windows",
     "source_centroid_embeddings",
-    # ---- r4-green anchors with the remaining slots (the next-oldest
-    # cohort; swapped for new registrations as round 6 adds them)
-    "winnowing_overlap_pairs",
-    "substring_dup_stats",
-    "bpe_pair_candidates",
-    "simhash_exact_near_dups",
-    "embedding_contamination_audit",
+    # new in r6: five more TPC-H shapes on the available columns —
+    # Q14 broadcast-dim conditional ratio, Q12 residual-predicate
+    # conditional counts, Q22 scalar-subquery + anti join, Q8 7-join
+    # market share with double-aliased nation dim, Q15 reused-aggregate
+    # scalar MAX equality
+    "promo_revenue_q14",
+    "late_lines_by_priority_q12",
+    "untapped_customers_q22",
+    "nation_market_share_q8",
+    "top_supplier_revenue_q15",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

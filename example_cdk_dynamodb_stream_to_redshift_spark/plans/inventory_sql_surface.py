@@ -1165,6 +1165,352 @@ def returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share for one ship month.
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_q14",
+    """
+    SELECT CAST(100.0
+           * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                   AS DOUBLE))
+           / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM (
+      SELECT CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS DECIMAL(28,0)) AS rev,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+    ) t
+    """,
+    "TPC-H Q14 shape: percentage of one ship-month's revenue earned by "
+    "promotional parts. The month range pushes to the lineitem scan "
+    "(PushedFilters prune ~1/80 of the table before the join), the "
+    "2-column part dim BROADCASTS, and the CASE rides a single "
+    "conditional aggregate — one map-side-combined shuffle of two "
+    "partial sums, no second pass for the denominator. Both sums are "
+    "exact integer-quantized decimals, so the double ratio is "
+    "bit-identical across engines.",
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    zero = F.lit(0).cast("decimal(28,0)")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(zero).alias("promo"),
+        rev.alias("rev"),
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum("promo").cast("double")
+            / F.sum("rev").cast("double")
+        )
+        .cast("double")
+        .alias("promo_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late lines split by order priority class.
+# (The driver tables carry no l_shipmode/l_commitdate; the shape —
+# join + residual date predicate + CASE-conditional counts on a tiny
+# group key — is preserved on the available columns.)
+# ---------------------------------------------------------------------------
+@register(
+    "late_lines_by_priority_q12",
+    """
+    SELECT l_linestatus,
+           CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS high_line_count,
+           CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "TPC-H Q12 shape (adapted: the driver's lineitem has no "
+    "l_shipmode/l_commitdate, so the priority-class split groups by "
+    "l_linestatus and lateness is shipdate > orderdate + 90d): critical- "
+    "vs regular-priority counts among late-shipped lines. The cross-table "
+    "date predicate is a JOIN RESIDUAL (not pushable — it references both "
+    "sides), both scans project only the 3 columns they contribute "
+    "(ReadSchema pruning), and the aggregate collapses onto a 2-value "
+    "group key with map-side partials, so the only real shuffle is the "
+    "o_orderkey equi-join.",
+)
+def late_lines_by_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).cast("long").alias("high_line_count"),
+            F.count(F.when(~high, 1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: well-funded customers with no orders, by country code.
+# ---------------------------------------------------------------------------
+@register(
+    "untapped_customers_q22",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9)
+    ),
+    avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM pool WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM pool, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "TPC-H Q22 shape (cntrycode = c_nationkey — the driver's customer "
+    "has no phone column): customers in 5 target countries whose balance "
+    "beats the positive-balance average and who are DORMANT — no order "
+    "since the cutoff (the driver's synthetic data gives every customer "
+    "at least one all-time order, so the literal never-ordered form "
+    "would be a vacuous 0-row check). The "
+    "scalar AVG subquery decorrelates to a 1-row aggregate CROSS-joined "
+    "back via broadcast (BroadcastNestedLoopJoin over one row — free); "
+    "the NOT EXISTS decorrelates to a LEFT ANTI hash join on o_custkey; "
+    "the country filter pushes to both customer scans. Orders is never "
+    "aggregated — the anti join needs only its key column.",
+)
+def untapped_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("a")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's market share inside a region, by year.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_market_share_q8",
+    """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                              ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS DECIMAL(28,0)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 shape: NATION_2's share of ECONOMY-part revenue sold into "
+    "ASIA-region customers, by order year. The deepest join chain in the "
+    "suite (7 joins): the part-type filter prunes part to a broadcast "
+    "key set that SEMI-reduces lineitem first; nation is broadcast TWICE "
+    "under customer-side and supplier-side aliases, region broadcast "
+    "once with its name filter pushed; numerator and denominator ride "
+    "ONE conditional aggregate over a years-bounded group key. Exact "
+    "integer-quantized volumes make the share ratio engine-identical.",
+)
+def nation_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    zero = F.lit(0).cast("decimal(28,0)")
+    rows = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"), "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.when(F.col("supp_nation") == "NATION_2", vol)
+            .otherwise(zero)
+            .alias("nvol"),
+            vol.alias("vol"),
+        )
+    )
+    return (
+        rows.groupBy("o_year")
+        .agg(
+            (
+                F.sum("nvol").cast("double") / F.sum("vol").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: the supplier(s) with the maximum one-year revenue.
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier_revenue_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                      AS DECIMAL(28,0))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total AS DOUBLE) / 1000000 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: the top supplier by one ship-year's revenue (all "
+    "of them on a tie — exact DECIMAL totals make the equality "
+    "deterministic, where float totals would drop ties to ulps). The "
+    "view's aggregate is computed ONCE and reused for both the scalar "
+    "MAX and the equality filter (ReusedExchange, the Q11 recipe); the "
+    "1-row MAX broadcasts back, and the surviving ~1-row winner set "
+    "broadcasts into the supplier name join — the big lineitem table is "
+    "scanned exactly once, with the year range pushed to the scan.",
+)
+def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        # written explicitly so BOTH consumers of `revenue` (the scalar
+        # MAX and the equality filter) canonicalize to the same subtree:
+        # without it the winner branch's equi-join infers
+        # IsNotNull(l_suppkey) onto only ITS scan and the exchange can't
+        # be reused (lineitem would be scanned + partially aggregated
+        # twice). Vacuous on TPC-H data (l_suppkey is never null).
+        & F.col("l_suppkey").isNotNull()
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+    ).cast("decimal(28,0)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total")
+    )
+    max_total = revenue.agg(F.max("total").alias("mx"))
+    winners = revenue.join(
+        F.broadcast(max_total), F.col("total") == F.col("mx")
+    ).select("supplier_no", "total")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(
+            F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total").cast("double") / 1000000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -453,3 +453,60 @@ def test_q10_pushdown_and_topk(spark):
     assert "EqualTo(l_returnflag,R)" in plan        # flag at the lineitem scan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # date range at orders scan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q14_month_pushes_and_part_broadcasts(spark):
+    plan = _plan(spark, "promo_revenue_q14")
+    # the ship-month range reaches the lineitem scan; the 2-column part
+    # dim broadcasts; numerator+denominator ride ONE aggregate pair
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_scans_prune_to_contributed_columns(spark):
+    plan = _plan(spark, "late_lines_by_priority_q12")
+    # each side reads only its 3 contributing columns (ReadSchema pruning)
+    for marker, cap in (("l_orderkey", 3), ("o_orderkey", 3)):
+        read = next(
+            l for l in plan.splitlines() if "ReadSchema" in l and marker in l
+        )
+        assert read.count(":") - 1 <= cap, read
+    # the cross-table lateness predicate is a join residual, so it can
+    # never appear as a pushed scan filter
+    assert "GreaterThan(l_shipdate" not in plan
+
+
+def test_q22_decorrelates_to_anti_join_with_broadcast_scalar(spark):
+    plan = _plan(spark, "untapped_customers_q22")
+    assert "LeftAnti" in plan  # NOT EXISTS -> anti hash join
+    # the 1-row scalar average joins via broadcast (nested-loop over 1 row)
+    assert "BroadcastNestedLoopJoin" in plan
+    # country filter pushed to the customer scan
+    assert "In(c_nationkey" in plan
+
+
+def test_q8_dims_broadcast_and_type_filter_semireduces(spark):
+    plan = _plan(spark, "nation_market_share_q8")
+    # part-type and region name filters reach their scans; nation
+    # broadcasts twice (customer-side and supplier-side aliases)
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # part, supp, n1, n2 (+region)
+
+
+def test_q15_reuses_revenue_aggregate(spark):
+    # the revenue view feeds both the scalar MAX and the equality filter
+    # from ONE computed aggregate — AQE stitches the two branches with
+    # ReusedExchange at runtime (the q11 pattern), so collect first
+    df = REGISTRY["top_supplier_revenue_q15"].spark_fn(spark, SF_CORRECTNESS)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ReusedExchange" in plan
+    # year range pushed to the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
