@@ -11,10 +11,11 @@ difference between an ANN scan that fits in cluster page cache and one
 that doesn't. Jegou et al., "Product Quantization for Nearest Neighbor
 Search", TPAMI 2011 — public method, Spark-first implementation.
 
-Plan shape (all JVM-side, no UDFs):
-- training: per-subspace Lloyd's k-means reusing the IVF trainer — each
-  iteration is a distributed assign+average job; only the M x K x d_sub
-  codebook (a few KB) ever reaches the driver.
+Plan shape (serving all JVM-side, no UDFs; training Arrow-batched):
+- training: per-subspace Lloyd's k-means — each iteration is ONE
+  Arrow-batched kernel pass emitting bounded per-partition
+  (s, cid, count, sum) partials, reduced driver-side; only the
+  M x K x d_sub codebook (a few KB) ever reaches the driver.
 - encode: per-subspace nearest-centroid assignment is the same codegen
   ``array_min(array(struct(dist, cid)...))`` expression as IVF — one
   narrow projection, no shuffle.
@@ -54,18 +55,6 @@ def _py_q6(x: float) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
 
 
-def _sub_assign(subvec: Column, sub_id: Column, books) -> Column:
-    """Nearest-centroid id of ``subvec`` within ITS subspace's codebook —
-    a lazy CASE WHEN over sub_id, so each row evaluates exactly one
-    subspace's assignment expression."""
-    expr = _assign_cid(subvec, books[0])
-    for s in range(1, len(books)):
-        expr = F.when(sub_id == s, _assign_cid(subvec, books[s])).otherwise(
-            expr
-        )
-    return expr
-
-
 def train_pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -77,11 +66,22 @@ def train_pq_codebooks(
 ) -> list[list[list[float]]]:
     """M per-subspace codebooks by Lloyd's k-means (deterministic first-K
     init, the IVF trainer's scheme), ALL subspaces trained together: one
-    distributed assign+average job per iteration — the vectors are
-    exploded into (sub_id, subvec) rows once and every subspace's
-    assignment rides the same pass (job count is O(iters), not
-    O(m * iters)). Only the m x K x (dim/m) codebook reaches the driver.
+    Arrow-batched distributed pass per iteration — the kernel slices
+    each vector into its M subvectors in numpy, assigns every subspace
+    against its broadcast codebook with one BLAS distance matrix, and
+    emits per-PARTITION (s, cid, count, component-sum) partials: at most
+    m*K rows per partition, so the collect is the bounded
+    O(partitions*m*K*d_sub) artifact class and the means reduce on the
+    driver with no shuffle. Only the m x K x (dim/m) codebook reaches
+    the driver. (Replaces the per-iteration codegen CASE-assignment +
+    posexplode per-component aggregation, which paid ~3s/iteration in
+    plan compilation alone — this kernel's plan never changes across
+    iterations, only the broadcast value.) Same tie/ulp caveats as
+    ``similarity.train_ivf_centroids``; the lossless iters=0 config —
+    the exactness-bearing one — never enters this loop.
     Returns books[m][k][i]."""
+    import numpy as np  # noqa: F811
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
@@ -97,38 +97,60 @@ def train_pq_codebooks(
     ]
     if not iters:
         return books
-    subs = emb.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub)
-                    for s in range(m)
-                ]
-            )
-        ).alias("s", "subvec")
-    )
+    sc = emb.sparkSession.sparkContext
+    vecs = emb.select(_dbl(F.col(vec_col)).alias("_v"))
     for _ in range(iters):
-        # assignment and the posexplode generator must live in separate
-        # selects: ExtractGenerator re-analyzes sibling expressions and
-        # drops the struct field aliases array_min keys on
-        rows = (
-            subs.select(
-                "s",
-                "subvec",
-                _sub_assign(F.col("subvec"), F.col("s"), books).alias("cid"),
-            )
-            .select("s", "cid", F.posexplode("subvec").alias("pos", "x"))
-            .groupBy("s", "cid", "pos")
-            .agg(F.avg("x").alias("mu"))
-            .collect()
-        )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            new.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["mu"]
+        bc = sc.broadcast(np.asarray(books, dtype=np.float64))  # m x K x d_sub
+
+        def part_stats(batches):
+            # self-contained: executors don't share driver sys.path
+            import numpy as np
+            import pandas as pd
+
+            bmat = bc.value
+            m_, k_, ds = bmat.shape
+            counts = np.zeros((m_, k_), dtype=np.int64)
+            sums = np.zeros((m_, k_, ds), dtype=np.float64)
+            bn = (bmat * bmat).sum(axis=2)  # m x K
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                for s in range(m_):
+                    sub = x[:, s * ds : (s + 1) * ds]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ bmat[s].T)
+                        + bn[s][None, :]
+                    )
+                    cid = d2.argmin(axis=1)
+                    for c in np.unique(cid):
+                        mask = cid == c
+                        counts[s, c] += int(mask.sum())
+                        sums[s, c] += sub[mask].sum(axis=0)
+            ss, cc = counts.nonzero()
+            if len(ss):
+                yield pd.DataFrame(
+                    {
+                        "s": ss.astype("int32"),
+                        "cid": cc.astype("int32"),
+                        "n": counts[ss, cc],
+                        "sums": [sums[s, c].tolist() for s, c in zip(ss, cc)],
+                    }
+                )
+
+        partials = vecs.mapInPandas(
+            part_stats, "s int, cid int, n long, sums array<double>"
+        ).collect()
+        agg_n = np.zeros((m, n_centroids), dtype=np.int64)
+        agg_s = np.zeros((m, n_centroids, d_sub), dtype=np.float64)
+        for r in partials:
+            agg_n[r["s"], r["cid"]] += r["n"]
+            agg_s[r["s"], r["cid"]] += np.asarray(r["sums"], dtype=np.float64)
         books = [
             [
-                [new[(s, c)][p] for p in range(d_sub)]
-                if (s, c) in new
+                (agg_s[s, c] / agg_n[s, c]).tolist()
+                if agg_n[s, c]
                 else books[s][c]
                 for c in range(n_centroids)
             ]
