@@ -195,11 +195,19 @@ def incremental_merge(
     if stats is not None:
         from pyspark.sql import Observation
 
-        # one combined agg job over the micro-batch-sized staged set
-        counts = staged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("eventName") == "REMOVE", 1)).alias("r"),
-        ).first()
+        if "staged_count" not in stats:
+            # one combined agg job over the micro-batch-sized staged set
+            # (skipped when the caller already derived the counts — the
+            # partitioned backend fuses them into its touched-buckets
+            # aggregate so the merge costs one fewer job)
+            counts = staged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("eventName") == "REMOVE", 1)).alias("r"),
+            ).first()
+            stats.update(
+                staged_count=counts["n"],
+                inserted_count=counts["n"] - counts["r"],
+            )
         # deleted = |target slice| - |survivors|, both observed for free
         # during the caller's write action (neither node is in the
         # broadcast-keys branch, so each executes exactly once per action)
@@ -207,8 +215,6 @@ def incremental_merge(
         target = target.observe(obs_target, F.count(F.lit(1)).alias("n"))
         stats.update(
             watermark=watermark,
-            staged_count=counts["n"],
-            inserted_count=counts["n"] - counts["r"],
             _obs_target=obs_target,
             _obs_survivors=obs_survivors,
         )

@@ -178,7 +178,27 @@ class PartitionedParquetTable:
         staged = stage_changes(extract, spec, watermark)
         staged.persist()
         try:
-            touched = self._touched_buckets(staged)
+            if stats is not None:
+                # fuse the touched-bucket collect with the staged/inserted
+                # counts: ONE agg job over the micro-batch-sized staged
+                # set instead of two (incremental_merge skips its own
+                # counts job when these keys are pre-filled)
+                row = staged.agg(
+                    F.collect_set(
+                        key_bucket(self.key_col, self.n_buckets)
+                    ).alias("bk"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(F.col("eventName") == "REMOVE", 1)
+                    ).alias("r"),
+                ).first()
+                touched = sorted(int(b) for b in row["bk"])
+                stats.update(
+                    staged_count=row["n"],
+                    inserted_count=row["n"] - row["r"],
+                )
+            else:
+                touched = self._touched_buckets(staged)
             if not touched:
                 if stats is not None:
                     stats.update(
@@ -207,10 +227,23 @@ class PartitionedParquetTable:
             # and relying on the persist() cache surviving until the final
             # write is not safe on a real cluster (eviction / executor loss
             # would recompute from deleted files). The temp write fully
-            # materializes the result while every source file is intact.
+            # materializes the result while every source file is intact —
+            # ALREADY LAID OUT per bucket (partitionBy), so the commit
+            # below is pure metadata: surviving buckets come from the
+            # staging directory listing (no distinct job) and each
+            # directory moves into place (no second Spark write). The
+            # merge is exactly ONE distributed action; on the bench
+            # heartbeat this halved the straggler entity's merge wall.
             staging = os.path.join(self.root, "_staging")
             shutil.rmtree(staging, ignore_errors=True)
-            merged.write.mode("overwrite").parquet(staging)
+            (
+                merged.withColumn(
+                    BUCKET_COL, key_bucket(self.key_col, self.n_buckets)
+                )
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
             if stats is not None:
                 # the staging write above is the action the merge's pending
                 # count observations ride on — resolve them now
@@ -218,29 +251,33 @@ class PartitionedParquetTable:
 
                 finalize_merge_stats(stats)
             try:
-                committed = self.spark.read.schema(self.schema).parquet(staging)
-                # dynamic overwrite only replaces partitions PRESENT in the
-                # output: a touched bucket whose rows were ALL deleted would
-                # keep its old files. Drop those directories BEFORE the
-                # watermark-advancing write: a crash in between leaves the
-                # watermark unmoved* and the replayed batch re-derives the
-                # same staging set and converges (REMOVE of an absent row is
-                # a no-op; re-inserts rewrite the same values). A crash
-                # inside _write itself can still tear across partitions —
-                # the residual gap a table format with a commit log
-                # (Delta/Iceberg) closes.
-                # *If the emptied bucket held the global max event time the
+                # Every bucket in `merged` is in `touched` (survivors come
+                # from touched buckets, inserts' keys are staged keys). A
+                # touched bucket ABSENT from staging lost all its rows:
+                # its directory is removed, not replaced. Ordering: the
+                # old directory is dropped before its replacement moves
+                # in, so a crash mid-commit leaves the watermark unmoved*
+                # and the replayed batch re-derives the same staging set
+                # and converges (REMOVE of an absent row is a no-op;
+                # re-inserts rewrite the same values). A crash can still
+                # tear across bucket directories — the residual gap a
+                # table format with a commit log (Delta/Iceberg) closes.
+                # *If an emptied bucket held the global max event time the
                 # watermark can move BACKWARD — harmless here because the
                 # merge input is only this micro-batch, which re-applies
                 # idempotently; no earlier batch can leak through.
-                still_present = set(self._touched_buckets(committed))
+                still_present = {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(staging)
+                    if d.startswith(f"{BUCKET_COL}=")
+                }
                 for b in touched:
-                    if b not in still_present:
-                        shutil.rmtree(
-                            os.path.join(self.root, f"{BUCKET_COL}={b}"),
-                            ignore_errors=True,
+                    dst = os.path.join(self.root, f"{BUCKET_COL}={b}")
+                    shutil.rmtree(dst, ignore_errors=True)
+                    if b in still_present:
+                        shutil.move(
+                            os.path.join(staging, f"{BUCKET_COL}={b}"), dst
                         )
-                self._write(committed)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         finally:

@@ -466,8 +466,6 @@ class CdcPipeline:
         sync_ts: dt.datetime,
         entity_stats: list[tuple[str, dict]],
     ) -> None:
-        from pyspark.sql import types as T
-
         rows = [
             (
                 entity,
@@ -485,14 +483,37 @@ class CdcPipeline:
         ]
         # batch-scoped overwrite: a replayed batch rewrites its own log rows
         # instead of appending duplicates (same idempotence recipe as the
-        # extract/quarantine writes).
-        # NOTE: no coalesce(1) — Coalesce over a LocalTableScan write was
-        # measured at ~5s per call on this Spark build (vs 0.7s plain); a
-        # couple of tiny files per batch is the cheaper trade.
-        self.spark.createDataFrame(
-            rows, T.StructType(self._sync_log_fields())
-        ).write.mode("overwrite").parquet(
-            os.path.join(self.sync_log_path, f"batch_id={batch_id}")
+        # extract/quarantine writes). The write itself is DRIVER-SIDE
+        # pyarrow (the _record_progress precedent): these are 3-4 rows of
+        # observability data per batch, and a Spark write job taxed the
+        # refresh heartbeat ~0.35s per refresh. timestamp("us", tz="UTC")
+        # keeps the parquet logical type isAdjustedToUTC so Spark reads
+        # the same TimestampType the old writer produced.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = pa.schema(
+            [
+                pa.field("entity", pa.string()),
+                pa.field("watermark", pa.timestamp("us", tz="UTC")),
+                pa.field("staged_count", pa.int64()),
+                pa.field("deleted_count", pa.int64()),
+                pa.field("inserted_count", pa.int64()),
+                pa.field("sync_ts", pa.timestamp("us", tz="UTC")),
+                pa.field("message", pa.string()),
+            ]
+        )
+        names = [f.name for f in pa_schema]
+        out_dir = os.path.join(self.sync_log_path, f"batch_id={batch_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        for old in os.listdir(out_dir):  # replay overwrites its own rows
+            if old.endswith(".parquet"):
+                os.remove(os.path.join(out_dir, old))
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rows], schema=pa_schema
+            ),
+            os.path.join(out_dir, "part-00000.parquet"),
         )
 
     def sync_log_table(self) -> DataFrame:
