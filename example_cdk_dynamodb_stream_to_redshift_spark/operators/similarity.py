@@ -769,7 +769,13 @@ def _knn_join_chunk(
         qq = _np_q6(q_mat)
         bc = sc.broadcast((qq, np.sqrt((qq * qq).sum(axis=1).astype(np.float64))))
     else:
-        bc = sc.broadcast(q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True))
+        # raw matrix + norms, NOT pre-normalized rows: cosine is computed
+        # as dot/(|x|*|q|) — the same op sequence as a scalar reference —
+        # so EXACT ties (e.g. integer-valued vectors) stay bit-equal and
+        # the ascending-id tie-break is deterministic. Normalize-first
+        # rounds per component before the dot and can split a true tie
+        # by an ulp, flipping which id wins.
+        bc = sc.broadcast((q_mat, np.sqrt((q_mat * q_mat).sum(axis=1))))
     nq = len(q_ids)
 
     def part_topk(batches):
@@ -797,9 +803,10 @@ def _knn_join_chunk(
                 norms = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
                 sims = dots / (norms[:, None] * qn[None, :])
             else:
-                qn = bc.value
-                mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = mn @ qn.T  # rows × Q
+                qm, qn = bc.value
+                dots = mat @ qm.T  # rows × Q
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                sims = dots / (norms[:, None] * qn[None, :])
             top = min(k, sims.shape[0])
             # per-query partial top-k with the FINAL tie rule (sim desc,
             # id asc): lexsort is ascending -> sort by (-sim, id)
