@@ -2152,6 +2152,41 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("batch_id", "corpus_id")
 
 
+@register(
+    "doc_link_pagerank",
+    None,  # iterative float fixpoint — rows-only; the operator is pinned
+    #       against a plain-numpy power iteration in tests/test_pagerank.py
+    "PageRank centrality over a deterministic synthetic document link "
+    "graph (each doc links to (7*id+j) mod N for j=1..3) — the link-"
+    "graph quality signal web-corpus curation weights documents by, "
+    "next to the content rules (operators/pagerank.py: per-iteration "
+    "one node-keyed shuffle, dangling mass as a broadcast 1-row agg, "
+    "lineage truncated via the reliable-checkpoint-capable helper). "
+    "Top-50 by rank.",
+)
+def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    # irregular by construction (out-degree 1 + id%3, plus every 10th doc
+    # linking to doc 0 as a hub edge) so the stationary distribution is
+    # non-uniform and the top-50 actually ranks
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.posexplode(
+            F.array(
+                *[((F.col("doc_id") * 7 + j) % n).alias(f"d{j}") for j in (1, 2, 3)]
+            )
+        ).alias("j", "dst"),
+    ).filter(F.col("j") < 1 + F.col("src") % 3).select("src", "dst")
+    hub = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    ranks = pagerank(edges.unionByName(hub), damping=0.85, iters=10, tol=None)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
