@@ -2187,6 +2187,48 @@ def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
 
+@register(
+    "doc_quality_classifier_topk",
+    None,  # iterative float GD — rows-only; the trainer is pinned against
+    #       a plain-numpy reference in tests/test_quality_classifier.py
+    "CCNet/fastText-style quality classifier "
+    "(operators/quality_classifier.py): crc32-hashed bag-of-words "
+    "features (L2-normalized, 128 buckets), logistic regression trained "
+    "by full-batch GD where each epoch is ONE Arrow kernel pass "
+    "emitting a per-partition gradient partial (bounded dim+1 vector), "
+    "reduced driver-side — corpus never shuffles, epoch plan is "
+    "iteration-invariant. Target domain = src0 (the DSIR target, "
+    "discriminated instead of ratio-reweighted); returns the top-50 "
+    "non-target docs by model keep-probability.",
+)
+def doc_quality_classifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+    from ..operators.quality_classifier import (
+        hashed_features,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("source") == "src0").cast("int").alias("label")
+    )
+    feats = truncate_lineage(  # featurize once; every epoch re-reads this
+        hashed_features(labeled, dim=128).join(
+            labeled.select("doc_id", "label"), "doc_id"
+        )
+    )
+    w = train_quality_model(feats, "label", dim=128, epochs=12)
+    scored = score_quality(docs, w, dim=128)
+    return (
+        scored.join(
+            docs.filter(F.col("source") != "src0").select("doc_id"), "doc_id", "left_semi"
+        )
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
