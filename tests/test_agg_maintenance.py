@@ -362,3 +362,67 @@ def test_cdc_delta_shape(spark, tmp_path):
         ("k9", 1): ("c", 4.0),    # fresh INSERT adds only
         # k3 untouched: no delta rows
     }
+
+
+def test_maintained_histogram_percentiles_under_retraction(spark, tmp_path):
+    """Maintained QUANTILES under CDC, by composition: a bucketed
+    histogram is just a retractable count table keyed by
+    (group, bucket) — counts subtract exactly, so MODIFY nets and
+    REMOVE retracts keep the histogram bit-exact, and any percentile
+    reads off the bucket CDF. No sketch with a difference operator is
+    needed; resolution is the bucket width (the knob a 100 TB deployment
+    sizes to its value range)."""
+    from pyspark.sql import functions as F
+
+    t = IncrementalAggTable(
+        spark,
+        str(tmp_path / "hist"),
+        key_cols=["g", "bucket"],
+        key_types=[T.StringType(), T.LongType()],
+        aggs=[("n", "count", None)],
+        retractable=True,
+    )
+
+    def delta(rows):
+        """rows: (g, value, weight) -> bucketed delta (width 10)."""
+        return spark.createDataFrame(
+            [(g, v // 10, w) for g, v, w in rows],
+            "g string, bucket long, _weight long",
+        )
+
+    live: list[int] = []
+
+    def apply(bid, rows):
+        t.apply_delta(delta(rows), bid)
+        for _, v, w in rows:
+            (live.append(v) if w > 0 else live.remove(v))
+
+    def median_bucket():
+        """bucket containing the median, read from the maintained CDF."""
+        hist = sorted(
+            (r["bucket"], r["n"]) for r in t.read().filter("g = 'a'").collect()
+        )
+        total = sum(n for _, n in hist)
+        acc = 0
+        for b, n in hist:
+            acc += n
+            if acc * 2 >= total:
+                return b
+        return None
+
+    apply(0, [("a", v, 1) for v in (5, 12, 18, 23, 37, 41, 55, 68, 74, 99)])
+    assert median_bucket() == sorted(live)[(len(live) - 1) // 2] // 10
+
+    # MODIFY three small values up into the 90s, REMOVE one mid value:
+    # the median must shift with the retractions
+    apply(1, [("a", 5, -1), ("a", 91, 1), ("a", 12, -1), ("a", 95, 1),
+              ("a", 18, -1), ("a", 93, 1), ("a", 37, -1)])
+    assert median_bucket() == sorted(live)[(len(live) - 1) // 2] // 10
+    # histogram == from-scratch recount, bucket for bucket
+    want = {}
+    for v in live:
+        want[v // 10] = want.get(v // 10, 0) + 1
+    got = {
+        r["bucket"]: r["n"] for r in t.read().filter("g = 'a'").collect()
+    }
+    assert got == want
