@@ -59,3 +59,63 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the transformWithStateInPandas API
+    (Spark 4's arbitrary-stateful-processing surface, the successor to
+    applyInPandasWithState): a StatefulProcessor with a typed ValueState
+    per user. Same semantics — lifetime event count + value total,
+    updated rows emitted per touched user per micro-batch — proven
+    equal to the applyInPandasWithState form AND to the batch ground
+    truth in tests/test_stateful_streaming.py.
+
+    What the new API adds over the old one (and why the engine carries
+    both): named TYPED state variables (value/list/map) instead of one
+    tuple, per-key timers for timeout-driven emission, state TTL
+    (``ttlDurationMs`` on getValueState evicts idle keys — the
+    unbounded-key-cardinality answer at 100 TB/day), and initial-state
+    bootstrap. The processor class is a NESTED definition so cloudpickle
+    ships it by value (module-level classes pickle by reference, which
+    breaks on workers that don't share the driver's sys.path — the
+    package-wide kernel rule).
+
+    Runtime dependency: TWS's driver-side state server requires the
+    protobuf package. Where it is absent (this build container) the
+    query fails at initialization — the equivalence test self-skips
+    there; ``running_user_stats`` (applyInPandasWithState) has no such
+    dependency and is the portable form."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
