@@ -774,3 +774,77 @@ def test_maintained_rewards_view_tracks_cdc(spark, tmp_path, partitioned):
         for r in pipe.sync_log_table().filter("entity = 'mv:rewards'").collect()
     }
     assert wm[0] == OLD  # batch 0 staged against the initial-load watermark
+
+
+def test_reference_rewards_report_served_from_maintained_view(spark, tmp_path):
+    """The reference's rewards_by_member report (sql/queries.sql:22-32)
+    served FROM the maintained view: join the incrementally-maintained
+    per-member aggregate with the member dim at read time and it must
+    equal the recompute-on-query form (plans/queries.rewards_by_member
+    over the live targets) after inserts, modifies, and removes — the
+    complete maintain-on-ingest replacement for the reference's
+    recompute-per-query architecture."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.queries import (
+        rewards_by_member,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.agg_maintenance import (
+        IncrementalAggTable,
+    )
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            member_item("m3", "Carol"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+            member_quest_item("mq2", "m3", "q1", "4.00"),
+        ],
+    )
+    pipe = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh"))
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+
+    mv = IncrementalAggTable(
+        spark,
+        str(tmp_path / "rewards_mv"),
+        key_cols=["memberId"],
+        key_types=[T.StringType()],
+        aggs=[("n_quests", "count", None), ("totalDollarsEarned", "sum", "dollarsEarned")],
+        out_types={"totalDollarsEarned": T.DoubleType()},
+        retractable=True,
+    )
+    mv.bootstrap(pipe.table("member_quest"))
+    pipe.attach_maintained_view(
+        "rewards", "member_quest", mv, ["memberId", "dollarsEarned"]
+    )
+
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            mq_env(1, "e1", "MODIFY", "mq1", "m1", "q1", "12.50", BASE_MS + 1000),
+            mq_env(2, "e2", "INSERT", "mq3", "m1", "q1", "3.00", BASE_MS + 2000),
+            mq_env(3, "e3", "REMOVE", "mq2", "m3", None, None, BASE_MS + 3000),
+        ],
+    )
+    pipe.refresh()
+
+    served = {
+        (r["memberId"], r["memberName"]): r["totalDollarsEarned"]
+        for r in mv.read()
+        .join(F.broadcast(pipe.table("member")), "memberId")
+        .select("memberId", "memberName", "totalDollarsEarned")
+        .collect()
+    }
+    recomputed = {
+        (r["memberId"], r["memberName"]): r["totalDollarsEarned"]
+        for r in rewards_by_member(
+            pipe.table("member_quest"), pipe.table("member")
+        ).collect()
+    }
+    assert served == recomputed == {("m1", "Alice"): 15.5}
