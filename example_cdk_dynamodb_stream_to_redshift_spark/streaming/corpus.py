@@ -75,6 +75,9 @@ class CorpusIngestPipeline:
         bands: int = 4,
         jaccard_threshold: float = 0.5,
         quality_filter: bool = False,
+        quality_model=None,
+        quality_model_dim: int = 256,
+        quality_threshold: float = 0.5,
         history_probe: str = "scan",
         bloom_bits: int = 1 << 23,
         bloom_k: int = 4,
@@ -88,6 +91,12 @@ class CorpusIngestPipeline:
         bits per expected corpus doc for ε ≈ 1%."""
         if history_probe not in ("scan", "bloom"):
             raise ValueError(f"history_probe must be scan|bloom, got {history_probe!r}")
+        # trained quality gate (operators/quality_classifier.py weights):
+        # scored per micro-batch, docs below threshold never reach the
+        # dedup machinery — the learned complement of the Gopher rules
+        self.quality_model = quality_model
+        self.quality_model_dim = quality_model_dim
+        self.quality_threshold = quality_threshold
         self.spark = spark
         self.input_path = input_path
         self.corpus_path = os.path.join(warehouse, "corpus")
@@ -144,6 +153,24 @@ class CorpusIngestPipeline:
             # spends hashes or index probes on docs that would be dropped
             # anyway: the C4/Gopher pipeline ordering
             batch = batch.filter(_text.gopher_kept("text"))
+        if self.quality_model is not None:
+            # learned gate after the rule gate (CCNet ordering: cheap
+            # rules prune, the classifier decides the borderline): one
+            # Arrow scoring pass over the (micro-batch-sized) survivors,
+            # kept ids semi-joined back — batch-scoped, no history I/O
+            from ..operators.quality_classifier import score_quality
+
+            kept = (
+                score_quality(
+                    batch,
+                    self.quality_model,
+                    dim=self.quality_model_dim,
+                    id_cols=["doc_id"],
+                )
+                .filter(F.col("quality_score") >= self.quality_threshold)
+                .select("doc_id")
+            )
+            batch = batch.join(F.broadcast(kept), "doc_id", "left_semi")
         fp_batch = batch.withColumn("fp", content_fingerprint())
         # within-batch keep-first (ST3 analogue): min doc_id per fingerprint,
         # deterministic regardless of arrival order inside the batch

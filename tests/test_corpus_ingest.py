@@ -400,3 +400,46 @@ def test_compact_near_dedup_index_keeps_probing(spark, tmp_path):
     # suppressed via the COMPACTED index
     assert _ids(pipe) == {1, 2, 4}
     assert _index_ids(pipe) == {1, 2, 4}
+
+
+def test_trained_quality_model_gates_ingestion(spark, tmp_path):
+    """A trained classifier (operators/quality_classifier.py) plugged
+    into ingestion as the learned gate: below-threshold docs never reach
+    the dedup machinery, and the gate composes with exact dedup (a
+    duplicate GOOD doc is still suppressed)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.quality_classifier import (
+        hashed_features,
+        train_quality_model,
+    )
+
+    good = "clean prose article reference cited edited"
+    bad = "zzz spamspam clickbux w1nn3r freefree xoxo"
+    train = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else bad, 1 - i % 2) for i in range(40)],
+        "doc_id long, text string, label int",
+    )
+    feats = hashed_features(train, dim=64).join(
+        train.select("doc_id", "label"), "doc_id"
+    ).localCheckpoint(eager=True)
+    w = train_quality_model(feats, "label", dim=64, epochs=20)
+
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, quality_model=w, quality_model_dim=64,
+        quality_threshold=0.5,
+    )
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [(1, good), (2, bad), (3, good + " extra"), (4, good)],  # 4 dups 1? no: same text as 1
+    )
+    pipe.refresh()
+    # 2 rejected by the model; 4 passes the model but exact-dedups vs 1
+    assert _ids(pipe) == {1, 3}
+
+    # second refresh: model keeps gating, history dedup keeps suppressing
+    _write_docs(
+        os.path.join(inp, "b2.json"),
+        [(5, bad + " more"), (6, good), (7, "clean cited article prose")],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {1, 3, 7}
