@@ -198,7 +198,9 @@ class IncrementalAggTable:
         return batch.groupBy(*self.key_cols).agg(*exprs)
 
     def _merge_col(self, out: str, kind: str) -> F.Column:
-        a, b = F.col(f"s.{out}"), F.col(f"p.{out}")
+        # dataset aliases must not collide with USER column names ("s"
+        # was a perfectly reasonable sum column — and ambiguous)
+        a, b = F.col(f"__ivm_state.{out}"), F.col(f"__ivm_partial.{out}")
         field = self.table.schema[out].dataType
         if kind in ("count", "sum"):
             zero = F.lit(0).cast(field)
@@ -218,10 +220,12 @@ class IncrementalAggTable:
         return F.coalesce(op(a, b), a, b).cast(field).alias(out)
 
     def _merge_partial(self, partial: DataFrame, batch_id: int) -> None:
-        state = self.table.read().alias("s")
-        partial = partial.alias("p")
+        state = self.table.read().alias("__ivm_state")
+        partial = partial.alias("__ivm_partial")
         keys = [
-            F.coalesce(F.col(f"s.{k}"), F.col(f"p.{k}")).alias(k)
+            F.coalesce(
+                F.col(f"__ivm_state.{k}"), F.col(f"__ivm_partial.{k}")
+            ).alias(k)
             for k in self.key_cols
         ]
         merged = state.join(partial, on=self.key_cols, how="full_outer").select(

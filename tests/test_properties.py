@@ -207,3 +207,70 @@ def test_span_dedup_matches_python_reference(spark, texts):
         assert r["n_spans"] == len(spans), (i, spans)
         assert r["n_spans_kept"] == len(kept)
         assert r["clean_text"] == " ".join(kept)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data(), n_batches=st.integers(min_value=1, max_value=4))
+def test_delta_ivm_matches_recompute_on_random_cdc_history(
+    spark, tmp_path_factory, data, n_batches
+):
+    """Retractable IncrementalAggTable vs from-scratch GROUP BY over the
+    live multiset, across RANDOM insert/modify/remove histories: random
+    keys (collisions deliberate), random quarter-valued amounts (exact
+    in binary — the value class the CDC fixtures use), random batch
+    boundaries. Covers group emptying-and-returning, modify-to-same-
+    value, and remove-before-insert orderings a fixed fixture misses."""
+    from pyspark.sql import types as T
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.agg_maintenance import (
+        IncrementalAggTable,
+    )
+
+    t = IncrementalAggTable(
+        spark,
+        str(tmp_path_factory.mktemp("ivm_prop")),
+        key_cols=["g"],
+        key_types=[T.StringType()],
+        aggs=[("n", "count", None), ("s", "sum", "v")],
+        out_types={"s": T.DoubleType()},
+        retractable=True,
+    )
+    live: dict[str, list[float]] = {}
+    for bid in range(n_batches):
+        ops = []
+        n_ops = data.draw(st.integers(min_value=0, max_value=6), label="n_ops")
+        for _ in range(n_ops):
+            g = data.draw(st.sampled_from(["a", "b", "c"]), label="g")
+            vals = live.get(g, [])
+            can_remove = bool(vals)
+            op = data.draw(
+                st.sampled_from(
+                    ["insert", "modify", "remove"] if can_remove else ["insert"]
+                ),
+                label="op",
+            )
+            if op == "insert":
+                v = data.draw(st.integers(min_value=0, max_value=40), label="v") * 0.25
+                ops.append((g, v, 1))
+                live.setdefault(g, []).append(v)
+            elif op == "remove":
+                old = data.draw(st.sampled_from(vals), label="old")
+                ops.append((g, old, -1))
+                vals.remove(old)
+            else:  # modify = retract old + insert new (possibly equal)
+                old = data.draw(st.sampled_from(vals), label="old2")
+                new = data.draw(st.integers(min_value=0, max_value=40), label="nv") * 0.25
+                ops.append((g, old, -1))
+                ops.append((g, new, 1))
+                vals.remove(old)
+                vals.append(new)
+        delta = spark.createDataFrame(
+            ops or [("a", 0.0, 1), ("a", 0.0, -1)],  # empty batch -> net-zero pair
+            "g string, v double, _weight long",
+        )
+        assert t.apply_delta(delta, bid) is True
+        got = {r["g"]: (r["n"], r["s"]) for r in t.read().collect()}
+        want = {
+            g: (len(vs), sum(vs)) for g, vs in live.items() if vs
+        }
+        assert got == want, f"divergence after batch {bid}"
