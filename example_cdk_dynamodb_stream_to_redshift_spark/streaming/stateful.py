@@ -110,8 +110,7 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
                 {"user_id": [user_id], "n_events": [n], "total_value": [total]}
             )
 
-        def close(self) -> None:
-            pass
+        # close(): base-class default suffices — no resources to release
 
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningStats(),
