@@ -76,19 +76,26 @@ def connected_components(
     tests/test_components.py pins the O(log n) bound empirically on
     chain graphs (the diameter-bound worst case for label propagation).
     """
-    e = (
+    # Checkpoint the distinct edge set ONCE, self-loops still in, and hang
+    # EVERYTHING downstream off it — the working set AND selfmap. The edge
+    # source is typically the most expensive subtree in the whole job (a
+    # near-dup candidate join over the corpus); deriving selfmap from the
+    # raw `edges` would re-execute that subtree a second time when the
+    # caller materializes the result (the root-mapping join reads selfmap),
+    # doubling the dominant cost at any scale.
+    e0 = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .transform(truncate_lineage)
     )
     selfmap = (
-        edges.select(F.col(src).cast("long").alias("node"))
-        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
+    e = e0.filter(F.col("u") != F.col("v"))
     if e.isEmpty():
         if stats is not None:
             stats["rounds"] = 0
