@@ -44,7 +44,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _assign_cid, _dbl
+from .similarity import _assign_cid, _dbl, _dlit
 
 
 def _py_q6(x: float) -> int:
@@ -179,11 +179,21 @@ def pq_encode(
 
 
 def _lut_lit(table: list[list[int | float]], cell_type: str) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.lit(v).cast(cell_type) for v in row])
-            for row in table
-        ]
+    """ADC lookup-table literal in ONE expression-parse call (py4j
+    round-trips per cell made the per-element F.lit form the dominant
+    driver cost — see similarity.double_array_lit)."""
+    if cell_type == "long":
+        cell = lambda v: f"{int(v)}L"  # noqa: E731
+    elif cell_type == "double":
+        cell = _dlit  # noqa: E731
+    else:
+        raise ValueError(f"unsupported ADC cell type: {cell_type}")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(cell(v) for v in row) + ")" for row in table
+        )
+        + ")"
     )
 
 

@@ -51,6 +51,42 @@ def _dbl(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dlit(x: float) -> str:
+    """Exact double-literal SQL text. ``repr`` emits the shortest decimal
+    that round-trips the double, and Spark's literal parser is correctly
+    rounded, so the parsed value is BIT-IDENTICAL to ``F.lit(x)``
+    (asserted in tests/test_pq_ann.py)."""
+    return repr(float(x)) + "D"
+
+
+def double_array_lit(values) -> Column:
+    """``array<double>`` literal built with ONE expression-parse call.
+
+    ``F.array(*[F.lit(x) ...])`` / ``F.lit([...])`` pay a py4j
+    round-trip per element — ~0.6s of pure DRIVER time for a 1k-float
+    codebook, per call, which dominated ANN plan construction (the
+    measured bulk of pq/ivfpq "build" cost at bench SF). Parsing one SQL
+    string is O(ms) and yields the bitwise-identical literal."""
+    return F.expr("array(" + ",".join(_dlit(v) for v in values) + ")")
+
+
+def long_array_lit(values) -> Column:
+    """``array<bigint>`` literal via one expression-parse call."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def double_matrix_lit(rows) -> Column:
+    """``array<array<double>>`` literal via one expression-parse call —
+    see ``double_array_lit`` for why not ``F.lit(nested_list)``."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def _q6(col: Column) -> Column:
     """Quantize each component to round(x * 1e6) as int64."""
     return F.transform(col, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
@@ -137,7 +173,7 @@ def srp_signature(
     dv = _dbl(vec)
     bits = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = double_array_lit(plane)
         d = _fold_sum(F.zip_with(dv, p, lambda x, y: x * y), F.lit(0.0))
         # shiftleft, not a lit: 1 << 63 overflows a signed long literal
         bits = bits + F.when(
@@ -261,7 +297,7 @@ def srp_topk(
     probes = index.sparkSession.createDataFrame(
         [(qbucket ^ m,) for m in masks], "bucket long"
     )
-    qcol = F.array(*[F.lit(float(x)) for x in qrow["q"]])
+    qcol = double_array_lit(qrow["q"])
     sim = cosine_q6 if exact_engine_parity else cosine
     return (
         index.join(F.broadcast(probes), "bucket")
@@ -288,7 +324,7 @@ def _assign_cid(vec: Column, centroids: list[list[float]]) -> Column:
     per-centroid distance trees): the expression tree stays O(1) operator
     nodes regardless of K, which keeps Catalyst analysis flat as K grows
     (at K=64 the per-centroid form spent tens of seconds in the analyzer)."""
-    cl = F.lit([[float(x) for x in c] for c in centroids])
+    cl = double_matrix_lit(centroids)
     cands = F.transform(
         cl,
         lambda c, i: F.struct(
@@ -468,7 +504,7 @@ def ivf_topk(
         for cid, c in enumerate(centroids)
     ]
     probe_cids = [cid for _, cid in sorted(dists)[:nprobe]]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     sim = cosine_q6 if exact_engine_parity else cosine
     return (
         index.filter(F.col("cid").isin(probe_cids))

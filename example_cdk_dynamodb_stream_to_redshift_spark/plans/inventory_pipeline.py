@@ -1311,10 +1311,12 @@ def source_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heaps, no global sort). Deterministic tie-break on vec_id.",
 )
 def quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import long_array_lit
+
     emb = load_table(spark, sf_dir, "embeddings")
     q8s = _quantized_q8(emb)
     qvec = q8s.filter(F.col("vec_id") == 0).select("q8").first()[0]
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qvec])
+    qlit = long_array_lit(qvec)
     dot = F.aggregate(
         F.zip_with("q8", qlit, lambda a, b: a * b),
         F.lit(0).cast("long"),

@@ -157,3 +157,29 @@ def test_ivfpq_partial_probe_recall(spark, emb):
     # of the true top-10, and the query vector itself must survive
     assert len(got & want) >= 5
     assert 0 in got
+
+
+def test_expr_literals_bitwise_equal_f_lit(spark):
+    """double_array_lit/double_matrix_lit/_lut_lit build literals via ONE
+    SQL parse instead of a py4j call per element; the parsed doubles must
+    be BIT-identical to F.lit's (repr round-trip + correctly-rounded
+    parser), or every quantized cosine downstream shifts by ulps."""
+    import struct as st
+
+    random.seed(11)
+    vals = [random.uniform(-1e6, 1e6) for _ in range(64)] + [
+        0.0, -0.0, 1e-308, -1.5e300, 0.1, 1.0 / 3.0, 2.0**-52, 1e-05
+    ]
+    row = spark.range(1).select(
+        SIM.double_array_lit(vals).alias("a"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+        SIM.double_matrix_lit([vals[:8], vals[8:16]]).alias("m"),
+        F.lit([[float(v) for v in vals[:8]], [float(v) for v in vals[8:16]]]).alias("n"),
+        PQ._lut_lit([[1, -5, 2**62]], "long").alias("l"),
+    ).first()
+    bits = lambda xs: [st.pack(">d", x) for x in xs]  # noqa: E731
+    assert bits(row["a"]) == bits(row["b"])
+    assert [bits(r) for r in row["m"]] == [bits(r) for r in row["n"]]
+    assert row["l"] == [[1, -5, 2**62]]
+    with pytest.raises(ValueError):
+        PQ._lut_lit([[1.0]], "int")
