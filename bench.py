@@ -177,6 +177,35 @@ def _bench_cdc_refresh(spark, n_events: int = 2000):
         pipe.refresh()
         total = round(time.perf_counter() - t0, 4)
         stages = dict(pipe.last_batch_stages)
+        # WARM refresh: same pipeline object, next 2k events. This is the
+        # steady-state heartbeat a long-running sync loop pays — it skips
+        # the per-entity MAX(ts) watermark scan via the carried watermark
+        # (stats["next_watermark"]), which the cold number above cannot
+        # show because the first refresh after a bootstrap always reads
+        # the watermark from the table.
+        with open(os.path.join(stream_d, "b1.json"), "w") as fh:
+            for i in range(n_events, 2 * n_events):
+                uid = f"m{i % 500}"
+                env = {
+                    "eventID": f"e{i}", "awsRegion": "r",
+                    "eventName": "MODIFY" if i % 7 else "REMOVE",
+                    "userIdentity": None, "tableName": "t",
+                    "eventSource": "aws:dynamodb",
+                    "dynamodb": {
+                        "ApproximateCreationDateTime": base_ms + i * 1000,
+                        "Keys": {"pk": av(f"M_{uid}"), "sk": av(f"n{i}")},
+                        "NewImage": {"pk": av(f"M_{uid}"), "sk": av(f"n{i}"),
+                                     "memberId": av(uid), "memberName": av(f"n{i}")},
+                    },
+                }
+                fh.write(json.dumps({
+                    "approximate_arrival_timestamp": "2023-11-15T00:00:00.000Z",
+                    "partition_key": f"M_{uid}", "shard_id": "s0",
+                    "sequence_number": str(i).zfill(20),
+                    "kinesis_data": json.dumps(env)}) + "\n")
+        t0 = time.perf_counter()
+        pipe.refresh()
+        warm_total = round(time.perf_counter() - t0, 4)
         # overhead = wall minus the NON-overlapping stages (per-entity
         # merge_*_sec run concurrently inside merge_wall_sec — summing
         # them would double-count)
@@ -189,7 +218,10 @@ def _bench_cdc_refresh(spark, n_events: int = 2000):
         stages["stream_overhead_sec"] = round(
             total - sum(stages.get(k, 0.0) for k in sequential), 4
         )
-        return total, stages
+        stages["warm_member_phase_sec"] = dict(
+            pipe.last_merge_stats.get("member", {}).get("merge_phase_sec", {})
+        )
+        return total, stages, warm_total
     except Exception as ex:  # a broken CDC path must be VISIBLE, not omitted
         print(f"cdc_refresh bench FAILED: {ex!r}", file=sys.stderr)
         return None
@@ -416,8 +448,11 @@ def main() -> None:
     cdc_runs = [t for t in (_bench_cdc_refresh(spark, n_events=2000) for _ in range(2)) if t is not None]
     cdc_stages: dict[str, float] = {}
     if cdc_runs:
-        best_total, cdc_stages = min(cdc_runs, key=lambda x: x[0])
+        best_total, cdc_stages, _ = min(cdc_runs, key=lambda x: x[0])
         timings["cdc_refresh_2k_events"] = best_total
+        # steady-state heartbeat: second refresh of the same pipeline —
+        # carried watermark, no per-entity MAX(ts) target scan
+        timings["cdc_refresh_2k_events_warm"] = min(w for _, _, w in cdc_runs)
     shutil.rmtree(chunked, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
@@ -439,9 +474,13 @@ def main() -> None:
         # queries is still visible: end_to_end(q) = build_sec[q] + queries[q]
         "build_sec": builds,
         "build_total_sec": round(sum(builds.values()), 4),
-        # stage decomposition of the BEST cdc refresh (7 bounded keys) —
+        # stage decomposition of the BEST cdc refresh (bounded keys) —
         # makes heartbeat drift attributable across rounds
         "cdc_refresh_stages": cdc_stages,
+        # steady-state (second-refresh) heartbeat, also under "queries" as
+        # cdc_refresh_2k_events_warm; top-level so the compact summary
+        # (the driver-tail-safe last line) carries it
+        "cdc_refresh_warm_sec": timings.get("cdc_refresh_2k_events_warm"),
     }
     comparison = _prior_round_comparison(timings, builds, calib=calib)
     if comparison:
@@ -500,6 +539,7 @@ def main() -> None:
             "shared_query_ratio_calib",
             "shared_end_to_end_ratio_calib",
             "cdc_refresh_stages",
+            "cdc_refresh_warm_sec",
         )
         if k in out
     }

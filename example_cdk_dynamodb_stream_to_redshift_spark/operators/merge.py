@@ -203,10 +203,23 @@ def incremental_merge(
             counts = staged.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(F.when(F.col("eventName") == "REMOVE", 1)).alias("r"),
+                # post-merge in-table watermark (MAX ts of inserted rows)
+                # as a rider column — lets a long-lived caller carry the
+                # watermark forward and skip the next refresh's MAX(ts)
+                # table scan (see PartitionedParquetTable.merge)
+                F.max(
+                    F.when(
+                        F.col("eventName") != "REMOVE",
+                        F.col("approximateUpdateTimestamp"),
+                    )
+                ).alias("mx"),
             ).first()
             stats.update(
                 staged_count=counts["n"],
                 inserted_count=counts["n"] - counts["r"],
+                next_watermark=(
+                    max(watermark, counts["mx"]) if counts["mx"] else watermark
+                ),
             )
         # deleted = |target slice| - |survivors|, both observed for free
         # during the caller's write action (neither node is in the

@@ -151,6 +151,7 @@ class PartitionedParquetTable:
         sync_ts: dt.datetime | None = None,
         initial_load_guard: bool = True,
         stats: dict | None = None,
+        watermark: dt.datetime | None = None,
     ) -> list[int]:
         """Partition-scoped CDC merge; returns the touched bucket ids.
 
@@ -160,12 +161,29 @@ class PartitionedParquetTable:
         dict) receives the same merge diagnostics as ``incremental_merge``;
         here the deleted-count semi-join runs against the bucket-pruned
         slice only.
+
+        ``watermark``, when given, skips the per-refresh MAX(ts) scan of
+        the WHOLE target (the one un-pruned read this path had left): a
+        long-lived caller carries ``stats["next_watermark"]`` from one
+        refresh to the next and only pays the table read on cold start —
+        see CdcPipeline. At 100 TB that turns a per-refresh O(table) job
+        into O(1) driver state, with identical replay semantics (restart
+        falls back to the in-table watermark, ST2).
         """
         from .merge import _EPOCH, read_watermark, stage_changes
 
         raw = self._read_raw()
         cols = [f.name for f in self.schema.fields]
-        watermark = read_watermark(raw)
+        # per-phase wall clock, recorded into stats["merge_phase_sec"] so a
+        # drift in one entity's merge time decomposes (watermark read /
+        # staged agg / staging write / directory commit)
+        import time as _time
+
+        _phase: dict[str, float] = {}
+        _t = _time.perf_counter()
+        if watermark is None:
+            watermark = read_watermark(raw)
+        _phase["watermark_read"] = round(_time.perf_counter() - _t, 4)
         if watermark is None or watermark == _EPOCH:
             if initial_load_guard:
                 # same ST8 behavior as the full-rewrite path
@@ -177,7 +195,10 @@ class PartitionedParquetTable:
 
         staged = stage_changes(extract, spec, watermark)
         staged.persist()
+        if stats is not None:
+            stats["merge_phase_sec"] = _phase
         try:
+            _t = _time.perf_counter()
             if stats is not None:
                 # fuse the touched-bucket collect with the staged/inserted
                 # counts: ONE agg job over the micro-batch-sized staged
@@ -191,18 +212,33 @@ class PartitionedParquetTable:
                     F.count(
                         F.when(F.col("eventName") == "REMOVE", 1)
                     ).alias("r"),
+                    # post-merge in-table watermark, rider column on the
+                    # same job: MAX(ts) over the rows this merge INSERTS
+                    # (REMOVEs delete and contribute nothing to the
+                    # table's max, exactly like a fresh read would see)
+                    F.max(
+                        F.when(
+                            F.col("eventName") != "REMOVE",
+                            F.col("approximateUpdateTimestamp"),
+                        )
+                    ).alias("mx"),
                 ).first()
                 touched = sorted(int(b) for b in row["bk"])
                 stats.update(
                     staged_count=row["n"],
                     inserted_count=row["n"] - row["r"],
+                    next_watermark=(
+                        max(watermark, row["mx"]) if row["mx"] else watermark
+                    ),
                 )
             else:
                 touched = self._touched_buckets(staged)
+            _phase["staged_agg"] = round(_time.perf_counter() - _t, 4)
             if not touched:
                 if stats is not None:
                     stats.update(
                         watermark=watermark,
+                        next_watermark=watermark,
                         staged_count=0,
                         deleted_count=0,
                         inserted_count=0,
@@ -236,6 +272,7 @@ class PartitionedParquetTable:
             # heartbeat this halved the straggler entity's merge wall.
             staging = os.path.join(self.root, "_staging")
             shutil.rmtree(staging, ignore_errors=True)
+            _t = _time.perf_counter()
             (
                 merged.withColumn(
                     BUCKET_COL, key_bucket(self.key_col, self.n_buckets)
@@ -244,12 +281,14 @@ class PartitionedParquetTable:
                 .partitionBy(BUCKET_COL)
                 .parquet(staging)
             )
+            _phase["staging_write"] = round(_time.perf_counter() - _t, 4)
             if stats is not None:
                 # the staging write above is the action the merge's pending
                 # count observations ride on — resolve them now
                 from .merge import finalize_merge_stats
 
                 finalize_merge_stats(stats)
+            _t = _time.perf_counter()
             try:
                 # Every bucket in `merged` is in `touched` (survivors come
                 # from touched buckets, inserts' keys are staged keys). A
@@ -280,6 +319,7 @@ class PartitionedParquetTable:
                         )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
+                _phase["commit_move"] = round(_time.perf_counter() - _t, 4)
         finally:
             staged.unpersist()
         return touched

@@ -25,6 +25,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.merge import _EPOCH as _MERGE_EPOCH
 from ..operators.merge import ALL_SPECS, incremental_merge
 from ..operators.storage import ParquetTable
 from ..plans.extract import build_extract
@@ -69,6 +70,15 @@ class CdcPipeline:
         self.last_batch_stages: dict[str, float] = {}
         # entity name -> [(view name, IncrementalAggTable, delta cols)]
         self.maintained_views: dict[str, list] = {}
+        # entity name -> merge stats dict of the most recent micro-batch
+        # (counts, watermark, per-phase wall clock)
+        self.last_merge_stats: dict[str, dict] = {}
+        # entity name -> watermark carried forward from the last merge
+        # (stats["next_watermark"]): skips the per-refresh MAX(ts) scan
+        # of the whole target. Driver state only — a restart (or
+        # re-bootstrap) falls back to the in-table watermark read (ST2),
+        # so replay semantics are unchanged.
+        self._watermarks: dict[str, dt.datetime] = {}
         self.merge_shuffle_partitions = merge_shuffle_partitions
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
@@ -115,14 +125,18 @@ class CdcPipeline:
         )
 
     def _apply_maintained_views(
-        self, table, spec, extract: DataFrame, batch_id: int
+        self, table, spec, extract: DataFrame, batch_id: int,
+        watermark: dt.datetime | None = None,
     ) -> list[tuple[str, dict]]:
         """Compute this entity's CDC delta once per view and apply it;
         returns sync-log rows stamping each view's freshness (the
         watermark its delta was staged against + applied batch id) so
         the reference's lag monitors (sql/queries.sql:1-19) cover the
         maintained reports too. Delta row counts ride the view's own
-        state-write action via ``observe`` — zero extra jobs."""
+        state-write action via ``observe`` — zero extra jobs.
+        ``watermark``: carried-forward value from the last merge (same
+        contract as PartitionedParquetTable.merge) — skips this path's
+        own MAX(ts) scan of the target when present."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -133,7 +147,8 @@ class CdcPipeline:
         if not views:
             return []
         target_df = table.read()
-        watermark = read_watermark(target_df)
+        if watermark is None:
+            watermark = read_watermark(target_df)
         if watermark is None or watermark == _EPOCH:
             raise ValueError(
                 f"initial load has not been performed for {spec.name}: "
@@ -227,6 +242,9 @@ class CdcPipeline:
                     self.targets[name].append(df)
         finally:
             dump.unpersist()
+        # a re-bootstrap rewrites the targets: any carried watermark is
+        # stale — next refresh re-reads it from the table
+        self._watermarks.clear()
 
     # -- streaming refresh ------------------------------------------------
     def _merge_batch(self, records: DataFrame, batch_id: int) -> None:
@@ -309,17 +327,34 @@ class CdcPipeline:
                 # delete, and their ledger makes a crash between view
                 # apply and target commit replay-safe (see
                 # attach_maintained_view)
+                # carried-forward watermark (None on cold start -> the
+                # merge and the view path read it from the target, ST2)
+                wm = self._watermarks.get(spec.name)
                 mv_rows = self._apply_maintained_views(
-                    table, spec, extract, batch_id
+                    table, spec, extract, batch_id, watermark=wm
                 )
                 if hasattr(table, "merge"):  # partition-scoped backend
-                    table.merge(extract, spec, sync_ts, stats=stats)
+                    table.merge(
+                        extract, spec, sync_ts, stats=stats, watermark=wm
+                    )
                 else:
                     merged = incremental_merge(
-                        table.read(), extract, spec, sync_ts, stats=stats
+                        table.read(),
+                        extract,
+                        spec,
+                        sync_ts,
+                        stats=stats,
+                        watermark=wm,
                     )
                     table.overwrite(merged)
                     finalize_merge_stats(stats)  # counts observed by the write
+                nw = stats.get("next_watermark")
+                if nw is not None and nw != _MERGE_EPOCH:
+                    self._watermarks[spec.name] = nw
+                # expose the merge's full diagnostics (incl. the per-phase
+                # wall clock the partitioned backend records) for the last
+                # processed batch
+                self.last_merge_stats[spec.name] = stats
                 stages[f"merge_{spec.name}_sec"] = round(
                     _time.perf_counter() - tm, 4
                 )

@@ -848,3 +848,72 @@ def test_reference_rewards_report_served_from_maintained_view(spark, tmp_path):
         ).collect()
     }
     assert served == recomputed == {("m1", "Alice"): 15.5}
+
+
+@pytest.mark.parametrize("partitioned", [False, True], ids=["full", "bucketed"])
+def test_carried_watermark_matches_table_read_and_restart(
+    spark, tmp_path, partitioned
+):
+    """The pipeline carries stats["next_watermark"] forward so warm
+    refreshes skip the MAX(ts) target scan. The carried value must equal
+    what a fresh table read would produce (so warm and cold paths stage
+    identically), and a restarted pipeline (cold read, same checkpoint)
+    must leave the targets byte-identical to the long-lived one."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+        read_watermark,
+    )
+
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "p0.json"),
+        [member_item("m1", "Alice"), member_item("m2", "Bob"),
+         quest_item("q1", "Q"), member_quest_item("mq1", "m1", "q1", "10.00")],
+    )
+
+    def mk():
+        return CdcPipeline(
+            spark, str(stream_dir), str(tmp_path / "wh"),
+            partitioned=partitioned,
+        )
+
+    pipe = mk()
+    pipe.initial_load(str(export_dir), sync_ts=OLD)
+    assert pipe._watermarks == {}  # cold: nothing carried yet
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+            member_env(2, "e2", "REMOVE", "m2", "Bob", BASE_MS + 5000),
+        ],
+    )
+    pipe.refresh()
+    # carried == what a cold read of the post-merge target reports: the
+    # REMOVE (later ts) never lands in the table, so neither side counts it
+    carried = pipe._watermarks["member"]
+    assert carried == read_watermark(pipe.table("member"))
+    # restart: a NEW pipeline (empty carry) over the same warehouse +
+    # checkpoint applies the next batch against the in-table watermark
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [member_env(3, "e3", "MODIFY", "m3", "Caroline", BASE_MS + 9000)],
+    )
+    pipe2 = mk()
+    assert pipe2._watermarks == {}
+    pipe2.refresh()
+    rows = {
+        r["memberId"]: r["memberName"]
+        for r in pipe2.table("member").collect()
+    }
+    assert rows == {"m1": "Alice", "m3": "Caroline"}
+    # the restart merge recorded the pre-merge watermark it READ from the
+    # table — the same value the long-lived pipeline had carried
+    log = pipe2.sync_log_table().filter(
+        "entity = 'member' AND batch_id = 1"
+    ).first()
+    assert log["watermark"] == carried
+    # and the carry advanced to the new event time
+    assert pipe2._watermarks["member"] == dt.datetime.fromtimestamp(
+        (BASE_MS + 9000) // 1000, dt.timezone.utc
+    ).replace(tzinfo=None)
