@@ -67,24 +67,31 @@ def double_array_lit(values) -> Column:
     codebook, per call, which dominated ANN plan construction (the
     measured bulk of pq/ivfpq "build" cost at bench SF). Parsing one SQL
     string is O(ms) and yields the bitwise-identical literal."""
-    return F.expr("array(" + ",".join(_dlit(v) for v in values) + ")")
+    body = ",".join(_dlit(v) for v in values)
+    if not body:  # bare array() parses as array<void> — pin the type
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr(f"array({body})")
 
 
 def long_array_lit(values) -> Column:
     """``array<bigint>`` literal via one expression-parse call."""
-    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+    body = ",".join(f"{int(v)}L" for v in values)
+    if not body:
+        return F.expr("CAST(array() AS array<bigint>)")
+    return F.expr(f"array({body})")
 
 
 def double_matrix_lit(rows) -> Column:
     """``array<array<double>>`` literal via one expression-parse call —
     see ``double_array_lit`` for why not ``F.lit(nested_list)``."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(_dlit(v) for v in r) + ")" for r in rows
-        )
-        + ")"
+    body = ",".join(
+        "array(" + ",".join(_dlit(v) for v in r) + ")" for r in rows
     )
+    if not body or not all(len(r) for r in rows):
+        return F.expr(
+            "CAST(array(" + body + ") AS array<array<double>>)"
+        )
+    return F.expr(f"array({body})")
 
 
 def _q6(col: Column) -> Column:

@@ -183,3 +183,18 @@ def test_expr_literals_bitwise_equal_f_lit(spark):
     assert row["l"] == [[1, -5, 2**62]]
     with pytest.raises(ValueError):
         PQ._lut_lit([[1.0]], "int")
+
+
+def test_expr_literals_empty_arrays_keep_types(spark):
+    row = spark.range(1).select(
+        SIM.double_array_lit([]).alias("d"),
+        SIM.long_array_lit([]).alias("l"),
+        SIM.double_matrix_lit([]).alias("m"),
+        SIM.double_matrix_lit([[], []]).alias("mr"),
+    )
+    assert [f.dataType.simpleString() for f in row.schema.fields] == [
+        "array<double>", "array<bigint>",
+        "array<array<double>>", "array<array<double>>",
+    ]
+    r = row.first()
+    assert (r["d"], r["l"], r["m"], r["mr"]) == ([], [], [], [[], []])
