@@ -1113,10 +1113,20 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE (prev, cur) aggregation (null prev = document start included)
     # feeds every count table: unigram counts re-aggregate it over cur,
     # the bigram table filters it, prefix marginals re-aggregate the
-    # bigram table — the token stream is built twice in this plan (here
-    # and for the scoring join below), not four times
-    big0 = pairs.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nb")
+    # bigram table. The aggregation is CHECKPOINTED: its three consumers
+    # are three separate subtrees in one plan, and Spark performs no
+    # cross-subtree CSE (executed plan showed zero ReusedExchange here) —
+    # without the checkpoint each consumer re-tokenized the corpus, 5
+    # scans total. With it the token stream is built exactly twice (once
+    # into these counts, once for the scoring join below) and the count
+    # tables — vocab²-bounded, orders smaller than the token stream —
+    # materialize once.
+    from ..operators.lineage import truncate_lineage
+
+    big0 = truncate_lineage(
+        pairs.groupBy("prev", "cur").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb")
+        )
     )
     uni = big0.groupBy("cur").agg(F.sum("nb").cast("bigint").alias("n"))
     tot = uni.agg(F.sum("n").cast("bigint").alias("total"))

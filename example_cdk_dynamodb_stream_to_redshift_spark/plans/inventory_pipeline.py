@@ -690,11 +690,21 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # checkpoint the postings: the scorer reads them through several
+    # subtrees (df, weights, norms, query vector, dots) and Spark does no
+    # cross-subtree CSE — unmaterialized, the corpus was re-tokenized per
+    # subtree (12 scans in the executed plan). Materializing the postings
+    # IS the documented 100 TB posture (operators/postings.py builds this
+    # table once and persists it term-bucketed); here it lives for one
+    # query via the lineage helper.
+    tf = truncate_lineage(
+        toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
     )
     stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return tfidf_topk_from_postings(tf, stats, query_doc=0, k=10)
@@ -708,8 +718,13 @@ def tfidf_topk_from_postings(
     so the SAME plan runs over the in-query postings AND the persisted
     term-bucket-partitioned store (operators/postings.py; equivalence
     pinned in tests/test_postings.py)."""
+    from ..operators.lineage import truncate_lineage
+
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    w = (
+    # the weight table feeds four subtrees (norms, query vector, dots,
+    # query norm) — materialize it once; postings-scale, same class as
+    # the index itself
+    w = truncate_lineage(
         tf.join(dft, "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1428,45 +1443,47 @@ _DSIR_B = 1024  # feature-hash buckets (DSIR uses 10k at web scale)
 )
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", "source", TX.tokens("text").alias("a"))
-    uni = tk.select("doc_id", "source", F.explode("a").alias("f"))
+    # unigrams and bigrams fused into ONE array -> ONE explode: a
+    # union-of-two-explodes form scans and tokenizes the corpus twice per
+    # feature-stream evaluation (both branches read `tk`), this form once
     n1 = F.size("a") - 1
-    bi = (
-        tk.filter(F.size("a") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("a", 1, n1).alias("w1"),
-                    F.slice("a", 2, n1).alias("w2"),
-                )
-            ).alias("s"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", F.col("s.w1"), F.col("s.w2")).alias("f"),
-        )
+    bi_arr = F.transform(
+        F.arrays_zip(
+            F.slice("a", 1, n1).alias("w1"), F.slice("a", 2, n1).alias("w2")
+        ),
+        lambda s: F.concat_ws(" ", s["w1"], s["w2"]),
+    )
+    feats_src = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(F.size("a") >= 2, F.concat(F.col("a"), bi_arr)).otherwise(
+                F.col("a")
+            )
+        ).alias("f"),
     )
     h32 = F.conv(
         F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10
     ).cast("long")
-    feats = uni.unionAll(bi).select(
-        "doc_id", "source", (h32 % _DSIR_B).alias("b")
-    )
+    feats = feats_src.select("doc_id", "source", (h32 % _DSIR_B).alias("b"))
     # ONE bucket aggregation carries both distributions (target count is a
     # conditional sum); the two grand totals re-aggregate the bounded
-    # B-row table instead of re-tokenizing the corpus — the feature stream
-    # is built twice in this plan (here and in the per-doc scoring below),
-    # not four times
-    bc = feats.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nr"),
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
-        .cast("bigint")
-        .alias("nt"),
+    # B-row table instead of re-tokenizing the corpus. CHECKPOINTED: its
+    # consumers (tots, lw) are separate subtrees and Spark does no
+    # cross-subtree CSE, so without it each consumer re-built the feature
+    # stream — with it the corpus is tokenized exactly twice (once into
+    # these B rows, once for the per-doc scoring below)
+    bc = truncate_lineage(
+        feats.groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nr"),
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("bigint")
+            .alias("nt"),
+        )
     )
     tots = bc.agg(
         F.sum("nt").cast("bigint").alias("nt_tot"),
