@@ -349,11 +349,14 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    train = (
-        docs.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", "text")
-        .unionByName(docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"))
-    )
+    # train = the non-test pool PLUS the deliberately-leaked %20 test docs.
+    # One disjunctive filter, not a union of two corpus scans: the train
+    # shingle set is DISTINCT'd on the hash downstream, so row
+    # multiplicity is irrelevant and the second scan (+ its tokenize
+    # pass) bought nothing.
+    train = docs.filter(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 20 == 0)
+    ).select("doc_id", "text")
     test_sh = (
         shingle_rows(test, "text", "doc_id", _DECON_N)
         .select("id", F.md5("s").alias("g"))
@@ -473,11 +476,14 @@ def ngram_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_bits, k = 1 << 23, 4
     docs = load_table(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    train = (
-        docs.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", "text")
-        .unionByName(docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"))
-    )
+    # train = the non-test pool PLUS the deliberately-leaked %20 test docs.
+    # One disjunctive filter, not a union of two corpus scans: the train
+    # shingle set is DISTINCT'd on the hash downstream, so row
+    # multiplicity is irrelevant and the second scan (+ its tokenize
+    # pass) bought nothing.
+    train = docs.filter(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 20 == 0)
+    ).select("doc_id", "text")
     test_sh = (
         shingle_rows(test, "text", "doc_id", _DECON_N)
         .select("id", F.md5("s").alias("g"))
@@ -915,8 +921,14 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "projection + filter, no shuffle of the data itself.",
 )
 def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+
     docs = load_table(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # |langs| rows; checkpointed so the min re-aggregation and the join
+    # below don't each re-scan the corpus (no cross-subtree CSE in Spark)
+    per_lang = truncate_lineage(
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    )
     min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
     h32 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
