@@ -615,13 +615,19 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.tokens("text")).alias("term")
     ).filter(F.col("term").isin(*_BM25_QUERY))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    # query-pruned postings (<= |Q| rows per matching doc) feed both the
+    # df aggregation and the scoring join — checkpoint so the second
+    # consumer doesn't re-tokenize the corpus (no cross-subtree CSE)
+    tf = truncate_lineage(
+        toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     dl = docs.select(
