@@ -81,6 +81,18 @@ def long_array_lit(values) -> Column:
     return F.expr(f"array({body})")
 
 
+def long_matrix_lit(rows) -> Column:
+    """``array<array<bigint>>`` literal via one expression-parse call."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in r) + ")" for r in rows
+    )
+    if not body or not all(len(r) for r in rows):
+        return F.expr(
+            "CAST(array(" + body + ") AS array<array<bigint>>)"
+        )
+    return F.expr(f"array({body})")
+
+
 def double_matrix_lit(rows) -> Column:
     """``array<array<double>>`` literal via one expression-parse call —
     see ``double_array_lit`` for why not ``F.lit(nested_list)``."""
@@ -571,9 +583,19 @@ def srp_near_dup_pairs(
         )
         for i in range(n_blocks)
     ]
-    blocked = idx.select(
-        "id", "sig", F.explode(F.array(*block_structs)).alias("bk")
-    ).select("id", "sig", "bk.blk", "bk.val")
+    # the block index — (id, sig, blk, val), |V|·(h+1) rows — is THE LSH
+    # index artifact; checkpoint it so the self-join's two sides read one
+    # materialization instead of each re-running the signature kernel
+    # over the corpus (Spark does no cross-subtree CSE). At scale this is
+    # the table you'd persist bucketed by (blk, val), exactly like the
+    # MinHash band index.
+    from .lineage import truncate_lineage
+
+    blocked = truncate_lineage(
+        idx.select(
+            "id", "sig", F.explode(F.array(*block_structs)).alias("bk")
+        ).select("id", "sig", "bk.blk", "bk.val")
+    )
     a = blocked.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "blk", "val"
     )

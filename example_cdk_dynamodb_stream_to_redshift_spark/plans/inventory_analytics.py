@@ -759,13 +759,19 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a power user with 10^7 events costs nothing extra.",
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
+    # each stage table is per-user (user-cardinality, far below event
+    # volume) and feeds both the next stage and its own count —
+    # checkpointed, the event log is scanned once per stage (3 total)
+    # instead of once per consuming subtree (6)
+    v = truncate_lineage(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    c = (
+    c = truncate_lineage(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("v_ts"))
@@ -852,25 +858,31 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .inventory import _dsum
+    from ..operators.lineage import truncate_lineage
 
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    # ONE event scan: the hourly aggregate is checkpointed
+    # (hours x types rows, bounded independent of event count) and the
+    # grid's bounds and type set derive FROM it — min/max over truncated
+    # hours equal the truncated min/max ts, and any type with a row in
+    # events has a row here. The previous shape scanned events three
+    # times (bounds, distinct types, aggregate).
+    agg = truncate_lineage(
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _dsum("value", "tv"),
+        )
     )
+    bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
-    agg = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        _dsum("value", "tv"),
-    )
     w = (
         WindowSpec.partitionBy("event_type")
         .orderBy("h")

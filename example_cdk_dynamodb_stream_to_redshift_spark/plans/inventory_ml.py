@@ -906,8 +906,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_logprob): the CCNet-style unigram LM score —
     shared by doc_unigram_logprob and the bucket filter built on it."""
+    from ..operators.lineage import truncate_lineage
+
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
-    v = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # vocab-bounded; checkpointed so the grand total and the broadcast
+    # into the scoring join don't each re-tokenize the corpus (Spark has
+    # no cross-subtree CSE) — the token stream is built exactly twice
+    v = truncate_lineage(
+        tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     tot = v.agg(F.sum("n").cast("bigint").alias("total"))
     lp = v.crossJoin(F.broadcast(tot)).select(
         "t",

@@ -181,9 +181,11 @@ def contamination(
 def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    train = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
-    )
+    # one disjunctive filter, not a two-scan union: contamination()
+    # reduces train to DISTINCT fingerprints, so multiplicity is moot
+    train = docs.filter(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 20 == 0)
+    ).select("doc_id", "text")
     return contamination(train, test).orderBy("doc_id")
 
 
@@ -1048,10 +1050,15 @@ _MIX_ALPHA = 0.3
 )
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("source").agg(
-        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    # |sources| rows; checkpointed — its three consumers (total, sm-quant,
+    # Z) would otherwise each re-run the corpus token count
+    c = truncate_lineage(
+        docs.groupBy("source").agg(
+            F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+        )
     )
     t = c.agg(F.sum("n_tokens").cast("bigint").alias("total"))
     s = c.crossJoin(F.broadcast(t)).withColumn(
@@ -1129,10 +1136,15 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("source").agg(
-        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    # |sources| rows; checkpointed — rate derivation walks it through
+    # four subtrees, each of which re-counted the corpus without it
+    c = truncate_lineage(
+        docs.groupBy("source").agg(
+            F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+        )
     )
     t = c.agg(F.sum("n_tokens").cast("bigint").alias("total"))
     s = c.crossJoin(F.broadcast(t)).withColumn(
@@ -1603,6 +1615,7 @@ _CBS_K = 8
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
+    from ..operators.lineage import truncate_lineage
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [
@@ -1613,7 +1626,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     qv = SIM._q6(F.col("embedding"))
-    cl = F.lit(
+    cl = SIM.long_matrix_lit(
         [[int(round(x * 1000000)) for x in c] for c in cents]
     )
     cands = F.transform(
@@ -1630,8 +1643,12 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = emb.select(
         "vec_id", F.array_min(cands)["cid"].alias("cid")
     )
-    cnt = assign.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    # K rows; checkpointed so the min and the broadcast join don't each
+    # re-run the zero-shuffle (but full-scan) assignment projection
+    cnt = truncate_lineage(
+        assign.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_c")
+        )
     )
     m = cnt.agg(F.min("n_c").alias("min_n"))
     h32 = F.conv(
