@@ -810,11 +810,19 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation has <= 8 groups.",
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
-    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = ev.distinct()
+    # ONE event scan: distinct (user, day) activity is checkpointed
+    # (bounded at users x active-days, far below event volume) and the
+    # cohort day derives FROM it — min over distinct days equals min
+    # over all events' days
+    activity = truncate_lineage(ev.distinct())
+    cohort = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
     return (
         activity.join(cohort, "user_id")
         .select(F.datediff("day", "cohort_day").alias("days_since"), "user_id")
