@@ -1,12 +1,14 @@
-"""Whole-surface shuffle-budget fence (plan_budgets.json).
+"""Whole-surface shuffle- and scan-budget fence (plan_budgets.json).
 
 test_plan_quality.py pins the SHAPE of ~50 hand-audited plans; this
 fence covers breadth: every lazily-planned registry query has a
-committed budget of exchanges / sort-merge joins / nested-loop joins,
-and a refactor that silently adds a shuffle, degrades a broadcast join
-to sort-merge, or introduces a cartesian ANYWHERE on the surface fails
-here — the class of regression that is invisible to value checks at
-sf0.01 and ruinous at 100 TB. When a plan legitimately changes,
+committed budget of exchanges / sort-merge joins / nested-loop joins /
+parquet scans, and a refactor that silently adds a shuffle, degrades a
+broadcast join to sort-merge, introduces a cartesian, or re-derives a
+shared subtree into an extra table scan (Spark has no cross-subtree
+CSE — the round-6 census found 11 such plans) ANYWHERE on the surface
+fails here — the class of regression that is invisible to value checks
+at sf0.01 and ruinous at 100 TB. When a plan legitimately changes,
 regenerate the budget entry deliberately (the numbers are part of the
 review diff, not incidental state)."""
 
@@ -41,6 +43,7 @@ def _counts(spark, name: str) -> dict[str, int]:
         "exchanges": plan.count("Exchange"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "parquet_scans": plan.count("Scan parquet"),
     }
 
 
