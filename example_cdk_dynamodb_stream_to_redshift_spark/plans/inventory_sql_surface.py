@@ -716,11 +716,15 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     "TPC-H Q21 shape: suppliers who were the ONLY late shipper on "
-    "multi-supplier orders. The correlated EXISTS + NOT EXISTS pair "
-    "decorrelates to a left-semi then a left-anti hash join on l_orderkey "
-    "(suppkey inequality as residual) over ONE shared lateness-flagged "
-    "scan — lateness is joined in once, so the anti-join condition needs "
-    "no re-correlation with orders.",
+    "multi-supplier orders. The correlated EXISTS + NOT EXISTS pair is "
+    "algebraized away entirely: per order, EXISTS(other supplier) is "
+    "|distinct suppliers| >= 2 and NOT EXISTS(other LATE supplier) — for "
+    "a row that is itself late — is |distinct late suppliers| = 1, so "
+    "both predicates become per-order window counts over ONE "
+    "lateness-flagged scan. One shuffle on l_orderkey replaces the "
+    "semi-join + anti-join pair and their two extra evaluations of the "
+    "lineitem-orders join (3 lineitem scans -> 1); per-order state is "
+    "bounded by suppliers-per-order.",
 )
 def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -738,26 +742,22 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
         ).alias("late"),
     )
-    f1 = flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey")
-    others = flagged.select(
-        F.col("l_orderkey").alias("o_key"),
-        F.col("l_suppkey").alias("o_supp"),
+    w = Window.partitionBy("l_orderkey")
+    annotated = flagged.select(
+        "l_suppkey",
         "late",
-    )
-    has_other = f1.join(
-        others,
-        (F.col("l_orderkey") == F.col("o_key"))
-        & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_semi",
-    )
-    lone = has_other.join(
-        others.filter(F.col("late")),
-        (F.col("l_orderkey") == F.col("o_key"))
-        & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_anti",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
     )
     return (
-        lone.groupBy("l_suppkey")
+        annotated.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_waits"))
         .orderBy(F.desc("n_waits"), F.asc("l_suppkey"))
         .limit(10)

@@ -319,12 +319,18 @@ def test_correlated_exists_decorrelates_to_semi_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_shape_is_semi_then_anti(spark):
+def test_q21_shape_is_single_pass_window(spark):
     plan = _plan(spark, "lone_late_supplier")
-    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both on the l_orderkey
-    # equi-key (suppkey inequality rides as residual)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    # the EXISTS / NOT EXISTS pair is algebraized into two per-order
+    # distinct-supplier window counts over ONE lateness-flagged scan:
+    # exactly one Window operator carrying BOTH collect_sets, the orders
+    # dim broadcast, no join of lineitem against itself at all
+    assert plan.count("Window (") == 1  # tree line: one Window operator
+    assert plan.count("collect_set") >= 2
+    assert plan.count("Scan parquet") // 2 == 2  # lineitem + orders once
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
