@@ -1732,26 +1732,41 @@ _PIPE_ORACLE = """
     "The composed curation funnel — Gopher quality gate, exact dedup "
     "keep-first, held-out 13-gram decontamination, 80/10/10 content-hash "
     "split — as ONE declarative plan with per-stage attrition counts and "
-    "final token accounting. Plan: the corpus is annotated ONCE with "
-    "stage-survival flags (quality predicate inline; first-copy and "
-    "contaminated flags arrive via two keyed equi-joins on md5 hashes), "
-    "then a single conditional aggregation reads off every stage count — "
-    "no per-stage re-scans; the shingle branches dedup to 32-byte hash "
-    "keys before their join, exactly as in ngram_decontamination.",
+    "final token accounting. Plan: the regex-heavy quality predicate "
+    "runs ONCE into a checkpointed (doc_id, md5) kept table (~40 B/doc "
+    "at any scale) that the dedup firsts, the pool, and the final "
+    "annotation's q flag all read; the corpus is then annotated once "
+    "with stage-survival flags via keyed equi-joins and a single "
+    "conditional aggregation reads off every stage count; the shingle "
+    "branches dedup to 32-byte hash keys before their join, exactly as "
+    "in ngram_decontamination.",
 )
 def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
     from ..operators.curation import split_bucket
     from ..operators.dedup import shingle_rows
+    from ..operators.lineage import truncate_lineage
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = docs.filter(TX.gopher_kept("text")).select("doc_id", "text")
-    firsts = kept.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("fid")
+    # the Gopher predicate (the regex-heavy part of the whole funnel) is
+    # evaluated ONCE: the kept set persists as (doc_id, md5) — ~40 bytes
+    # per surviving doc at any corpus size — and every later stage that
+    # needs "did quality keep this doc" (the dedup firsts, the pool, the
+    # final annotation's q flag) reads this table instead of re-running
+    # the rules; only the pool's shingle pass re-reads TEXT, via a
+    # doc_id semi-join that evaluates no quality predicate
+    kept_h = truncate_lineage(
+        docs.filter(TX.gopher_kept("text")).select(
+            "doc_id", F.md5("text").alias("h")
+        )
     )
-    pool = kept.join(
-        firsts, kept.doc_id == firsts.fid, "left_semi"
+    firsts = kept_h.groupBy("h").agg(F.min("doc_id").alias("fid"))
+    pool_ids = kept_h.join(
+        firsts, kept_h.doc_id == firsts.fid, "left_semi"
     ).filter(F.col("doc_id") % 10 != 0)
+    pool = docs.select("doc_id", "text").join(
+        pool_ids.select("doc_id"), "doc_id", "left_semi"
+    )
     test = docs.filter(F.col("doc_id") % 10 == 0)
     test_sh = (
         shingle_rows(test, "text", "doc_id", _DECON_N)
@@ -1767,8 +1782,13 @@ def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ann = (
-        docs.withColumn("q", TX.gopher_kept("text"))
-        .withColumn("h", F.md5("text"))
+        docs.withColumn("h", F.md5("text"))
+        .join(
+            kept_h.select("doc_id", F.lit(True).alias("q")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(False)))
         .join(firsts, "h", "left")
         .withColumn("first", F.col("q") & (F.col("doc_id") == F.col("fid")))
         .withColumn("pooled", F.col("first") & (F.col("doc_id") % 10 != 0))
