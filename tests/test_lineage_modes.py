@@ -118,3 +118,24 @@ def test_global_row_number_agrees_across_modes(spark, tmp_path):
         }
     assert base == reliable
     assert sorted(base.values()) == list(range(1, 501))
+
+
+def test_query_checkpoint_sites_agree_across_modes(spark, tmp_path):
+    """The scan-census fixes route shared count tables through
+    truncate_lineage inside ordinary registry queries (DSIR, tf-idf,
+    bigram LM, funnel, ...). The reliable-checkpoint flag must leave
+    their results bit-identical — same guarantee the iterative operators
+    pin, proven on one representative from the new site family."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory import (
+        REGISTRY,
+    )
+
+    from .conftest import SF_CORRECTNESS
+
+    q = REGISTRY["dsir_select_docs"]
+    default = [tuple(r) for r in q.spark_fn(spark, SF_CORRECTNESS).collect()]
+    with reliable_mode(spark, tmp_path / "qckpt"):
+        reliable = [
+            tuple(r) for r in q.spark_fn(spark, SF_CORRECTNESS).collect()
+        ]
+    assert default == reliable
