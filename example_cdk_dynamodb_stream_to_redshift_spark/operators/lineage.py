@@ -36,19 +36,36 @@ DIR_CONF = "spark.graft.checkpoint.dir"
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and cut its lineage, via ``localCheckpoint``
     (default) or a reliable ``checkpoint`` when the session sets
-    ``spark.graft.checkpoint.reliable=true`` (directory from
-    ``spark.graft.checkpoint.dir`` unless one is already configured)."""
+    ``spark.graft.checkpoint.reliable=true``. The directory comes from
+    ``spark.graft.checkpoint.dir`` when set — including when the context
+    already has a (possibly stale) checkpoint dir from an earlier caller —
+    falling back to the context's current dir otherwise."""
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CONF, "false").lower() != "true":
         return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
-        ckpt_dir = spark.conf.get(DIR_CONF, None)
-        if not ckpt_dir:
-            raise ValueError(
-                f"{RELIABLE_CONF}=true requires a checkpoint directory: "
-                f"set {DIR_CONF} or call "
-                "spark.sparkContext.setCheckpointDir(...) first"
-            )
+    ckpt_dir = _resolve_checkpoint_dir(
+        spark.conf.get(DIR_CONF, None), sc.getCheckpointDir()
+    )
+    if ckpt_dir != sc.getCheckpointDir():
+        # DIR_CONF reconfigured mid-session: apply it. (Comparing against
+        # the context's scheme-resolved form may re-set an equivalent path;
+        # setCheckpointDir is idempotent, so that is harmless.)
         sc.setCheckpointDir(ckpt_dir)
     return df.checkpoint(eager=eager)
+
+
+def _resolve_checkpoint_dir(conf_dir: str | None, existing_dir: str | None) -> str:
+    """Pick the reliable-checkpoint directory: an explicit ``DIR_CONF``
+    always wins (so reconfiguring it mid-session takes effect instead of
+    silently landing checkpoints in the first-ever dir), else a dir the
+    caller already set on the SparkContext, else error."""
+    if conf_dir:
+        return conf_dir
+    if existing_dir is not None:
+        return existing_dir
+    raise ValueError(
+        f"{RELIABLE_CONF}=true requires a checkpoint directory: "
+        f"set {DIR_CONF} or call "
+        "spark.sparkContext.setCheckpointDir(...) first"
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import json
 import os
 import shutil
 
@@ -113,13 +114,23 @@ class PartitionedParquetTable:
         self._write(existing.unionByName(df.select(*cols)))
 
     def _touched_buckets(self, staged: DataFrame) -> list[int]:
+        # the null flag rides the same distinct job: a NULL merge key
+        # hashes to the seed bucket (xxhash64(NULL)=42) and would silently
+        # merge all null-key rows under one phantom key — fail instead,
+        # before anything is written
         rows = (
             staged.select(
-                key_bucket(self.key_col, self.n_buckets).alias(BUCKET_COL)
+                key_bucket(self.key_col, self.n_buckets).alias(BUCKET_COL),
+                F.col(self.key_col).isNull().alias("_nullkey"),
             )
             .distinct()
             .collect()
         )
+        if any(r["_nullkey"] for r in rows):
+            raise ValueError(
+                f"staged rows have NULL merge key {self.key_col!r}: "
+                "merge keys must be non-null"
+            )
         return [r[BUCKET_COL] for r in rows]
 
     def compact(self, buckets: list[int] | None = None) -> None:
@@ -143,6 +154,57 @@ class PartitionedParquetTable:
                 self.n_buckets, key_bucket(self.key_col, self.n_buckets)
             )
         )
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.root, "_staging")
+
+    def _commit_manifest(self) -> str:
+        # lives NEXT TO _staging, not inside it: its existence must mean
+        # "the staging write fully succeeded and the move loop started or
+        # was about to" — writing it inside _staging would race the
+        # parquet committer's own directory lifecycle
+        return os.path.join(self.root, "_staging_commit.json")
+
+    def _commit_moves(self, touched: list[int], staged_buckets: set[int]) -> None:
+        """The directory-commit move loop, written to be IDEMPOTENT so a
+        crashed commit rolls FORWARD on the next merge: a staged bucket
+        whose staging directory is gone was already moved (skip — its live
+        directory holds the replacement); one still in staging is
+        (re)committed by dropping the live directory and moving the
+        replacement in; a touched bucket never staged lost all its rows
+        and its live directory is removed (rmtree is a no-op if already
+        gone)."""
+        staging = self._staging_dir()
+        for b in touched:
+            dst = os.path.join(self.root, f"{BUCKET_COL}={b}")
+            src = os.path.join(staging, f"{BUCKET_COL}={b}")
+            if b in staged_buckets:
+                if os.path.isdir(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(src, dst)
+            else:
+                shutil.rmtree(dst, ignore_errors=True)
+
+    def _roll_forward(self) -> None:
+        """Complete a torn directory commit left by a crash. Without this,
+        a crash between a bucket's rmtree(dst) and its shutil.move lost
+        that bucket's non-staged rows permanently (replay only restores
+        the micro-batch's keys): the old entry path unconditionally
+        deleted ``_staging`` — discarding the fully-materialized
+        replacement that could have rolled the commit forward. Now the
+        commit manifest (written only AFTER the staging write fully
+        succeeds) records the touched/staged bucket sets; if it exists on
+        entry, the idempotent move loop re-runs to completion before the
+        staging area is cleared. A crash BEFORE the manifest exists means
+        no live directory was touched, so discarding ``_staging`` is
+        safe, as before."""
+        manifest = self._commit_manifest()
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                pending = json.load(fh)
+            self._commit_moves(pending["touched"], set(pending["staged"]))
+            os.remove(manifest)
+        shutil.rmtree(self._staging_dir(), ignore_errors=True)
 
     def merge(
         self,
@@ -172,6 +234,10 @@ class PartitionedParquetTable:
         """
         from .merge import _EPOCH, read_watermark, stage_changes
 
+        # complete any torn directory commit from a crashed predecessor
+        # BEFORE reading the target — the read must see the rolled-forward
+        # state, not a half-committed tear
+        self._roll_forward()
         raw = self._read_raw()
         cols = [f.name for f in self.schema.fields]
         # per-phase wall clock, recorded into stats["merge_phase_sec"] so a
@@ -222,7 +288,19 @@ class PartitionedParquetTable:
                             F.col("approximateUpdateTimestamp"),
                         )
                     ).alias("mx"),
+                    # rider: NULL merge keys hash to the seed bucket and
+                    # would silently collapse under one phantom key — the
+                    # count costs nothing on this job, and failing here
+                    # is strictly before anything is written
+                    F.count(
+                        F.when(F.col(self.key_col).isNull(), 1)
+                    ).alias("nullk"),
                 ).first()
+                if row["nullk"]:
+                    raise ValueError(
+                        f"{row['nullk']} staged row(s) have NULL merge key "
+                        f"{self.key_col!r}: merge keys must be non-null"
+                    )
                 touched = sorted(int(b) for b in row["bk"])
                 stats.update(
                     staged_count=row["n"],
@@ -270,7 +348,7 @@ class PartitionedParquetTable:
             # directory moves into place (no second Spark write). The
             # merge is exactly ONE distributed action; on the bench
             # heartbeat this halved the straggler entity's merge wall.
-            staging = os.path.join(self.root, "_staging")
+            staging = self._staging_dir()
             shutil.rmtree(staging, ignore_errors=True)
             _t = _time.perf_counter()
             (
@@ -293,32 +371,49 @@ class PartitionedParquetTable:
                 # Every bucket in `merged` is in `touched` (survivors come
                 # from touched buckets, inserts' keys are staged keys). A
                 # touched bucket ABSENT from staging lost all its rows:
-                # its directory is removed, not replaced. Ordering: the
-                # old directory is dropped before its replacement moves
-                # in, so a crash mid-commit leaves the watermark unmoved*
-                # and the replayed batch re-derives the same staging set
-                # and converges (REMOVE of an absent row is a no-op;
-                # re-inserts rewrite the same values). A crash can still
-                # tear across bucket directories — the residual gap a
-                # table format with a commit log (Delta/Iceberg) closes.
-                # *If an emptied bucket held the global max event time the
-                # watermark can move BACKWARD — harmless here because the
-                # merge input is only this micro-batch, which re-applies
-                # idempotently; no earlier batch can leak through.
-                still_present = {
-                    int(d.split("=", 1)[1])
+                # its directory is removed, not replaced. A crash
+                # mid-commit leaves the watermark unmoved and rolls
+                # FORWARD on the next merge: the manifest below (written
+                # only after the staging write fully succeeded) lets
+                # _roll_forward re-run the idempotent move loop, so no
+                # bucket's non-staged rows are ever lost to a tear; the
+                # replayed batch then re-applies idempotently (REMOVE of
+                # an absent row is a no-op; re-inserts rewrite the same
+                # values). If an emptied bucket held the global max event
+                # time the watermark can move BACKWARD — harmless here
+                # because the merge input is only this micro-batch.
+                staged_dirs = [
+                    d.split("=", 1)[1]
                     for d in os.listdir(staging)
                     if d.startswith(f"{BUCKET_COL}=")
-                }
-                for b in touched:
-                    dst = os.path.join(self.root, f"{BUCKET_COL}={b}")
-                    shutil.rmtree(dst, ignore_errors=True)
-                    if b in still_present:
-                        shutil.move(
-                            os.path.join(staging, f"{BUCKET_COL}={b}"), dst
-                        )
+                ]
+                bad = [v for v in staged_dirs if not v.isdigit()]
+                if bad:
+                    # defense in depth: NULL keys are rejected at stage
+                    # time above, so a non-integer partition value here
+                    # (e.g. __HIVE_DEFAULT_PARTITION__) means something
+                    # unexpected staged — fail BEFORE any live directory
+                    # is touched (nothing is torn: no manifest yet, so
+                    # staging is discarded and the batch errors cleanly)
+                    raise ValueError(
+                        f"merge staged non-integer {BUCKET_COL} partition(s) "
+                        f"{bad} — refusing to commit"
+                    )
+                still_present = {int(v) for v in staged_dirs}
+                with open(self._commit_manifest(), "w") as fh:
+                    json.dump(
+                        {"touched": list(touched), "staged": sorted(still_present)},
+                        fh,
+                    )
+                self._commit_moves(touched, still_present)
+                os.remove(self._commit_manifest())
             finally:
-                shutil.rmtree(staging, ignore_errors=True)
+                # a live manifest means the move loop died mid-flight:
+                # KEEP staging so the next merge rolls the commit forward
+                # (deleting it here would recreate the data-loss tear the
+                # manifest exists to prevent)
+                if not os.path.exists(self._commit_manifest()):
+                    shutil.rmtree(staging, ignore_errors=True)
                 _phase["commit_move"] = round(_time.perf_counter() - _t, 4)
         finally:
             staged.unpersist()

@@ -55,8 +55,19 @@ def _dlit(x: float) -> str:
     """Exact double-literal SQL text. ``repr`` emits the shortest decimal
     that round-trips the double, and Spark's literal parser is correctly
     rounded, so the parsed value is BIT-IDENTICAL to ``F.lit(x)``
-    (asserted in tests/test_pq_ann.py)."""
-    return repr(float(x)) + "D"
+    (asserted in tests/test_pq_ann.py). Non-finite values need the cast
+    spelling — ``repr`` would emit ``infD``/``nanD``, which the parser
+    rejects, and a degenerate codebook/plane (e.g. trained on zero-norm
+    inputs) must fail at scoring like the old ``F.lit`` path did, not at
+    expression parse."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def double_array_lit(values) -> Column:

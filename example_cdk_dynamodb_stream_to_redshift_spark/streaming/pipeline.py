@@ -76,8 +76,14 @@ class CdcPipeline:
         # entity name -> watermark carried forward from the last merge
         # (stats["next_watermark"]): skips the per-refresh MAX(ts) scan
         # of the whole target. Driver state only — a restart (or
-        # re-bootstrap) falls back to the in-table watermark read (ST2),
-        # so replay semantics are unchanged.
+        # re-bootstrap) falls back to the in-table watermark read (ST2).
+        # The carried watermark is intentionally MONOTONIC: if a batch
+        # REMOVEs the row holding the global max event time, the in-table
+        # MAX drops below the carried value, so a restart can admit late
+        # events (ts in that gap) that the live path skips. Monotonic is
+        # the conservative side of that divergence — the live path never
+        # re-admits data older than anything it has already applied, and
+        # the restart path only re-applies idempotent upserts.
         self._watermarks: dict[str, dt.datetime] = {}
         self.merge_shuffle_partitions = merge_shuffle_partitions
         self.checkpoint = os.path.join(warehouse, "_checkpoint")

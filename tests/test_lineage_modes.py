@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.lineage import (
     DIR_CONF,
     RELIABLE_CONF,
+    _resolve_checkpoint_dir,
     truncate_lineage,
 )
 
@@ -27,18 +28,22 @@ def reliable_mode(spark, ckpt_dir):
         spark.conf.set(RELIABLE_CONF, "false")
 
 
-def test_reliable_mode_without_dir_raises(spark):
-    # only when NO checkpoint dir was ever set on the context; the spark
-    # fixture may share a context across tests, so skip if one exists
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip("session already has a checkpoint dir")
-    spark.conf.set(RELIABLE_CONF, "true")
-    spark.conf.unset(DIR_CONF) if spark.conf.get(DIR_CONF, None) else None
-    try:
-        with pytest.raises(ValueError, match="checkpoint directory"):
-            truncate_lineage(spark.range(5))
-    finally:
-        spark.conf.set(RELIABLE_CONF, "false")
+def test_reliable_mode_without_dir_raises():
+    # the resolution logic is a pure helper, so the no-dir guard path is
+    # exercised in every suite order (the shared Spark context usually
+    # carries a checkpoint dir by the time this file runs, which used to
+    # permanently self-skip the end-to-end form of this test)
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        _resolve_checkpoint_dir(None, None)
+
+
+def test_resolve_checkpoint_dir_precedence():
+    # DIR_CONF wins even when the context already has a dir — a caller
+    # reconfiguring the dir mid-session must take effect rather than
+    # silently landing checkpoints in the stale first-ever path
+    assert _resolve_checkpoint_dir("/new", "/old") == "/new"
+    assert _resolve_checkpoint_dir(None, "/old") == "/old"
+    assert _resolve_checkpoint_dir("/new", None) == "/new"
 
 
 def test_truncate_lineage_reliable_writes_checkpoint(spark, tmp_path):

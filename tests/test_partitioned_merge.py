@@ -198,3 +198,111 @@ def test_parquet_table_keeps_one_prior_version_for_lazy_readers(spark, tmp_path)
     import os
     versions = {d for d in os.listdir(str(tmp_path / "t")) if d.startswith("v")}
     assert versions == {"v2", "v3"}
+
+
+def test_torn_commit_rolls_forward(spark, tmp_path, extract):
+    """A crash between a bucket's rmtree(dst) and its move must NOT lose
+    that bucket's non-staged rows: the commit manifest + idempotent move
+    loop roll the commit forward on the next merge (ADVICE r6)."""
+    import json
+    import shutil
+
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+    expected = _sorted(
+        incremental_merge(seed, extract, MEMBER_SPEC, sync_ts=SYNC)
+    )
+
+    # run the real merge once to capture a fully-materialized staging set,
+    # intercepting _commit_moves so the commit never happens (the "crash"
+    # lands after the manifest write, before any move)
+    orig_moves = PartitionedParquetTable._commit_moves
+    try:
+        PartitionedParquetTable._commit_moves = lambda self, t, s: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before any move")
+        )
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    finally:
+        PartitionedParquetTable._commit_moves = orig_moves
+
+    # the tear: manifest + staging survive; now ALSO delete one touched
+    # bucket's live directory (the worst case: rmtree(dst) happened, the
+    # move did not). Old behavior discarded _staging here → rows lost.
+    manifest_path = table._commit_manifest()
+    assert os.path.exists(manifest_path) and os.path.isdir(table._staging_dir())
+    pending = json.load(open(manifest_path))
+    victim = pending["staged"][0]
+    shutil.rmtree(os.path.join(table.root, f"_kb={victim}"))
+
+    # next merge (empty batch) rolls the commit forward before reading
+    empty = extract.limit(0)
+    table.merge(empty, MEMBER_SPEC, sync_ts=SYNC)
+    assert not os.path.exists(manifest_path)
+    assert not os.path.isdir(table._staging_dir())
+    assert _sorted(table.read()) == expected
+
+
+def test_null_merge_key_fails_before_commit(spark, tmp_path):
+    """A NULL merge key hashes to the seed bucket (xxhash64(NULL)=42) and
+    would silently merge every null-key row under one phantom key; the
+    merge must fail cleanly at stage time, BEFORE touching any live
+    directory (ADVICE r6). Null keys arise with image-derived key specs
+    (cf. MEMBER_QUEST_SPEC: 'NewImage is absent for REMOVE -> nulls'), so
+    the test spec reads its key from the image."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.functions.dynamo import (
+        av_string,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.merge import (
+        MergeSpec,
+    )
+    from pyspark.sql import functions as F
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.functions.dynamo import (
+        epoch_ms_to_timestamp,
+    )
+
+    def _proj_imgkey(df):
+        return df.select(
+            av_string("eventData.NewImage.memberId").alias("memberId"),
+            F.col("sk").alias("memberName"),
+            epoch_ms_to_timestamp(
+                F.col("eventData.ApproximateCreationDateTime")
+            ).alias("approximateUpdateTimestamp"),
+            F.col("eventName"),
+            F.col("sequencenumber"),
+        )
+
+    imgkey_spec = MergeSpec("member", "memberId", "M_", _proj_imgkey)
+    records = [
+        kinesis_record(
+            1,
+            envelope(
+                "e1",
+                "INSERT",
+                "M_mnull",
+                "x",
+                BASE_MS,
+                {"pk": {"S": "M_mnull"}, "sk": {"S": "x"}},  # no memberId attr
+            ),
+        )
+    ]
+    path = write_jsonl(str(tmp_path / "nullkey.json"), records)
+    ext = build_extract(read_cdc_records(spark, path))
+
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+    before = _sorted(table.read())
+    # both paths must reject: the fused stats agg and plain _touched_buckets
+    for stats in ({}, None):
+        with pytest.raises(ValueError, match="must be non-null"):
+            table.merge(ext, imgkey_spec, sync_ts=SYNC, stats=stats)
+    # nothing torn: table unchanged, staging cleaned up
+    assert _sorted(table.read()) == before
+    assert not os.path.isdir(table._staging_dir())

@@ -168,7 +168,11 @@ def test_expr_literals_bitwise_equal_f_lit(spark):
 
     random.seed(11)
     vals = [random.uniform(-1e6, 1e6) for _ in range(64)] + [
-        0.0, -0.0, 1e-308, -1.5e300, 0.1, 1.0 / 3.0, 2.0**-52, 1e-05
+        0.0, -0.0, 1e-308, -1.5e300, 0.1, 1.0 / 3.0, 2.0**-52, 1e-05,
+        # non-finite: repr would emit infD/nanD, which the parser rejects —
+        # a degenerate codebook (zero-norm inputs) must score, not fail at
+        # expression parse (ADVICE r6)
+        float("inf"), float("-inf"), float("nan"),
     ]
     row = spark.range(1).select(
         SIM.double_array_lit(vals).alias("a"),
