@@ -40,6 +40,81 @@ from pyspark.sql import functions as F
 from .lineage import truncate_lineage
 
 
+def pagerank_quantized(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic — the exact-config
+    oracle twin of :func:`pagerank` (the pattern every ANN probing form
+    here has: a float/approximate production operator plus an exactly
+    reproducible configuration a SQL engine can re-derive bit-for-bit).
+
+    Ranks are int64 in units of ``1/scale``; every step is integer:
+    per-source share = ``rank_q div deg``, inflow = exact integer SUM,
+    dangling mass divided by n with integer div, damping applied as
+    ``(num * x) div den``. Integer sums are order-independent, so Spark's
+    partial aggregation and a serial SQL engine produce IDENTICAL values
+    — which is what a driver hash comparison needs; the float operator
+    can never promise that across summation orders. Same per-iteration
+    plan shape as :func:`pagerank` (one node-keyed shuffle, broadcast
+    1-row dangling agg, truncated lineage), so the scale story is
+    unchanged. Floor losses mean ranks sum to slightly under ``scale``;
+    parity, not normalization, is the point.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    e = truncate_lineage(e)
+    nodes = truncate_lineage(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    out_deg = truncate_lineage(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Python // == SQL `div`/`//` for non-negative ints: same teleport term
+    teleport_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+
+    ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).cast("long").alias("m"))
+        )
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .select(F.col("src"), F.expr("rank_q div deg").alias("share_q"))
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum("share_q").alias("inflow_q"))
+        )
+        ranks = truncate_lineage(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport_q)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(inflow_q, 0L) "
+                        f"+ (m div {n}))) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+        )
+    return ranks.select("node", "rank_q")
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

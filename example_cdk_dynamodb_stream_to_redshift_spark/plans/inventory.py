@@ -492,72 +492,73 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 _DRIVER_WINDOW_PRIORITY = [
-    # new in r6: CDC-retraction view maintenance (the reference's rewards
-    # report maintained through INSERT/MODIFY/REMOVE instead of
-    # recomputed) + its freshness stamped into the sync log
-    "incremental_mv_rewards_cdc",
-    "mv_rewards_freshness",
-    # ---- re-verification duty: the full r3-green cohort (43 entries) —
+    # new in r7: exact-config oracle twins for the graph/ML family (the
+    # established ANN pattern — the float/iterative operators stay
+    # rows-only+pytest; their exactly-reproducible configs hash-compare)
+    # and the UDTF surface's first driver-visible row
+    "doc_link_pagerank_exact",
+    "doc_quality_scored_frozen",
+    "udtf_word_ngrams_topk",
+    # one-time recorded rows for the r6 rows-only newcomers (they rotate
+    # OUT next round per the rows-only policy, like ivf_knn_join_topk)
+    "doc_link_pagerank",
+    "doc_quality_classifier_topk",
+    # ---- re-verification duty: the full r4-green cohort (42 entries) —
     # the oldest green rows in the registry; rotating them all through
     # keeps every oracle-bearing entry within the 3-round staleness bound
-    # (ivf_knn_join_topk rotates OUT per the rows-only policy: its weak
-    # row is recorded in r5, its recall pinned in tests/test_ivf_ann.py)
-    "recent_events_topk",
-    "event_lag_topk",
-    "watermark_max",
-    "count_rows",
-    "scalar_function_suite",
-    "customers_without_orders",
-    "top_docs_per_source",
-    "doc_winnowing_fingerprints",
-    "exact_dedup_docs",
-    "minhash_lsh_near_dups",
-    "srp_ann_exact_topk",
-    "dedup_clusters",
-    "ivf_ann_fullprobe_topk",
-    "doc_repetition_stats",
-    "user_event_type_pivot",
-    "props_variant_extract",
-    "param_events_by_user",
-    "user_state_history",
-    "user_event_type_unpivot",
-    "doc_token_topk",
-    "order_priority_having",
-    "returns_conditional_agg",
-    "orders_above_avg_price",
-    "event_type_daily_cube",
-    "event_gap_topk",
-    "user_event_type_profile",
-    "order_price_quartiles",
-    "customer_order_counts_left",
-    "supplier_customer_nations_full",
-    "view_purchase_interval_join",
-    "order_price_percentiles",
-    "pii_scrub_docs",
-    "doc_distinctive_terms",
-    "train_test_contamination",
-    "stratified_sample_by_source",
-    "ngram_decontamination",
-    "train_val_test_split",
-    "quality_trim_bottom_decile",
-    "ngram_decontamination_bloom",
-    "bm25_topk_docs",
-    "language_rebalance_sample",
-    "doc_chunk_windows",
-    "source_centroid_embeddings",
-    # new in r6: five more TPC-H shapes on the available columns —
-    # Q14 broadcast-dim conditional ratio, Q12 residual-predicate
-    # conditional counts, Q22 scalar-subquery + anti join, Q8 7-join
-    # market share with double-aliased nation dim, Q15 reused-aggregate
-    # scalar MAX equality
-    "promo_revenue_q14",
-    "late_lines_by_priority_q12",
-    "untapped_customers_q22",
-    "nation_market_share_q8",
-    "top_supplier_revenue_q15",
+    "event_type_grouping_sets",
+    "winnowing_overlap_pairs",
+    "embedding_norm_quantize",
+    "sequence_packing",
+    "simhash_exact_near_dups",
+    "sync_run_log",
+    "substring_dup_stats",
+    "bpe_pair_candidates",
+    "embedding_dup_clusters",
+    "near_dedup_corpus_keep_first",
+    "domain_mixture_weights",
+    "embedding_contamination_audit",
+    "doc_unigram_logprob",
+    "training_shard_manifest",
+    "minhash_incremental_dedup",
+    "quantized_ann_topk",
+    "token_length_histogram",
+    "pq_ann_exact_topk",
+    "doc_bigram_logprob",
+    "gopher_filter_docs",
+    "customer_order_trailing_30d",
+    "event_type_salted_join",
+    "orders_zorder_keys",
+    "media_phash_near_dups",
+    "contrastive_negatives",
+    "ivfpq_ann_exact_topk",
+    "late_ship_priority",
+    "small_quantity_part_revenue",
+    "lone_late_supplier",
+    "part_revenue_share",
+    "dsir_select_docs",
+    "cluster_balanced_sample",
+    "funnel_conversion",
+    "retention_cohorts",
+    "events_hourly_gapfill",
+    "corpus_pipeline_summary",
+    "tfidf_similar_docs",
+    "media_frame_sample",
+    "mixture_sampled_corpus",
+    "media_resize_batch",
+    "nation_revenue_q5",
+    "events_hourly_anomalies",
+    # ---- staggered r5-cohort entries (capacity plan, COVERAGE.md §
+    # window budget): pulling 3 of the 49 r5 entries forward leaves
+    # round 8 with 46 + spare slots instead of 49 + 1.
+    # doc_lm_quality_buckets also has its build changed this round
+    # (shared checkpointed vocab), so it re-earns its row anyway.
+    "doc_lm_quality_buckets",
+    "knn_join_topk",
+    "purchase_attribution_asof",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

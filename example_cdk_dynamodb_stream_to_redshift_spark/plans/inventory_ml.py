@@ -2181,14 +2181,13 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineage truncated via the reliable-checkpoint-capable helper). "
     "Top-50 by rank.",
 )
-def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pagerank import pagerank
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    # irregular by construction (out-degree 1 + id%3, plus every 10th doc
-    # linking to doc 0 as a hub edge) so the stationary distribution is
-    # non-uniform and the top-50 actually ranks
+def _doc_link_edges(docs: DataFrame, n: int) -> DataFrame:
+    """Deterministic synthetic link graph over doc ids: out-degree
+    1 + id%3 with targets (7*id+j) mod n for j=1..(1+id%3), plus every
+    10th doc linking to doc 0 as a hub edge — irregular by construction
+    so the stationary distribution is non-uniform and a top-50 actually
+    ranks. Shared by the float operator query and its exact-oracle twin
+    (the oracle SQL re-derives the same edges relationally)."""
     edges = docs.select(
         F.col("doc_id").alias("src"),
         F.posexplode(
@@ -2200,7 +2199,16 @@ def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
     )
-    ranks = pagerank(edges.unionByName(hub), damping=0.85, iters=10, tol=None)
+    return edges.unionByName(hub)
+
+
+def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranks = pagerank(
+        _doc_link_edges(docs, docs.count()), damping=0.85, iters=10, tol=None
+    )
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
 
@@ -2243,6 +2251,203 @@ def doc_quality_classifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("quality_score"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+def _pagerank_exact_oracle(iters: int, scale: int, num: int = 85, den: int = 100) -> str:
+    """Unrolled fixed-iteration integer power iteration: every value is
+    int64 (shares via floor div, exact integer sums), so DuckDB and Spark
+    agree bit-for-bit regardless of summation order — the graph-family
+    version of the 1e6-quantization every float oracle here uses."""
+    sql = f"""
+    WITH dn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+        SELECT d.doc_id AS src, (d.doc_id * 7 + j.j) % dn.n AS dst
+        FROM documents d CROSS JOIN dn
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+        WHERE j.j <= 1 + d.doc_id % 3
+        UNION ALL
+        SELECT d.doc_id AS src, 0 AS dst FROM documents d WHERE d.doc_id % 10 = 0
+    ),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {scale} // nn.n AS rank_q FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+    d{k} AS (SELECT COALESCE(SUM(r.rank_q), 0) AS m
+             FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src
+             WHERE o.src IS NULL),
+    c{k} AS (SELECT e.dst, SUM(r.rank_q // o.deg) AS inflow_q
+             FROM {prev} r JOIN outdeg o ON r.node = o.src
+             JOIN edges e ON e.src = r.node
+             GROUP BY e.dst),
+    r{k} AS (SELECT nodes.node,
+                    (({den - num} * {scale}) // ({den} * nn.n))
+                    + ({num} * (COALESCE(c{k}.inflow_q, 0) + (d{k}.m // nn.n)))
+                      // {den} AS rank_q
+             FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+             LEFT JOIN c{k} ON c{k}.dst = nodes.node)"""
+        prev = f"r{k}"
+    return sql + f"""
+    SELECT node, rank_q FROM {prev} ORDER BY rank_q DESC, node LIMIT 50"""
+
+
+@register(
+    "doc_link_pagerank_exact",
+    _pagerank_exact_oracle(iters=5, scale=10**12),
+    "Exact-config oracle twin of doc_link_pagerank (the pattern every ANN "
+    "probing form here has): fixed-iteration PageRank over the same "
+    "synthetic link graph, computed ENTIRELY in int64 units of 1e-12 "
+    "(operators/pagerank.pagerank_quantized — shares by integer div, "
+    "exact integer sums, damping as (85*x) div 100), so the driver's hash "
+    "check covers the graph family's join/agg/dangling/teleport plumbing "
+    "bit-for-bit; the float operator stays pinned vs numpy in "
+    "tests/test_pagerank.py. Same per-iteration plan shape: one "
+    "node-keyed shuffle, broadcast 1-row dangling agg, truncated lineage.",
+)
+def doc_link_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank_quantized
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranks = pagerank_quantized(
+        _doc_link_edges(docs, docs.count()), iters=5, scale=10**12
+    )
+    return ranks.orderBy(F.desc("rank_q"), F.asc("node")).limit(50)
+
+
+# Frozen weights for the scoring-path oracle twin: deterministic, modest
+# magnitude (|w| <= 0.128 -> |z| <= ~1.1), so the sigmoid never saturates
+# and every doc's keep decision sits far from both the 0.5 threshold and
+# float-rounding boundaries. Rendered into the oracle SQL via repr() —
+# shortest-round-trip decimals that parse to the identical double in both
+# engines.
+_FROZEN_DIM = 64
+_FROZEN_W = [((j * 37) % 101 - 50) / 400.0 for j in range(_FROZEN_DIM)]
+_FROZEN_BIAS = 0.05
+
+
+def _crc32_table() -> list[int]:
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        out.append(c)
+    return out
+
+
+def _frozen_score_oracle(dim: int, weights: list[float], bias: float) -> str:
+    """SQL re-derivation of quality_classifier's scoring path: whitespace
+    tokenize + lowercase, CRC32 bucket (crc32 built from SQL primitives —
+    list_reduce over the standard 256-entry table, since DuckDB has no
+    crc32 function), L2-normalized counts, frozen-weight dot product,
+    sigmoid threshold at 0.5. The output is the per-doc KEEP DECISION,
+    not the float score: z is bounded away from 0 by the weight design,
+    so both engines' last-ulp exp() differences can never flip a row."""
+    tbl = "[" + ",".join(str(v) for v in _crc32_table()) + "]"
+    wlist = "[" + ",".join(repr(v) for v in weights) + "]"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(xor(list_reduce(
+                   list_prepend(4294967295::BIGINT,
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+                   (acc, b) -> xor(acc >> 8, ({tbl})[xor(acc & 255, b) + 1])
+               ), 4294967295::BIGINT) % {dim} AS BIGINT) AS b
+        FROM toks
+    ),
+    counts AS (SELECT doc_id, b, COUNT(*) AS cnt FROM hashed GROUP BY doc_id, b),
+    z AS (
+        SELECT doc_id,
+               SUM(({wlist})[b + 1] * cnt)
+                 / sqrt(SUM(CAST(cnt * cnt AS DOUBLE))) AS zr
+        FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(1.0 / (1.0 + exp(-(COALESCE(z.zr, 0.0) + {bias!r}))) >= 0.5
+                AS INT) AS keep
+    FROM documents d LEFT JOIN z ON z.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "doc_quality_scored_frozen",
+    _frozen_score_oracle(_FROZEN_DIM, _FROZEN_W, _FROZEN_BIAS),
+    "Scoring-path oracle twin of doc_quality_classifier_topk: "
+    "operators/quality_classifier.score_quality under FROZEN literal "
+    "weights (training stays pinned vs numpy GD in "
+    "tests/test_quality_classifier.py — iterative float fixpoints don't "
+    "hash-compare; the inference path does). Each doc's keep decision "
+    "(sigmoid >= 0.5) exercises the full Arrow kernel: whitespace "
+    "tokenize, crc32 feature hashing, L2 normalization, dot product, "
+    "sigmoid — vs a DuckDB oracle that rebuilds crc32 from SQL "
+    "primitives. One mapInPandas projection, no shuffle.",
+)
+def doc_quality_scored_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.quality_classifier import score_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = np.array(_FROZEN_W + [_FROZEN_BIAS], dtype=np.float64)
+    scored = score_quality(docs, w, dim=_FROZEN_DIM)
+    return scored.select(
+        "doc_id", (F.col("quality_score") >= 0.5).cast("int").alias("keep")
+    ).orderBy("doc_id")
+
+
+@register(
+    "udtf_word_ngrams_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT 2 AS n, ts[i] || ' ' || ts[i + 1] AS ngram
+        FROM toks, unnest(range(1, array_length(ts))) AS u(i)
+        UNION ALL
+        SELECT 3 AS n, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS ngram
+        FROM toks, unnest(range(1, array_length(ts) - 1)) AS u(i)
+    )
+    SELECT n, ngram, COUNT(*) AS cnt
+    FROM grams GROUP BY n, ngram
+    ORDER BY cnt DESC, n, ngram LIMIT 25
+    """,
+    "The UDTF surface under a driver hash check (the fifth Python "
+    "boundary — functions/tablefuncs.WordNgrams — was pytest-only until "
+    "now): LATERAL word_ngrams(text, 2, 3) fans each doc into its word "
+    "2/3-grams procedurally, then a corpus-wide top-25 by frequency. "
+    "Proves the Arrow-batched UDTF config yields the same rows as the "
+    "oracle's relational unnest over split arrays. Generate-free plan on "
+    "the Spark side: the expansion happens INSIDE the Python UDTF "
+    "boundary, grouped/counted JVM-side after.",
+)
+def udtf_word_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tablefuncs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT n, ngram, COUNT(*) AS cnt
+        FROM _udtf_docs d, LATERAL word_ngrams(d.text, 2, 3) g
+        GROUP BY n, ngram
+        ORDER BY cnt DESC, n, ngram
+        LIMIT 25
+        """
     )
 
 

@@ -143,3 +143,37 @@ def test_no_oracle_entry_staler_than_three_rounds():
         f"older than round {floor}: {stale} — rotate them into "
         "_DRIVER_WINDOW_PRIORITY"
     )
+
+
+def test_window_capacity_budget_for_future_rounds():
+    """Saturation guard (r6 verdict item 2): 141+ oracle-bearing entries
+    against a hard ceiling of DRIVER_WINDOW_SIZE x 3-round staleness mean
+    rotation capacity must be planned, not discovered at verdict time.
+    Model the steady state: assume every entry in THIS round's window
+    earns its green row this round; then the cohort whose green rows
+    expire at future round k (last green == k-4) must fit in round k's
+    window, and the total oracle-bearing population must fit the
+    window x staleness ceiling. A new oracle registration lands in the
+    current window (other tests force that), which shifts cohort sizes —
+    so this fails at REGISTRATION time when growth outruns capacity."""
+    last = _last_green_round()
+    window = set(_DRIVER_WINDOW_PRIORITY)
+    oracle_names = [n for n, q in REGISTRY.items() if q.oracle is not None]
+
+    ceiling = DRIVER_WINDOW_SIZE * 3
+    assert len(oracle_names) <= ceiling, (
+        f"{len(oracle_names)} oracle-bearing queries exceed the rotation "
+        f"ceiling {DRIVER_WINDOW_SIZE} slots x 3-round staleness = {ceiling}; "
+        "stop registering oracle queries or raise the window size"
+    )
+
+    def effective_green(name: str) -> int:
+        return CURRENT_ROUND if name in window else last.get(name, 0)
+
+    for k in range(CURRENT_ROUND + 1, CURRENT_ROUND + 4):
+        must_rewindow = [n for n in oracle_names if effective_green(n) == k - 4]
+        assert len(must_rewindow) <= DRIVER_WINDOW_SIZE, (
+            f"round {k} would need {len(must_rewindow)} re-verification "
+            f"slots but the window holds {DRIVER_WINDOW_SIZE}: stagger some "
+            f"of this cohort into an earlier round's spare slots now"
+        )

@@ -79,3 +79,61 @@ def test_modes_agree(spark, tmp_path):
 def test_empty_graph(spark):
     got = _run(spark, [], iters=5)
     assert got == {}
+
+
+def _ref_pagerank_quantized(edge_list, iters=5, scale=10**12, num=85, den=100):
+    """Pure-Python integer twin (floor div everywhere), mirroring both the
+    Spark operator and the unrolled DuckDB oracle."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for u, _ in edge_list:
+        deg[u] = deg.get(u, 0) + 1
+    teleport = ((den - num) * scale) // (den * n)
+    r = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        inflow = {u: 0 for u in nodes}
+        for u, v in edge_list:
+            inflow[v] += r[u] // deg[u]
+        dangling = sum(r[u] for u in nodes if u not in deg)
+        r = {
+            u: teleport + (num * (inflow[u] + dangling // n)) // den
+            for u in nodes
+        }
+    return r
+
+
+def test_quantized_matches_integer_reference_exactly(spark):
+    """pagerank_quantized is the exact-oracle twin: every step is int64,
+    so the distributed result must equal the serial integer reference
+    BIT-FOR-BIT (not approximately) regardless of partitioning."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.pagerank import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long").repartition(4)
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_quantized(edges, iters=5).collect()
+    }
+    assert got == _ref_pagerank_quantized(EDGES, iters=5)
+
+
+def test_quantized_tracks_float_operator(spark):
+    """In units of 1/scale the integer twin loses at most a few floor
+    steps per iteration — it must sit within ~1e-9 of the float operator
+    at the same iteration count, so the twin certifies the same math."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.pagerank import (
+        pagerank_quantized,
+    )
+
+    scale = 10**12
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    q = {
+        r["node"]: r["rank_q"] / scale
+        for r in pagerank_quantized(edges, iters=8, scale=scale).collect()
+    }
+    f = _run(spark, EDGES, iters=8, tol=None)
+    assert set(q) == set(f)
+    for node in f:
+        assert q[node] == pytest.approx(f[node], abs=1e-8), node
