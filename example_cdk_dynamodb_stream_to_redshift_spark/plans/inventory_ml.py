@@ -2198,18 +2198,6 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("batch_id", "corpus_id")
 
 
-@register(
-    "doc_link_pagerank",
-    None,  # iterative float fixpoint — rows-only; the operator is pinned
-    #       against a plain-numpy power iteration in tests/test_pagerank.py
-    "PageRank centrality over a deterministic synthetic document link "
-    "graph (each doc links to (7*id+j) mod N for j=1..3) — the link-"
-    "graph quality signal web-corpus curation weights documents by, "
-    "next to the content rules (operators/pagerank.py: per-iteration "
-    "one node-keyed shuffle, dangling mass as a broadcast 1-row agg, "
-    "lineage truncated via the reliable-checkpoint-capable helper). "
-    "Top-50 by rank.",
-)
 def _doc_link_edges(docs: DataFrame, n: int) -> DataFrame:
     """Deterministic synthetic link graph over doc ids: out-degree
     1 + id%3 with targets (7*id+j) mod n for j=1..(1+id%3), plus every
@@ -2231,6 +2219,18 @@ def _doc_link_edges(docs: DataFrame, n: int) -> DataFrame:
     return edges.unionByName(hub)
 
 
+@register(
+    "doc_link_pagerank",
+    None,  # iterative float fixpoint — rows-only; the operator is pinned
+    #       against a plain-numpy power iteration in tests/test_pagerank.py
+    "PageRank centrality over a deterministic synthetic document link "
+    "graph (each doc links to (7*id+j) mod N for j=1..3) — the link-"
+    "graph quality signal web-corpus curation weights documents by, "
+    "next to the content rules (operators/pagerank.py: per-iteration "
+    "one node-keyed shuffle, dangling mass as a broadcast 1-row agg, "
+    "lineage truncated via the reliable-checkpoint-capable helper). "
+    "Top-50 by rank.",
+)
 def doc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pagerank import pagerank
 
