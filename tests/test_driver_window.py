@@ -177,3 +177,20 @@ def test_window_capacity_budget_for_future_rounds():
             f"slots but the window holds {DRIVER_WINDOW_SIZE}: stagger some "
             f"of this cohort into an earlier round's spare slots now"
         )
+
+
+def test_registered_callables_have_driver_signature():
+    """Every registry entry must be a (spark, sf_dir) callable — a
+    decorator landing on the wrong function (e.g. a helper inserted
+    between @register and its query during a refactor, which silently
+    registered a (docs, n) edge builder in round 7) fails here instead
+    of at driver time."""
+    import inspect
+
+    bad = [
+        (name, list(inspect.signature(q.spark_fn).parameters))
+        for name, q in REGISTRY.items()
+        if list(inspect.signature(q.spark_fn).parameters)[:2]
+        != ["spark", "sf_dir"]
+    ]
+    assert not bad, f"registered callables with non-driver signatures: {bad}"
