@@ -2320,8 +2320,12 @@ def _pagerank_exact_oracle(iters: int, scale: int, num: int = 85, den: int = 100
              FROM nodes CROSS JOIN nn CROSS JOIN d{k}
              LEFT JOIN c{k} ON c{k}.dst = nodes.node)"""
         prev = f"r{k}"
+    # CAST the output: the iteration SUMs widen rank_q to HUGEINT, which
+    # poisons the driver's value hash (the bug class tests/test_oracle_types.py
+    # exists for); values are <= scale so the narrowing is lossless
     return sql + f"""
-    SELECT node, rank_q FROM {prev} ORDER BY rank_q DESC, node LIMIT 50"""
+    SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM {prev}
+    ORDER BY rank_q DESC, node LIMIT 50"""
 
 
 @register(
