@@ -979,6 +979,45 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_reach_hll_rollup",
+    None,  # Datasketches HLL binary sketches are engine-specific ->
+    #       rows-only check; estimate accuracy, merge algebra, and the
+    #       parquet round-trip of the sketch column are pinned in
+    #       tests/test_sketches.py
+    "Mergeable-sketch materialization (operators/sketches.py): events are "
+    "sketched ONCE per (event_type, day) into kilobyte Datasketches HLL "
+    "binaries — the persistable artifact — then per-type reach AND the "
+    "all-types total are both answered by MERGING sketches (hll_union_agg), "
+    "never rescanning the events. At 100 TB this turns every later "
+    "cardinality question (regroup, roll-up, cross-table union) into "
+    "kilobyte algebra; contrast approx_distinct_users, which answers one "
+    "question per scan. Fully JVM: no Python boundary, one shuffle keyed "
+    "by the bounded (type, day) shard key.",
+)
+def user_reach_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import merged_estimate, shard_sketches
+
+    events = load_table(spark, sf_dir, "events")
+    shards = shard_sketches(
+        events.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        ["event_type", "day"],
+        "user_id",
+    )
+    # one materialized sketch table serves BOTH groupings (the whole
+    # point: roll-ups read sketches, not events)
+    from ..operators.lineage import truncate_lineage
+
+    shards = truncate_lineage(shards)
+    per_type = merged_estimate(shards, ["event_type"], out_col="reach").select(
+        "event_type", "reach"
+    )
+    total = merged_estimate(shards, out_col="reach").select(
+        F.lit("__all__").alias("event_type"), "reach"
+    )
+    return per_type.unionByName(total).orderBy("event_type")
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -1,0 +1,114 @@
+"""Mergeable HLL sketch tables (operators/sketches.py): shard-sketch +
+merge must agree with exact distinct counts at small cardinality, obey
+the sketch algebra (merge of shard sketches == sketch of the union),
+survive a parquet round-trip of the binary column, and stay within the
+HLL error envelope at larger cardinality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.sketches import (
+    merged_estimate,
+    shard_sketches,
+)
+
+
+def _events(spark):
+    # 4000 rows, 4 shards, per-shard distinct user sets that overlap:
+    # shard s holds users [200*s, 200*s + 500) -> global distinct 1100
+    return spark.range(4000).select(
+        (F.col("id") % 4).alias("shard"),
+        ((F.col("id") % 4) * 200 + F.expr("(id div 4) % 500")).alias("user_id"),
+    )
+
+
+def test_per_shard_estimates_inside_error_envelope(spark):
+    df = _events(spark)
+    sk = shard_sketches(df, ["shard"], "user_id")
+    got = {
+        r["shard"]: r["distinct_est"]
+        for r in merged_estimate(sk, ["shard"]).collect()
+    }
+    # HLL standard error at lgk=12 is ~1.6%; each shard holds exactly
+    # 500 distinct users
+    assert set(got) == {0, 1, 2, 3}
+    for shard, est in got.items():
+        assert abs(est - 500) / 500 < 0.03, (shard, est)
+
+
+def test_merged_estimate_counts_overlap_once(spark):
+    df = _events(spark)
+    sk = shard_sketches(df, ["shard"], "user_id")
+    est = merged_estimate(sk).first()["distinct_est"]
+    exact = df.select("user_id").distinct().count()
+    assert exact == 1100  # fixture sanity: shards overlap by construction
+    # 1100 coupons exceeds the sketch's exact (sparse) regime at lgk=12,
+    # so this is an estimate — but a SUM over shards would say 2000, so
+    # landing inside the error envelope proves overlap is counted once
+    assert abs(est - exact) / exact < 0.03
+
+
+def test_merge_of_shards_tracks_direct_sketch_and_is_deterministic(spark):
+    # merging per-shard sketches is NOT guaranteed bitwise-equal to
+    # sketching the union directly (the union gadget re-encodes), but it
+    # must land in the same error envelope; and the algebra itself is
+    # deterministic — the same merge repeated gives the identical value,
+    # which is what makes persisted sketch tables reproducible artifacts
+    df = _events(spark)
+    sk = shard_sketches(df, ["shard"], "user_id")
+    via_shards = merged_estimate(sk).first()["distinct_est"]
+    again = merged_estimate(sk).first()["distinct_est"]
+    direct = merged_estimate(
+        shard_sketches(df.withColumn("one", F.lit(1)), ["one"], "user_id")
+    ).first()["distinct_est"]
+    assert via_shards == again
+    assert abs(via_shards - direct) / direct < 0.03
+
+
+def test_sketch_column_survives_parquet_round_trip(spark, tmp_path):
+    df = _events(spark)
+    sk = shard_sketches(df, ["shard"], "user_id")
+    path = str(tmp_path / "sketches")
+    sk.write.mode("overwrite").parquet(path)
+    reread = spark.read.parquet(path)
+    assert (
+        merged_estimate(reread).first()["distinct_est"]
+        == merged_estimate(sk).first()["distinct_est"]
+    )
+
+
+def test_error_envelope_at_large_cardinality(spark):
+    # 200k distinct >> 2^12 registers: estimate within the standard
+    # HLL relative-error envelope (~1.04/sqrt(2^12) ~ 1.6%; allow 5%)
+    df = spark.range(200_000).select(
+        (F.col("id") % 8).alias("shard"), F.col("id").alias("user_id")
+    )
+    est = merged_estimate(shard_sketches(df, ["shard"], "user_id")).first()[
+        "distinct_est"
+    ]
+    assert abs(est - 200_000) / 200_000 < 0.05
+
+
+def test_regroup_rollup_reads_only_sketches(spark):
+    # day -> source roll-up: sketch per (source, day), merge per source;
+    # 400 distinct users per source, estimates within the error envelope
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("source"),
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 400).alias("user_id"),
+    )
+    sk = shard_sketches(df, ["source", "day"], "user_id")
+    per_source = {
+        r["source"]: r["distinct_est"]
+        for r in merged_estimate(sk, ["source"]).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(per_source) == set(exact)
+    for src, est in per_source.items():
+        assert abs(est - exact[src]) / exact[src] < 0.03, (src, est)
