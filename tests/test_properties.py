@@ -274,3 +274,103 @@ def test_delta_ivm_matches_recompute_on_random_cdc_history(
             g: (len(vs), sum(vs)) for g, vs in live.items() if vs
         }
         assert got == want, f"divergence after batch {bid}"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key: m<k>
+            st.integers(min_value=1, max_value=20),   # event second offset
+            st.sampled_from(["INSERT", "MODIFY", "REMOVE"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=9), max_size=2, unique=True),
+)
+def test_partitioned_merge_matches_reference_on_random_histories(
+    spark, tmp_path_factory, events, cuts
+):
+    """Random CDC histories split at random batch boundaries: the
+    bucketed store's merge (incl. the round-7 manifest commit path) must
+    agree with BOTH the full-rewrite incremental_merge chain and a
+    pure-Python CDC reference — same watermark gating (ts > in-table
+    max), same latest-per-key (ts desc, numeric seqno desc), same
+    REMOVE/upsert semantics."""
+    import datetime as dtm
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.partitioned_store import (
+        PartitionedParquetTable,
+    )
+
+    base_ms = 1700000000000
+    old = dtm.datetime(2023, 1, 1)
+    sync = dtm.datetime(2023, 12, 1)
+    tmp = tmp_path_factory.mktemp("randcdc")
+
+    def ev_ts(sec):
+        return dtm.datetime.utcfromtimestamp(base_ms // 1000 + sec)
+
+    # stream order = seq order; batches split at the given cut points
+    recs = []
+    for seq, (k, sec, name) in enumerate(events, start=1):
+        uid, nm = f"m{k}", f"n{seq}"
+        img = None if name == "REMOVE" else {
+            "pk": {"S": f"M_{uid}"}, "sk": {"S": nm},
+            "memberId": {"S": uid}, "memberName": {"S": nm}}
+        recs.append(
+            (seq, kinesis_record(seq, envelope(f"e{seq}", name, f"M_{uid}",
+                                               nm, base_ms + sec * 1000, img)))
+        )
+    bounds = sorted({c for c in cuts if c < len(recs)}) + [len(recs)]
+    batches, start = [], 0
+    for b in bounds:
+        if b > start:
+            batches.append(recs[start:b])
+            start = b
+
+    seed_rows = [(f"m{i}", f"seed{i}", old, "INITIAL_LOAD", old) for i in (0, 1)]
+    seed = spark.createDataFrame(seed_rows, MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp / "member"), MEMBER_SCHEMA, "memberId", 4
+    )
+    table.overwrite_full(seed)
+    full = seed
+
+    # pure-Python reference: key -> (name, ts)
+    ref = {f"m{i}": (f"seed{i}", old) for i in (0, 1)}
+    for bi, batch in enumerate(batches):
+        path = write_jsonl(str(tmp / f"b{bi}.json"), [r for _, r in batch])
+        ext = build_extract(read_cdc_records(spark, path))
+        table.merge(ext, MEMBER_SPEC, sync_ts=sync)
+        full = incremental_merge(full, ext, MEMBER_SPEC, sync_ts=sync)
+        full = spark.createDataFrame(full.collect(), full.schema)  # cut lineage
+
+        wm = max((ts for _, ts in ref.values()), default=old)
+        staged = {}
+        for seq, _ in batch:
+            k, sec, name = events[seq - 1]
+            if ev_ts(sec) <= wm:
+                continue
+            uid = f"m{k}"
+            cur = staged.get(uid)
+            if cur is None or (ev_ts(sec), seq) > (cur[0], cur[1]):
+                staged[uid] = (ev_ts(sec), seq, name, f"n{seq}")
+        for uid, (ts, seq, name, nm) in staged.items():
+            if name == "REMOVE":
+                ref.pop(uid, None)
+            else:
+                ref[uid] = (nm, ts)
+
+    got_part = sorted(
+        (r["memberId"], r["memberName"], r["approximateUpdateTimestamp"])
+        for r in table.read().collect()
+    )
+    got_full = sorted(
+        (r["memberId"], r["memberName"], r["approximateUpdateTimestamp"])
+        for r in full.collect()
+    )
+    want = sorted((k, nm, ts) for k, (nm, ts) in ref.items())
+    assert got_part == want
+    assert got_full == want
