@@ -310,7 +310,9 @@ def test_partitioned_merge_matches_reference_on_random_histories(
     tmp = tmp_path_factory.mktemp("randcdc")
 
     def ev_ts(sec):
-        return dtm.datetime.utcfromtimestamp(base_ms // 1000 + sec)
+        return dtm.datetime.fromtimestamp(
+            base_ms // 1000 + sec, dtm.timezone.utc
+        ).replace(tzinfo=None)
 
     # stream order = seq order; batches split at the given cut points
     recs = []
