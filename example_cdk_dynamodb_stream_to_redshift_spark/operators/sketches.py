@@ -43,6 +43,22 @@ def shard_sketches(
     )
 
 
+def rollup_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """(group_cols..., <sketch_col> binary): merge sketches UP a level but
+    keep them as sketches — the hierarchical pattern (hour->day->month
+    tables, each persisted, each still mergeable further). Estimates from
+    a rolled-up level track the flat merge within the HLL error envelope
+    (union re-encoding is not bit-identical; pinned in
+    tests/test_sketches.py)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.expr(f"hll_union_agg({sketch_col})").alias(sketch_col)
+    )
+
+
 def merged_estimate(
     sketches: DataFrame,
     group_cols: list[str] | None = None,

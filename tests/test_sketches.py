@@ -112,3 +112,33 @@ def test_regroup_rollup_reads_only_sketches(spark):
     assert set(per_source) == set(exact)
     for src, est in per_source.items():
         assert abs(est - exact[src]) / exact[src] < 0.03, (src, est)
+
+
+def test_hierarchical_rollup_tracks_flat_merge(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.sketches import (
+        rollup_sketches,
+    )
+
+    # (source, day) sketches -> rolled up to source level AS SKETCHES ->
+    # merged globally; must track the flat one-step global merge
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("source"),
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") % 900).alias("user_id"),
+    )
+    fine = shard_sketches(df, ["source", "day"], "user_id")
+    coarse = rollup_sketches(fine, ["source"])
+    via_hierarchy = merged_estimate(coarse).first()["distinct_est"]
+    flat = merged_estimate(fine).first()["distinct_est"]
+    exact = df.select("user_id").distinct().count()
+    assert abs(via_hierarchy - exact) / exact < 0.03
+    assert abs(via_hierarchy - flat) / max(flat, 1) < 0.03
+    # and the coarse table is itself a persistable sketch table: its
+    # per-source estimates stay in the envelope too (each source sees the
+    # 300 residues congruent to it mod 3: gcd(3, 900) = 3)
+    per_src = {
+        r["source"]: r["distinct_est"]
+        for r in merged_estimate(coarse, ["source"]).collect()
+    }
+    for src, est in per_src.items():
+        assert abs(est - 300) / 300 < 0.03, (src, est)
