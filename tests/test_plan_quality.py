@@ -516,3 +516,25 @@ def test_q15_reuses_revenue_aggregate(spark):
     assert "ReusedExchange" in plan
     # year range pushed to the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_frozen_scorer_is_single_arrow_pass(spark):
+    plan = _plan(spark, "doc_quality_scored_frozen")
+    # one Arrow kernel pass over a 2-column pruned scan; the only
+    # exchange is the output ordering's range partition — no join, no
+    # aggregation shuffle
+    assert "MapInPandas" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning only
+
+
+def test_udtf_ngrams_aggregates_map_side_and_take_ordered(spark):
+    plan = _plan(spark, "udtf_word_ngrams_topk")
+    # the UDTF fan-out is aggregated PARTIALLY before the exchange (the
+    # per-partition ngram dedup that keeps the shuffle bounded by
+    # distinct grams, not total grams) and the top-25 never global-sorts
+    assert "BatchEvalPythonUDTF" in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan  # 1-column pruned scan
