@@ -232,6 +232,7 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the K-hash signature into B bands of K/B rows;
     docs sharing any band key are candidate pairs.
@@ -239,8 +240,18 @@ def minhash_lsh_candidate_pairs(
     The only shuffle is the equi-join on (band_idx, band_key) — a uniform
     md5-derived key, so no skew; candidate count is tunable via (K, B).
     Output: id_a < id_b, distinct.
+
+    ``band_index``: a PREBUILT (id, band, key) table for ``df`` (from
+    minhash_band_index — typically the persisted/materialized corpus
+    index, so the corpus is not re-shingled when several dedup jobs in
+    one session consume the same index). When given, the hashing
+    parameters are ignored; the caller owns index/params consistency.
     """
-    banded = minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = (
+        band_index
+        if band_index is not None
+        else minhash_band_index(df, text_col, id_col, num_hashes, bands, shingle_n)
+    )
     # Bucket-grouped pair enumeration instead of a banded self-join: the
     # signature pipeline is evaluated ONCE (a self-join would recompute it
     # for each side), and pairs are enumerated inside each (band, key)
@@ -275,10 +286,13 @@ def minhash_lsh_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup: LSH candidates, then exact Jaccard
     verification of the CANDIDATES ONLY (the standard scale recipe — the
-    all-pairs shingle join is never materialized).
+    all-pairs shingle join is never materialized). ``band_index``
+    optionally supplies the prebuilt (id, band, key) corpus index (see
+    minhash_lsh_candidate_pairs).
 
     The verification shingle sets are built ONLY for docs appearing in
     some candidate pair: a broadcast semi-join prunes the corpus BEFORE
@@ -290,7 +304,7 @@ def minhash_lsh_near_dup_pairs(
     materialized once (localCheckpoint): three consumers (id extraction
     + the verify join) would otherwise re-run the whole LSH subtree."""
     cands = minhash_lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n, band_index
     ).localCheckpoint(eager=True)
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
@@ -326,11 +340,17 @@ def incremental_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup of a NEW batch against an EXISTING corpus's
     persisted MinHash band index — the steady-state shape of corpus
     collection at 100 TB, where the historical corpus must never be
     re-shingled just because a new crawl arrived.
+
+    ``batch_index``: optionally the batch's PREBUILT (id, band, key) rows
+    (e.g. a slice of an already-materialized whole-corpus index); when
+    given, batch signature hashing is skipped and the hashing parameters
+    are ignored.
 
     ``corpus_index`` is a (id, band, key) table from minhash_band_index —
     normally read back from parquet partitioned by ``band`` (see
@@ -348,9 +368,10 @@ def incremental_near_dup_pairs(
     sql/incremental_sync_members.sql:38-52) re-keyed from row identity to
     near-identity.
     """
-    batch_index = minhash_band_index(
-        batch_df, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    if batch_index is None:
+        batch_index = minhash_band_index(
+            batch_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     cand = (
         batch_index.select(F.col("id").alias("batch_id"), "band", "key")
         .join(corpus_index.select(F.col("id").alias("corpus_id"), "band", "key"),
