@@ -167,6 +167,51 @@ def resize_images(
     return media.mapInPandas(op, MEDIA_SCHEMA)
 
 
+def _make_fake_resample() -> Callable[[bytes], bytes]:
+    """Deterministic stand-in for decode->resample->re-encode (no audio
+    libs in this image): output bytes derived from the content hash.
+    Factory -> closure, pickled by value (see _make_fake_decode)."""
+
+    def fake(content: bytes) -> bytes:
+        import hashlib as _hl
+
+        if content is None:
+            return b""
+        return _hl.sha256(content + b"|resample").digest()
+
+    return fake
+
+
+def resample_audio(
+    media: DataFrame,
+    sample_rate: int,
+    resample_fn: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """Sample-rate conversion: 1 row in -> 1 row out, content replaced by
+    the resampled encoding, ``meta.sample_rate`` rewritten (duration is a
+    time quantity and survives resampling, so ``duration_ms`` is kept).
+    The signal kernel is pluggable (``resample_fn(content) -> bytes`` —
+    a real one comes from operators/audiocodec.make_audio_resample_fn);
+    the default is the clearly-marked deterministic fake. The audio twin
+    of resize_images: same Arrow batching, same meta-rewrite contract."""
+    fn = resample_fn or _make_fake_resample()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                fn(bytes(b)) if b is not None else b"" for b in pdf["content"]
+            ]
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict() if m is not None else {}),
+                 "sample_rate": sample_rate}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
