@@ -1,2 +1,3 @@
 from .corpus import CorpusIngestPipeline  # noqa: F401
 from .pipeline import CdcPipeline  # noqa: F401
+from .sketch_maintenance import KmvSketchMaintenance  # noqa: F401
