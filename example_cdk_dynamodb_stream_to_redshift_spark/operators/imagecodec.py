@@ -95,6 +95,11 @@ def decode_bmp(b: bytes) -> np.ndarray:
     (negative height); rows are padded to 4-byte multiples."""
     if b[:2] != b"BM":
         raise ValueError(f"not a BMP (magic {b[:2]!r})")
+    if len(b) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        # keep the untrusted-bytes contract: every malformed input is a
+        # ValueError, never a struct.error leaking from header parsing
+        # (fuzz-pinned in tests/test_imagecodec.py)
+        raise ValueError(f"truncated BMP header: {len(b)} bytes < 54")
     data_off = struct.unpack_from("<I", b, 10)[0]
     hdr_size = struct.unpack_from("<I", b, 14)[0]
     if hdr_size < 40:

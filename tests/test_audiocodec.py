@@ -165,3 +165,48 @@ def test_real_windows_through_frame_sampling(spark):
     np.testing.assert_array_equal(w0, GOLD)  # 8-sample window, 4 available
     w1, _ = AC.decode_wav(bytes(out[1]["frame"]))
     assert w1.shape[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Untrusted-bytes contract + round-trip property (same posture as the
+# image codecs: media columns are arbitrary bytes at corpus scale)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    blob=st.binary(max_size=200),
+    prefix=st.sampled_from(
+        [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"RIFF1234WAVEfmt "]
+    ),
+)
+def test_decode_rejects_garbage_with_valueerror_only(blob, prefix):
+    try:
+        samples, rate = AC.decode_wav(prefix + blob)
+    except ValueError:
+        return
+    assert samples.ndim == 2 and rate >= 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arr=st.integers(min_value=1, max_value=3).flatmap(
+        lambda ch: st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=ch,
+            max_size=60 * ch,
+        ).map(
+            lambda v: np.array(v[: len(v) - len(v) % ch], dtype=np.int16).reshape(
+                -1, ch
+            )
+        )
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(arr, rate):
+    samples, got_rate = AC.decode_wav(AC.encode_wav(arr, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(samples, arr)

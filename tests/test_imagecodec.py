@@ -130,3 +130,46 @@ def test_real_features_through_mapinpandas(spark):
         for ch in range(3):  # mean of [255,0,0,255]/255 etc. = 0.5
             assert f[ch] == pytest.approx(510 / 4 / 255)
         assert f[6] == pytest.approx(0.5)  # square: w/(w+h)
+
+
+# ---------------------------------------------------------------------------
+# Untrusted-bytes contract: corpus media columns are arbitrary bytes; the
+# decoders must reject ANY malformed input with ValueError — never leak
+# struct.error / IndexError from header parsing into the Arrow kernel.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    blob=st.binary(max_size=200),
+    prefix=st.sampled_from([b"", b"P6", b"P6\n", b"BM", b"BM" + b"\x00" * 20]),
+)
+def test_decoders_reject_garbage_with_valueerror_only(blob, prefix):
+    for fn in (IC.decode_ppm, IC.decode_bmp, IC.decode_image):
+        try:
+            out = fn(prefix + blob)
+        except ValueError:
+            continue
+        # the (astronomically unlikely) accidental-valid case must still
+        # produce a well-formed pixel array
+        assert out.ndim == 3 and out.shape[2] == 3
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arr=st.integers(min_value=1, max_value=7).flatmap(
+        lambda h: st.integers(min_value=1, max_value=7).flatmap(
+            lambda w: st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=h * w * 3,
+                max_size=h * w * 3,
+            ).map(lambda v: np.array(v, dtype=np.uint8).reshape(h, w, 3))
+        )
+    )
+)
+def test_codec_round_trip_property(arr):
+    np.testing.assert_array_equal(IC.decode_ppm(IC.encode_ppm(arr)), arr)
+    np.testing.assert_array_equal(IC.decode_bmp(IC.encode_bmp(arr)), arr)
