@@ -121,9 +121,12 @@ def kmv_sketches(
     hex digests of ``value_col``'s distinct values per shard — the
     persistable KMV sketch table (write it as parquet beside the data,
     exactly like shard_sketches' HLL form)."""
+    # NULL values don't count (COUNT(DISTINCT) semantics, and both md5's
+    # NULL-in/NULL-out and numpy's object-sort would otherwise differ per
+    # engine); a shard whose values are all NULL emits no sketch row.
     hashed = df.select(
         *shard_cols, F.md5(F.col(value_col).cast("string")).alias("_h")
-    )
+    ).filter(F.col("_h").isNotNull())
     part_schema = T.StructType(
         [hashed.schema[c] for c in shard_cols]
         + [T.StructField("_hs", T.ArrayType(T.StringType()))]

@@ -253,3 +253,23 @@ def test_kmv_sketch_survives_parquet_round_trip(spark, tmp_path):
         r["shard"] % 2: r["sketch"] for r in back.filter(F.col("shard") < 2).collect()
     }
     assert len(merged) == 2
+
+
+def test_kmv_ignores_nulls_like_count_distinct(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("shard"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 30).alias("v"),
+    )
+    got = {
+        r["shard"]: r["sketch"]
+        for r in kmv_sketches(df, ["shard"], "v", k=16).collect()
+    }
+    nn = df.filter(F.col("v").isNotNull())
+    want = {
+        r["shard"]: r["sketch"]
+        for r in kmv_sketches(nn, ["shard"], "v", k=16).collect()
+    }
+    assert got == want
+    # an all-NULL shard emits no sketch row (count-distinct = 0)
+    allnull = df.withColumn("v", F.lit(None).cast("long"))
+    assert kmv_sketches(allnull, ["shard"], "v", k=16).count() == 0
