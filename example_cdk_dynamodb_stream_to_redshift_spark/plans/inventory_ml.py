@@ -596,6 +596,51 @@ def _minhash_band_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_index_cache[key]
 
 
+# (spark, sf_dir) -> the trained IVF coarse quantizer (K=8, iters=3) and
+# the assigned (cid, vec_id, embedding) inverted-list table over the WHOLE
+# embeddings table — shared by ivf_ann_topk / ivf_ann_fullprobe_topk /
+# ivf_knn_join_topk / ivf_knn_join_fullprobe (and the centroids alone by
+# ivfpq_ann_topk). The docs for train_ivf_centroids/write_ivf_index
+# already say the 100 TB posture is "train once, persist partitionBy(cid),
+# every probe reads the store"; without this cache each query re-ran the
+# identical deterministic k-means (first-K init, argmin ties to lowest
+# cid — value-identical across sites). The degenerate EXACT twins that
+# train on filtered slices or other params keep their own direct calls.
+_ivf_artifact_cache: dict[tuple[SparkSession, str], tuple[list, DataFrame]] = {}
+
+
+def _ivf_index_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame]:
+    from ..operators.lineage import truncate_lineage
+
+    key = (spark, sf_dir)
+    if key not in _ivf_artifact_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
+        index = truncate_lineage(SIM.build_ivf_index(emb, centroids))
+        _ivf_artifact_cache[key] = (centroids, index)
+    return _ivf_artifact_cache[key]
+
+
+# (spark, sf_dir) -> the trained PQ codebooks (m=8, K=16, iters=2, dim=64)
+# over the whole embeddings table — shared by pq_ann_topk and
+# ivfpq_ann_topk (training is deterministic per-subspace k-means; the
+# codebook is the persisted serving artifact). The lossless exact twins
+# use different params on a filtered slice and stay direct.
+_pq_books_cache: dict[tuple[SparkSession, str], object] = {}
+
+
+def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
+    key = (spark, sf_dir)
+    if key not in _pq_books_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _pq_books_cache[key] = PQ.train_pq_codebooks(
+            emb, m=8, n_centroids=16, iters=2, dim=64
+        )
+    return _pq_books_cache[key]
+
+
 @register(
     "simhash_near_dups",
     None,  # Pandas-UDF signature: not SQL-expressible -> rows-only check
@@ -747,8 +792,7 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-    index = SIM.build_ivf_index(emb, centroids)
+    centroids, index = _ivf_index_cached(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
     )
@@ -780,8 +824,7 @@ def ivf_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_knn_join_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-    index = SIM.build_ivf_index(emb, centroids)
+    centroids, index = _ivf_index_cached(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
     )
@@ -1638,8 +1681,7 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-    index = SIM.build_ivf_index(emb, centroids)
+    centroids, index = _ivf_index_cached(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivf_topk(index, qvec, centroids, k=10, nprobe=4)
 
@@ -1655,8 +1697,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_ann_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-    index = SIM.build_ivf_index(emb, centroids)
+    centroids, index = _ivf_index_cached(spark, sf_dir)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivf_topk(
         index, qvec, centroids, k=10, nprobe=8, exact_engine_parity=True
@@ -1675,7 +1716,7 @@ def ivf_ann_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=64)
+    books = _pq_codebooks_cached(spark, sf_dir)
     codes = PQ.pq_encode(emb, books)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return PQ.pq_adc_topk(codes, qvec, books, k=10)
@@ -1721,8 +1762,11 @@ def pq_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=64)
+    # shares the coarse quantizer AND the PQ codebooks with the plain
+    # IVF/PQ queries (identical params, deterministic trainers); only the
+    # composite index assembly is specific to this query
+    centroids = _ivf_index_cached(spark, sf_dir)[0]
+    books = _pq_codebooks_cached(spark, sf_dir)
     index = PQ.build_ivfpq_index(emb, centroids, books)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return PQ.ivfpq_topk(index, qvec, centroids, books, k=10, nprobe=4)
