@@ -78,3 +78,21 @@ def test_estimates_regroup_reads_only_the_store(spark, tmp_path):
     (row,) = m.estimates(group_cols=[]).collect()
     # 700 distinct v globally, k=64 engaged: loose 4-sigma envelope
     assert abs(row["distinct_est"] - 700) / 700 < 0.5
+
+
+def test_orphaned_snapshot_from_pre_pointer_crash_is_overwritten(spark, tmp_path):
+    """A crash AFTER writing snapshot v=N+1 but BEFORE the pointer flip
+    leaves an orphaned directory; the retry must overwrite it and commit
+    normally (mode=overwrite on the snapshot write is the guarantee)."""
+    store = str(tmp_path / "s")
+    m = KmvSketchMaintenance(spark, store, ["shard"], "v", k=64)
+    m.apply_batch(_data(spark, 0, 400))  # commits v=0
+    # simulate the torn attempt: v=1 exists with garbage, pointer still v=0
+    orphan = os.path.join(store, "v=1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("torn write")
+    m.apply_batch(_data(spark, 400, 900))  # retry of the same logical step
+    assert open(os.path.join(store, "CURRENT")).read().strip() == "v=1"
+    direct = kmv_sketches(_data(spark, 0, 900), ["shard"], "v", k=64)
+    assert _sk_map(m.sketches()) == _sk_map(direct)
