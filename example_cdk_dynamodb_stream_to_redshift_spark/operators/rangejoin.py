@@ -1,0 +1,141 @@
+"""Binned range joins — the scale path for interval predicates with no
+equi-key.
+
+Spark executes a bare range predicate (``l.start <= r.t AND r.t <=
+l.end``) as BroadcastNestedLoopJoin: O(|L|·|R|) comparisons, the plan
+that falls over first at corpus scale. The standard fix (the published
+range-join optimization in Databricks Runtime and the interval-join
+design in Flink) is BINNING: quantize time into fixed-width bins, turn
+the range predicate into an equi-join on the bin id, and keep the exact
+predicate as a join residual. The cartesian never materializes; the
+shuffle is keyed by (optional equi keys, bin) — tunable fan-out via
+``bin_width``:
+
+- too small: long intervals explode into many bin rows (fan-out
+  ∝ interval_len / bin_width);
+- too large: many false candidates reach the residual filter.
+  Rule of thumb: bin_width ≈ the typical interval length.
+
+Dedup is by construction, not by a distinct shuffle:
+
+- point-in-interval: a point lives in exactly ONE bin, so each
+  qualifying (point, interval) pair meets exactly once.
+- interval-overlap: two intervals share every bin they both cover; the
+  pair is kept only in the FIRST shared bin
+  (``bin == greatest(floor(l_start/W), floor(r_start/W))``), the
+  canonical one-bin-per-pair rule — no DISTINCT, no second shuffle.
+
+Reference tie-in: the engine's as-of join (operators/asof.py) covers
+"latest earlier event"; this covers the other temporal-join family the
+reference's event streams invite (events inside maintenance/incident
+windows, overlapping sessions). Both DuckDB-expressible, so the
+operators are oracle-registrable when a driver-window slot frees up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin(col: Column, width: int) -> Column:
+    # exact integer FLOOR division: (x - pmod(x, W)) is divisible by W and
+    # DIV stays in int64 end-to-end. Double `/` on long domains can land
+    # within an ulp of a bin boundary and mis-bin (the repo-wide
+    # no-float-division-on-longs rule); pmod keeps negatives on floor
+    # semantics where DIV alone truncates toward zero.
+    c = col.cast("long")
+    exact = (c - F.pmod(c, F.lit(width))).cast("decimal(38,0)")
+    return (exact / F.lit(width)).cast("long")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+    inclusive_end: bool = True,
+) -> DataFrame:
+    """All (point, interval) rows with ``start <= point <= end`` (or
+    ``< end`` when ``inclusive_end=False``), optionally also matching on
+    ``keys``. Output: the point row's columns plus the interval row's
+    (caller aliases collisions beforehand).
+
+    Plan: points carry ONE bin id; intervals posexplode into the bins
+    they cover (``sequence(floor(s/W), floor(e/W))`` — fan-out bounded
+    by interval length / W); hash equi-join on (keys..., bin) with the
+    exact range check as a residual. Each qualifying pair meets in the
+    point's single bin, so no dedup pass exists in the plan."""
+    keys = keys or []
+    p = points.withColumn("_bin", _bin(F.col(point_col), bin_width))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(start_col), bin_width), _bin(F.col(end_col), bin_width)
+            )
+        ),
+    )
+    upper = (
+        F.col(point_col) <= F.col(end_col)
+        if inclusive_end
+        else F.col(point_col) < F.col(end_col)
+    )
+    joined = p.join(iv, [*keys, "_bin"]).filter(
+        (F.col(start_col) <= F.col(point_col)) & upper
+    )
+    return joined.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP: ``l_start <= r_end
+    AND r_start <= l_end`` (closed intervals), optionally also matching
+    on ``keys``. Column names must not collide across sides (caller
+    aliases beforehand).
+
+    Plan: both sides posexplode into covered bins, hash equi-join on
+    (keys..., bin), exact overlap check as a residual, and the
+    first-shared-bin rule keeps each pair exactly once — dedup is a
+    comparison in the residual, never a DISTINCT exchange over the
+    (larger) pair set."""
+    keys = keys or []
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(l_start), bin_width), _bin(F.col(l_end), bin_width)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(r_start), bin_width), _bin(F.col(r_end), bin_width)
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        _bin(F.col(l_start), bin_width), _bin(F.col(r_start), bin_width)
+    )
+    joined = (
+        lb.join(rb, [*keys, "_bin"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == first_shared)
+        )
+    )
+    return joined.drop("_bin")
