@@ -68,6 +68,11 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"only PCM (format tag 1) supported, got {tag}")
     if n_ch < 1:
         raise ValueError(f"invalid channel count {n_ch}")
+    if rate < 1:
+        # rate feeds divisions in every downstream kernel (duration,
+        # resampling, windowing) — a declared 0 must fail HERE as the
+        # untrusted-bytes ValueError, not later as ZeroDivisionError
+        raise ValueError(f"invalid sample rate {rate}")
     if bits == 16:
         samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int16)
     elif bits == 8:

@@ -38,6 +38,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_width(bin_width: int) -> None:
+    # pmod(x, 0) is NULL in non-ANSI Spark, so width<=0 would silently
+    # NULL every bin key and both joins would return zero rows — make
+    # the misconfiguration loud instead
+    if not isinstance(bin_width, int) or bin_width < 1:
+        raise ValueError(f"bin_width must be a positive int, got {bin_width!r}")
+
+
 def _bin(col: Column, width: int) -> Column:
     # exact integer FLOOR division: (x - pmod(x, W)) is divisible by W and
     # DIV stays in int64 end-to-end. Double `/` on long domains can land
@@ -69,6 +77,7 @@ def point_in_interval_join(
     by interval length / W); hash equi-join on (keys..., bin) with the
     exact range check as a residual. Each qualifying pair meets in the
     point's single bin, so no dedup pass exists in the plan."""
+    _check_width(bin_width)
     keys = keys or []
     p = points.withColumn("_bin", _bin(F.col(point_col), bin_width))
     iv = intervals.withColumn(
@@ -110,6 +119,7 @@ def interval_overlap_join(
     first-shared-bin rule keeps each pair exactly once — dedup is a
     comparison in the residual, never a DISTINCT exchange over the
     (larger) pair set."""
+    _check_width(bin_width)
     keys = keys or []
     lb = left.withColumn(
         "_bin",

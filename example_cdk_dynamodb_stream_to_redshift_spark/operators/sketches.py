@@ -194,17 +194,9 @@ def kmv_estimate(
     when the sketch is under-full (it saw every distinct value), else
     (k-1)/U_k over the k-th smallest hash's leading-64-bit fraction.
     Reads ONLY the sketch table — the data is never rescanned."""
-    grouped = (
-        kmv_merge(sketches, group_cols, k, sketch_col)
-        if group_cols
-        else sketches.groupBy().agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
-                1,
-                k,
-            ).alias(sketch_col)
-        )
-    )
+    # groupBy(*[]) is a global aggregation, so the no-group case is just
+    # kmv_merge with no keys — one merge expression to maintain
+    grouped = kmv_merge(sketches, group_cols or [], k, sketch_col)
     kth = F.element_at(F.col(sketch_col), k)
     # leading 64 bits of the k-th hash as an exact double-free fraction:
     # conv() returns the unsigned value as DECIMAL-safe string -> DECIMAL(20,0)

@@ -600,13 +600,27 @@ def _minhash_band_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the assigned (cid, vec_id, embedding) inverted-list table over the WHOLE
 # embeddings table — shared by ivf_ann_topk / ivf_ann_fullprobe_topk /
 # ivf_knn_join_topk / ivf_knn_join_fullprobe (and the centroids alone by
-# ivfpq_ann_topk). The docs for train_ivf_centroids/write_ivf_index
-# already say the 100 TB posture is "train once, persist partitionBy(cid),
-# every probe reads the store"; without this cache each query re-ran the
-# identical deterministic k-means (first-K init, argmin ties to lowest
-# cid — value-identical across sites). The degenerate EXACT twins that
-# train on filtered slices or other params keep their own direct calls.
-_ivf_artifact_cache: dict[tuple[SparkSession, str], tuple[list, DataFrame]] = {}
+# ivfpq_ann_topk, which builds its OWN composite index — so centroids and
+# index cache separately and the index materializes only when an IVF
+# consumer actually needs it). The docs for
+# train_ivf_centroids/write_ivf_index already say the 100 TB posture is
+# "train once, persist partitionBy(cid), every probe reads the store";
+# without this cache each query re-ran the identical deterministic
+# k-means (first-K init, argmin ties to lowest cid — value-identical
+# across sites). The degenerate EXACT twins that train on filtered
+# slices or other params keep their own direct calls.
+_ivf_centroid_cache: dict[tuple[SparkSession, str], list] = {}
+_ivf_index_cache: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def _ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark, sf_dir)
+    if key not in _ivf_centroid_cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _ivf_centroid_cache[key] = SIM.train_ivf_centroids(
+            emb, n_centroids=8, iters=3
+        )
+    return _ivf_centroid_cache[key]
 
 
 def _ivf_index_cached(
@@ -614,13 +628,14 @@ def _ivf_index_cached(
 ) -> tuple[list, DataFrame]:
     from ..operators.lineage import truncate_lineage
 
+    centroids = _ivf_centroids_cached(spark, sf_dir)
     key = (spark, sf_dir)
-    if key not in _ivf_artifact_cache:
+    if key not in _ivf_index_cache:
         emb = load_table(spark, sf_dir, "embeddings")
-        centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iters=3)
-        index = truncate_lineage(SIM.build_ivf_index(emb, centroids))
-        _ivf_artifact_cache[key] = (centroids, index)
-    return _ivf_artifact_cache[key]
+        _ivf_index_cache[key] = truncate_lineage(
+            SIM.build_ivf_index(emb, centroids)
+        )
+    return centroids, _ivf_index_cache[key]
 
 
 # (spark, sf_dir) -> the trained PQ codebooks (m=8, K=16, iters=2, dim=64)
@@ -1764,8 +1779,9 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # shares the coarse quantizer AND the PQ codebooks with the plain
     # IVF/PQ queries (identical params, deterministic trainers); only the
-    # composite index assembly is specific to this query
-    centroids = _ivf_index_cached(spark, sf_dir)[0]
+    # composite index assembly is specific to this query — centroids-only
+    # lookup so the plain IVF index is never materialized on its behalf
+    centroids = _ivf_centroids_cached(spark, sf_dir)
     books = _pq_codebooks_cached(spark, sf_dir)
     index = PQ.build_ivfpq_index(emb, centroids, books)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

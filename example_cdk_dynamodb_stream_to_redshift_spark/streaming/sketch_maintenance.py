@@ -45,7 +45,11 @@ class KmvSketchMaintenance:
     """Maintain per-shard KMV sketches of ``value_col`` across
     micro-batches. Wire ``apply_batch`` into a foreachBatch (alongside
     the main merge) or call it per refresh; read ``sketches()`` /
-    ``estimates()`` anytime without touching the ingested data."""
+    ``estimates()`` anytime without touching the ingested data. Reader
+    isolation spans one commit cycle: cleanup retains the committed
+    snapshot's immediate predecessor, so a DataFrame bound before a
+    concurrent commit still collects; hold it across several commits
+    and it must be re-read."""
 
     def __init__(
         self,
@@ -110,8 +114,20 @@ class KmvSketchMaintenance:
         with open(tmp, "w") as fh:
             fh.write(name)
         os.replace(tmp, self._pointer)  # atomic commit point
-        if cur is not None:
-            shutil.rmtree(cur[0], ignore_errors=True)  # post-commit cleanup
+        # post-commit cleanup KEEPS the immediate predecessor: a reader
+        # that bound sketches()/estimates() to the previous snapshot (its
+        # parquet file index resolves at plan time) must be able to
+        # collect across ONE concurrent commit; only older snapshots go.
+        # Readers are thus isolated for one commit cycle — a bound
+        # DataFrame older than that must be re-read.
+        for d in os.listdir(self.store_dir):
+            tail = d.split("=", 1)[1] if d.startswith("v=") else ""
+            # digits-only guard: foreign directories must not raise
+            # mid-commit (the partitioned-store null-key lesson)
+            if tail.isdigit() and int(tail) < version - 1:
+                shutil.rmtree(
+                    os.path.join(self.store_dir, d), ignore_errors=True
+                )
 
     def sketches(self) -> DataFrame:
         """The maintained (shard_cols..., sketch) table. Raises before the

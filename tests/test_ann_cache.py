@@ -48,8 +48,22 @@ def test_fullprobe_query_still_equals_brute_force(spark):
 
 
 def test_ivf_knn_join_consumers_share_one_index(spark):
-    before = len(ML._ivf_artifact_cache)
+    before = len(ML._ivf_index_cache)
     REGISTRY["ivf_knn_join_topk"].spark_fn(spark, SF_SMOKE).collect()
     REGISTRY["ivf_knn_join_fullprobe"].spark_fn(spark, SF_SMOKE).collect()
-    after = len(ML._ivf_artifact_cache)
+    after = len(ML._ivf_index_cache)
     assert after - before <= 1, "both consumers must share one artifact entry"
+
+
+def test_ivfpq_consumes_centroids_without_building_the_ivf_index(spark, tmp_path):
+    """ivfpq builds its own composite index; asking for the shared
+    centroids must not materialize the plain IVF inverted-list table."""
+    # a distinct sf_dir key so this test observes its own cache entries
+    import shutil as _sh
+
+    sf = str(tmp_path / "sf")
+    _sh.copytree(SF_SMOKE, sf)
+    assert (spark, sf) not in ML._ivf_index_cache
+    REGISTRY["ivfpq_ann_topk"].spark_fn(spark, sf).collect()
+    assert (spark, sf) in ML._ivf_centroid_cache
+    assert (spark, sf) not in ML._ivf_index_cache

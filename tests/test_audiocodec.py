@@ -188,7 +188,7 @@ def test_decode_rejects_garbage_with_valueerror_only(blob, prefix):
         samples, rate = AC.decode_wav(prefix + blob)
     except ValueError:
         return
-    assert samples.ndim == 2 and rate >= 0
+    assert samples.ndim == 2 and rate > 0
 
 
 @settings(max_examples=50, deadline=None)
@@ -210,3 +210,12 @@ def test_wav_round_trip_property(arr, rate):
     samples, got_rate = AC.decode_wav(AC.encode_wav(arr, rate))
     assert got_rate == rate
     np.testing.assert_array_equal(samples, arr)
+
+
+def test_zero_sample_rate_is_rejected():
+    # rate feeds divisions in every kernel; a declared 0 must be a
+    # ValueError at decode, never a ZeroDivisionError downstream
+    bad = bytearray(GOLD_WAV)
+    bad[24:28] = (0).to_bytes(4, "little")  # fmt.sample_rate
+    with pytest.raises(ValueError, match="sample rate"):
+        AC.decode_wav(bytes(bad))

@@ -117,3 +117,19 @@ def test_point_join_property_random(spark, pts, ivs, width):
     got = point_in_interval_join(p, iv, "t", "s", "e", bin_width=width)
     naive = p.crossJoin(iv).filter((F.col("s") <= F.col("t")) & (F.col("t") <= F.col("e")))
     assert _pairs(got) == _pairs(naive)
+
+
+def test_nonpositive_bin_width_is_loud(spark):
+    import pytest
+
+    pts = _points(spark, [(0, 5)])
+    ivs = _intervals(spark, [(0, 0, 10)])
+    for w in (0, -4):
+        with pytest.raises(ValueError, match="bin_width"):
+            point_in_interval_join(pts, ivs, "t", "s", "e", bin_width=w)
+        with pytest.raises(ValueError, match="bin_width"):
+            interval_overlap_join(
+                ivs.toDF("l_id", "ls", "le"),
+                ivs.toDF("r_id", "rs", "re"),
+                "ls", "le", "rs", "re", bin_width=w,
+            )

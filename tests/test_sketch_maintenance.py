@@ -96,3 +96,18 @@ def test_orphaned_snapshot_from_pre_pointer_crash_is_overwritten(spark, tmp_path
     assert open(os.path.join(store, "CURRENT")).read().strip() == "v=1"
     direct = kmv_sketches(_data(spark, 0, 900), ["shard"], "v", k=64)
     assert _sk_map(m.sketches()) == _sk_map(direct)
+
+
+def test_reader_bound_before_a_commit_survives_it(spark, tmp_path):
+    """Cleanup retains the predecessor snapshot: a DataFrame bound to
+    v=N must still collect after the v=N+1 commit (one-commit reader
+    isolation), and snapshots older than the predecessor are removed."""
+    store = str(tmp_path / "s")
+    m = KmvSketchMaintenance(spark, store, ["shard"], "v", k=64)
+    m.apply_batch(_data(spark, 0, 300))          # v=0
+    bound = m.sketches()                          # binds to v=0's files
+    m.apply_batch(_data(spark, 300, 600))         # v=1 commits
+    assert len(bound.collect()) > 0               # predecessor retained
+    m.apply_batch(_data(spark, 600, 900))         # v=2 commits -> v=0 goes
+    names = {d for d in os.listdir(store) if d.startswith("v=")}
+    assert names == {"v=1", "v=2"}
