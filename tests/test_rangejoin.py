@@ -133,3 +133,33 @@ def test_nonpositive_bin_width_is_loud(spark):
                 ivs.toDF("r_id", "rs", "re"),
                 "ls", "le", "rs", "re", bin_width=w,
             )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ls=st.lists(
+        st.tuples(st.integers(min_value=-40, max_value=40), st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=8,
+    ),
+    rs=st.lists(
+        st.tuples(st.integers(min_value=-40, max_value=40), st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=8,
+    ),
+    width=st.sampled_from([1, 5, 17]),
+)
+def test_overlap_join_property_random(spark, ls, rs, width):
+    left = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ls)], "l_id long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(rs)], "r_id long, rs long, re long"
+    )
+    got = interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=width)
+    naive = left.crossJoin(right).filter(
+        (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    )
+    assert _pairs(got, "l_id", "r_id") == _pairs(naive, "l_id", "r_id")

@@ -273,3 +273,35 @@ def test_kmv_ignores_nulls_like_count_distinct(spark):
     # an all-NULL shard emits no sketch row (count-distinct = 0)
     allnull = df.withColumn("v", F.lit(None).cast("long"))
     assert kmv_sketches(allnull, ["shard"], "v", k=16).count() == 0
+
+
+def test_kmv_merge_property_random_batch_splits(spark):
+    """hypothesis: for random value multisets and random 2-way splits,
+    merging the parts' sketches equals sketching the whole — the
+    algebra the maintained store relies on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
+        cut=st.integers(min_value=0, max_value=60),
+        k=st.sampled_from([4, 16]),
+    )
+    def inner(vals, cut, k):
+        cut = min(cut, len(vals))
+        full = spark.createDataFrame([(0, v) for v in vals], "shard long, v long")
+        a = spark.createDataFrame([(0, v) for v in vals[:cut]] or [(0, None)], "shard long, v long")
+        b = spark.createDataFrame([(0, v) for v in vals[cut:]] or [(0, None)], "shard long, v long")
+        parts = kmv_sketches(a, ["shard"], "v", k=k).unionByName(
+            kmv_sketches(b, ["shard"], "v", k=k)
+        )
+        merged = {r["shard"]: r["sketch"] for r in kmv_merge(parts, ["shard"], k=k).collect()}
+        direct = {r["shard"]: r["sketch"] for r in kmv_sketches(full, ["shard"], "v", k=k).collect()}
+        assert merged == direct
+
+    inner()
