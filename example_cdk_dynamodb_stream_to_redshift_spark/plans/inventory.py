@@ -492,73 +492,69 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 _DRIVER_WINDOW_PRIORITY = [
-    # new in r7: exact-config oracle twins for the graph/ML family (the
-    # established ANN pattern — the float/iterative operators stay
-    # rows-only+pytest; their exactly-reproducible configs hash-compare)
-    # and the UDTF surface's first driver-visible row
-    "doc_link_pagerank_exact",
-    "doc_quality_scored_frozen",
-    "udtf_word_ngrams_topk",
-    # one-time recorded rows for the r6 rows-only newcomers (they rotate
-    # OUT next round per the rows-only policy, like ivf_knn_join_topk)
-    "doc_link_pagerank",
-    "doc_quality_classifier_topk",
-    # ---- re-verification duty: the full r4-green cohort (42 entries) —
-    # the oldest green rows in the registry; rotating them all through
-    # keeps every oracle-bearing entry within the 3-round staleness bound
-    "event_type_grouping_sets",
-    "winnowing_overlap_pairs",
-    "embedding_norm_quantize",
-    "sequence_packing",
-    "simhash_exact_near_dups",
-    "sync_run_log",
-    "substring_dup_stats",
-    "bpe_pair_candidates",
-    "embedding_dup_clusters",
-    "near_dedup_corpus_keep_first",
-    "domain_mixture_weights",
-    "embedding_contamination_audit",
-    "doc_unigram_logprob",
-    "training_shard_manifest",
-    "minhash_incremental_dedup",
-    "quantized_ann_topk",
-    "token_length_histogram",
-    "pq_ann_exact_topk",
-    "doc_bigram_logprob",
-    "gopher_filter_docs",
-    "customer_order_trailing_30d",
-    "event_type_salted_join",
-    "orders_zorder_keys",
-    "media_phash_near_dups",
-    "contrastive_negatives",
-    "ivfpq_ann_exact_topk",
-    "late_ship_priority",
-    "small_quantity_part_revenue",
-    "lone_late_supplier",
-    "part_revenue_share",
-    "dsir_select_docs",
-    "cluster_balanced_sample",
-    "funnel_conversion",
-    "retention_cohorts",
-    "events_hourly_gapfill",
-    "corpus_pipeline_summary",
-    "tfidf_similar_docs",
-    "media_frame_sample",
-    "mixture_sampled_corpus",
-    "media_resize_batch",
-    "nation_revenue_q5",
-    "events_hourly_anomalies",
-    # ---- staggered r5-cohort entries (capacity plan, COVERAGE.md §
-    # window budget): pulling 3 of the 49 r5 entries forward leaves
-    # round 8 with 46 + spare slots instead of 49 + 1.
-    # doc_lm_quality_buckets also has its build changed this round
-    # (shared checkpointed vocab), so it re-earns its row anyway.
-    "doc_lm_quality_buckets",
-    "knn_join_topk",
-    "purchase_attribution_asof",
+    # new in r8: the three proven-offline operator families earn their
+    # first driver-visible hash rows (COVERAGE.md round-8 slot plan) —
+    # KMV sketches, binned range joins, one-scan expectation suites
+    "user_reach_kmv_sketch",
+    "purchases_in_error_windows",
+    "orders_quality_report",
+    # one-time recorded row for the r7 rows-only newcomer (registered
+    # late r7, never windowed; rotates OUT next round per the rows-only
+    # policy, like doc_link_pagerank / doc_quality_classifier_topk)
+    "user_reach_hll_rollup",
+    # ---- re-verification duty: the remaining r5-green cohort (46
+    # entries, the oldest green rows in the registry after the r7
+    # rotation) — keeps every oracle-bearing entry within the 3-round
+    # staleness bound; round 9 then owes exactly the 50-entry r6 cohort
+    "ann_bruteforce_topk",
+    "cdc_merge_latest_state",
+    "corpus_clean_keep",
+    "customers_with_orders",
+    "date_trunc_filter",
+    "dedup_corpus_keep_first",
+    "disjunctive_part_revenue_q19",
+    "distinct_users_per_type",
+    "doc_binary_features",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
+    "embedding_near_dup_pairs",
+    "event_stream_union_all",
+    "event_type_stats",
+    "events_hourly_tumbling",
+    "events_sliding_window",
+    "frequent_tokens_exact",
+    "high_watermark_filter",
+    "incremental_mv_user_value",
+    "ivf_knn_join_fullprobe",
+    "large_volume_customers_q18",
+    "latest_event_argmax",
+    "latest_event_per_user",
+    "lineitem_pricing_summary",
+    "media_feature_extract",
+    "ngram_jaccard_pairs",
+    "order_rank_in_priority",
+    "prefix_like_filter",
+    "region_customer_counts",
+    "returned_item_customers_q10",
+    "rewards_by_member",
+    "rewards_by_quest",
+    "rollup_event_daily",
+    "shipping_priority_q3",
+    "span_dedup_docs",
+    "srp_bucket_near_dups",
+    "top_orders_by_revenue",
+    "user_running_spend",
+    "user_sessions",
+    "users_click_and_purchase",
+    "users_view_not_signup",
+    "volume_shipping_q7",
+    "weighted_sample_per_source",
+    "weighted_sample_topk",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1018,6 +1018,191 @@ def user_reach_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(total).orderBy("event_type")
 
 
+@register(
+    "user_reach_kmv_sketch",
+    """
+    WITH sk AS (
+      SELECT event_type, list(g ORDER BY g)[:128] AS sketch FROM (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS g
+        FROM events WHERE user_id IS NOT NULL
+      ) GROUP BY event_type
+    ), ex AS (SELECT event_type, unnest(sketch) AS h FROM sk)
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) - 1
+                AS BIGINT) AS pos,
+           h
+    FROM ex
+    ORDER BY event_type, pos
+    """,
+    "Deterministic KMV distinct-count sketches (operators/sketches.py "
+    "kmv_sketches/kmv_merge — Bar-Yossef et al. 2002): events are sketched "
+    "per (event_type, day) shard — one Arrow partial pass emitting <=k "
+    "hashes per shard per batch, the corpus never shuffles — then rolled "
+    "up to per-type sketches by pure min-k array algebra over kilobyte "
+    "rows. The oracle restates the SEMANTIC directly (min-128 of the md5 "
+    "hashes of each type's distinct users), so a green hash row proves the "
+    "shard->merge path loses NOTHING relative to sketching the raw union — "
+    "the exactness that makes KMV the driver-checkable twin of "
+    "user_reach_hll_rollup's engine-private HLL binaries.",
+)
+def user_reach_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_merge, kmv_sketches
+
+    events = load_table(spark, sf_dir, "events")
+    day_shards = kmv_sketches(
+        events.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        ["event_type", "day"],
+        "user_id",
+        k=128,
+    )
+    merged = kmv_merge(day_shards, ["event_type"], k=128)
+    return (
+        merged.select(
+            "event_type", F.posexplode("sketch").alias("pos", "h")
+        )
+        .select("event_type", F.col("pos").cast("bigint").alias("pos"), "h")
+        .orderBy("event_type", "pos")
+    )
+
+
+@register(
+    "purchases_in_error_windows",
+    """
+    WITH iv AS (
+      SELECT event_id AS window_id, epoch_us(ts) AS w_start,
+             epoch_us(ts) + 600000000 AS w_end
+      FROM events WHERE event_type = 'error'
+    ), pt AS (
+      SELECT epoch_us(ts) AS p_us, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM iv JOIN pt ON pt.p_us >= iv.w_start AND pt.p_us <= iv.w_end
+    GROUP BY window_id
+    ORDER BY window_id
+    """,
+    "Binned range join (operators/rangejoin.point_in_interval_join): "
+    "purchases falling inside 10-minute incident windows opened by error "
+    "events — a bare interval predicate with no equi-key, the query shape "
+    "Spark would otherwise execute as an O(|L|*|R|) "
+    "BroadcastNestedLoopJoin. Binning turns it into a hash equi-join on "
+    "the bin id (points carry ONE bin; intervals explode into <=2 bins at "
+    "width=interval length) with the exact predicate as a residual — "
+    "measured 18x over the naive plan at 1M x 100k (SCALE.md). The oracle "
+    "is DuckDB's native range join over the identical exact-microsecond "
+    "predicate, so the hash row proves the binned plan's pair set is "
+    "EXACTLY the predicate's.",
+)
+def purchases_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.unix_micros("ts").alias("w_start"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("w_end"),
+    )
+    points = events.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_us"), "value"
+    )
+    pairs = point_in_interval_join(
+        points, intervals, "p_us", "w_start", "w_end", bin_width=600_000_000
+    )
+    return (
+        pairs.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+@register(
+    "orders_quality_report",
+    """
+    WITH t AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND NOT (o_totalprice >= 0 AND o_totalprice <= 300000)
+                      THEN 1 ELSE 0 END) AS v_rng,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F')
+                      THEN 1 ELSE 0 END) AS v_acc,
+             SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                      THEN 1 ELSE 0 END) AS v_re,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uni
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS v FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT * FROM (
+      SELECT 'not_null(o_custkey)' AS "check", n AS n_rows,
+             CAST(v_nn AS BIGINT) AS violations, v_nn = 0 AS passed FROM t
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0,300000)', n,
+             CAST(v_rng AS BIGINT), v_rng = 0 FROM t
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)', n,
+             CAST(v_acc AS BIGINT), v_acc = 0 FROM t
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', n,
+             CAST(v_re AS BIGINT), v_re = 0 FROM t
+      UNION ALL
+      SELECT 'unique(o_orderkey)', n,
+             CAST(v_uni AS BIGINT), v_uni = 0 FROM t
+      UNION ALL
+      SELECT 'referential_integrity(o_custkey)',
+             (SELECT n FROM t), CAST(v AS BIGINT), v = 0 FROM fk
+    )
+    ORDER BY "check"
+    """,
+    "One-scan data-quality expectation suite (operators/expectations.py "
+    "validate + referential_integrity): five row/table-level checks over "
+    "orders — not-null, range, accepted values, regex, key uniqueness — "
+    "compile to ONE conditional aggregation over ONE scan (plan-asserted "
+    "in tests/test_expectations.py), plus the FK check's broadcast "
+    "left-anti orphan count against customer. The range and "
+    "accepted-values thresholds are chosen to FIND violations at every SF "
+    "(6033 over-price rows, 5088 'P' statuses at sf0.01), so the hash row "
+    "proves violation COUNTING, not just all-green plumbing. The engine's "
+    "generalization of the reference's blind-trust stream ingestion "
+    "(SURVEY.md: no validation anywhere) into declarative table "
+    "contracts.",
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        referential_integrity,
+        unique,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", 0, 300000),
+        accepted_values("o_orderstatus", ["O", "F"]),
+        matches("o_orderpriority", "^[1-3]-"),
+        unique("o_orderkey"),
+    ]
+    report = validate(orders, checks).unionByName(
+        referential_integrity(orders, customer, "o_custkey", "c_custkey")
+    )
+    return report.orderBy("check")
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402
