@@ -199,9 +199,28 @@ class PartitionedParquetTable:
         no live directory was touched, so discarding ``_staging`` is
         safe, as before."""
         manifest = self._commit_manifest()
+        # a crash DURING the tmp write leaves only the tmp file (the
+        # replace never ran => pre-commit); drop it so it can't shadow a
+        # later merge's own tmp
+        tmp = manifest + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
         if os.path.exists(manifest):
-            with open(manifest) as fh:
-                pending = json.load(fh)
+            try:
+                with open(manifest) as fh:
+                    pending = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # belt over the atomic-rename braces: the manifest is
+                # written tmp+os.replace so a torn file should be
+                # impossible, but if one ever appears (filesystem without
+                # atomic rename, manual copy) treat it as PRE-commit — no
+                # live directory was touched before the manifest became
+                # readable, so discarding staging+manifest is the safe
+                # branch, same as the no-manifest case (the storage.py
+                # _current_version torn-JSON posture)
+                os.remove(manifest)
+                shutil.rmtree(self._staging_dir(), ignore_errors=True)
+                return
             self._commit_moves(pending["touched"], set(pending["staged"]))
             os.remove(manifest)
         shutil.rmtree(self._staging_dir(), ignore_errors=True)
@@ -400,11 +419,21 @@ class PartitionedParquetTable:
                         f"{bad} — refusing to commit"
                     )
                 still_present = {int(v) for v in staged_dirs}
-                with open(self._commit_manifest(), "w") as fh:
+                # tmp + os.replace (the sketch-store pointer idiom): the
+                # manifest is crash-RECOVERY state, so its own write must
+                # be atomic — a torn half-written manifest would make the
+                # next merge's _roll_forward die on JSONDecodeError and
+                # block every merge until hand-repair. With the atomic
+                # rename a manifest is visible iff it is complete.
+                tmp = self._commit_manifest() + ".tmp"
+                with open(tmp, "w") as fh:
                     json.dump(
                         {"touched": list(touched), "staged": sorted(still_present)},
                         fh,
                     )
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, self._commit_manifest())
                 self._commit_moves(touched, still_present)
                 os.remove(self._commit_manifest())
             finally:

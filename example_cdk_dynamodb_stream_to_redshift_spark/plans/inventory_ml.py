@@ -2495,15 +2495,34 @@ def _crc32_table() -> list[int]:
     return out
 
 
+def _crc32_sql(expr: str) -> str:
+    """DuckDB SQL fragment computing zlib.crc32 of the VARCHAR expression
+    ``expr``, built from SQL primitives (DuckDB 1.0 has no crc32
+    function): the string is expanded to its UTF-8 BYTES — encode() +
+    hex() + two-hex-char slices, NOT per-character code points, which
+    agree with the operator's tok.encode('utf-8') hashing only for ASCII
+    and would index past the 256-entry table for code points > 255
+    (ADVICE r7) — then folded through the standard reflected-polynomial
+    table. Byte-equality with zlib.crc32 on non-ASCII text is pinned in
+    tests/test_quality_classifier.py."""
+    tbl = "[" + ",".join(str(v) for v in _crc32_table()) + "]"
+    return f"""xor(list_reduce(
+                   list_prepend(4294967295::BIGINT,
+                       list_transform(range(1, octet_length(encode({expr})) + 1),
+                                      i -> CAST('0x' || substr(hex(encode({expr})),
+                                                               2 * i - 1, 2)
+                                               AS BIGINT))),
+                   (acc, b) -> xor(acc >> 8, ({tbl})[xor(acc & 255, b) + 1])
+               ), 4294967295::BIGINT)"""
+
+
 def _frozen_score_oracle(dim: int, weights: list[float], bias: float) -> str:
     """SQL re-derivation of quality_classifier's scoring path: whitespace
-    tokenize + lowercase, CRC32 bucket (crc32 built from SQL primitives —
-    list_reduce over the standard 256-entry table, since DuckDB has no
-    crc32 function), L2-normalized counts, frozen-weight dot product,
-    sigmoid threshold at 0.5. The output is the per-doc KEEP DECISION,
-    not the float score: z is bounded away from 0 by the weight design,
-    so both engines' last-ulp exp() differences can never flip a row."""
-    tbl = "[" + ",".join(str(v) for v in _crc32_table()) + "]"
+    tokenize + lowercase, CRC32 bucket over UTF-8 bytes (_crc32_sql),
+    L2-normalized counts, frozen-weight dot product, sigmoid threshold at
+    0.5. The output is the per-doc KEEP DECISION, not the float score: z
+    is bounded away from 0 by the weight design, so both engines'
+    last-ulp exp() differences can never flip a row."""
     wlist = "[" + ",".join(repr(v) for v in weights) + "]"
     return f"""
     WITH toks AS (
@@ -2514,12 +2533,7 @@ def _frozen_score_oracle(dim: int, weights: list[float], bias: float) -> str:
     ),
     hashed AS (
         SELECT doc_id,
-               CAST(xor(list_reduce(
-                   list_prepend(4294967295::BIGINT,
-                       list_transform(range(1, length(t) + 1),
-                                      i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
-                   (acc, b) -> xor(acc >> 8, ({tbl})[xor(acc & 255, b) + 1])
-               ), 4294967295::BIGINT) % {dim} AS BIGINT) AS b
+               CAST({_crc32_sql("t")} % {dim} AS BIGINT) AS b
         FROM toks
     ),
     counts AS (SELECT doc_id, b, COUNT(*) AS cnt FROM hashed GROUP BY doc_id, b),

@@ -246,6 +246,60 @@ def test_torn_commit_rolls_forward(spark, tmp_path, extract):
     assert _sorted(table.read()) == expected
 
 
+def test_torn_manifest_is_treated_as_pre_commit(spark, tmp_path, extract):
+    """The manifest itself is written tmp+os.replace, so a torn manifest
+    should be impossible — but if one ever appears (non-atomic
+    filesystem, manual copy), _roll_forward must treat it as PRE-commit
+    (discard staging + manifest) instead of raising JSONDecodeError and
+    permanently blocking every subsequent merge (ADVICE r7)."""
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+    before = _sorted(table.read())
+
+    # a torn (truncated) manifest + a staging dir, as a mid-write crash on
+    # a non-atomic filesystem would leave them
+    os.makedirs(table._staging_dir(), exist_ok=True)
+    with open(table._commit_manifest(), "w") as fh:
+        fh.write('{"touched": [1, 2], "sta')  # torn mid-write
+
+    # pre-commit semantics: no live directory was touched before the
+    # manifest became readable, so the table must read as before and the
+    # next merge must run, not raise
+    expected = _sorted(
+        incremental_merge(seed, extract, MEMBER_SPEC, sync_ts=SYNC)
+    )
+    table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    assert not os.path.exists(table._commit_manifest())
+    assert not os.path.isdir(table._staging_dir())
+    assert _sorted(table.read()) == expected
+    assert before != expected  # the merge really changed rows
+
+
+def test_leftover_manifest_tmp_is_cleared(spark, tmp_path, extract):
+    """A crash DURING the manifest tmp write leaves only the .tmp file
+    (os.replace never ran => pre-commit); the next merge must remove it
+    and proceed."""
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+    tmp = table._commit_manifest() + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write('{"touched":')  # half-written, never replaced
+
+    expected = _sorted(
+        incremental_merge(seed, extract, MEMBER_SPEC, sync_ts=SYNC)
+    )
+    table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(table._commit_manifest())
+    assert _sorted(table.read()) == expected
+
+
 def test_null_merge_key_fails_before_commit(spark, tmp_path):
     """A NULL merge key hashes to the seed bucket (xxhash64(NULL)=42) and
     would silently merge every null-key row under one phantom key; the

@@ -106,3 +106,29 @@ def test_empty_input_returns_zero_weights(spark):
     )
     w = train_quality_model(feats, "label", dim=16, epochs=3)
     assert not w.any()
+
+
+def test_oracle_crc32_sql_matches_zlib_on_non_ascii():
+    """The frozen-scoring oracle's SQL crc32 must hash UTF-8 BYTES, like
+    the operator's zlib.crc32(tok.encode('utf-8')) — per-character code
+    points agree only for ASCII and silently drop tokens with code points
+    > 255 (ADVICE r7). Pinned byte-for-byte on multi-byte and astral
+    text, independent of the documents fixture staying ASCII."""
+    import zlib
+
+    import duckdb
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.plans.inventory_ml import (
+        _crc32_sql,
+    )
+
+    toks = ["hello", "héllo", "日本語", "naïve", "emoji🙂mix", "ß", "a"]
+    con = duckdb.connect()
+    got = [
+        con.execute(
+            f"SELECT {_crc32_sql('t')} FROM (SELECT ?::VARCHAR AS t)", [t]
+        ).fetchone()[0]
+        for t in toks
+    ]
+    want = [zlib.crc32(t.encode("utf-8")) for t in toks]
+    assert got == want
