@@ -110,6 +110,10 @@ HEADLINE = [
     "nation_market_share_q8",
     "top_supplier_revenue_q15",
     "incremental_mv_rewards_cdc",
+    # round 8: the three new driver-checked families
+    "user_reach_kmv_sketch",
+    "purchases_in_error_windows",
+    "orders_quality_report",
 ]
 
 
