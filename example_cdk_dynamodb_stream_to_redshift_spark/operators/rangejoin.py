@@ -47,14 +47,17 @@ def _check_width(bin_width: int) -> None:
 
 
 def _bin(col: Column, width: int) -> Column:
-    # exact integer FLOOR division: (x - pmod(x, W)) is divisible by W and
-    # DIV stays in int64 end-to-end. Double `/` on long domains can land
-    # within an ulp of a bin boundary and mis-bin (the repo-wide
-    # no-float-division-on-longs rule); pmod keeps negatives on floor
-    # semantics where DIV alone truncates toward zero.
+    # the bin id is the bin START: x - pmod(x, W) — exact int64 floor
+    # alignment with NO division at all (the r7 formulation divided the
+    # aligned value back down through decimal(38,0), ~2x the expression
+    # cost for an id whose absolute value never matters). Double `/` on
+    # long domains can land within an ulp of a bin boundary and mis-bin
+    # (the repo-wide no-float-division-on-longs rule); pmod keeps
+    # negatives on floor semantics where `%` would truncate toward zero.
+    # Consumers treat bins as opaque equal-join keys and enumerate an
+    # interval's bins with sequence(start_bin, end_bin, step=W).
     c = col.cast("long")
-    exact = (c - F.pmod(c, F.lit(width))).cast("decimal(38,0)")
-    return (exact / F.lit(width)).cast("long")
+    return c - F.pmod(c, F.lit(width))
 
 
 def point_in_interval_join(
@@ -73,7 +76,7 @@ def point_in_interval_join(
     (caller aliases collisions beforehand).
 
     Plan: points carry ONE bin id; intervals posexplode into the bins
-    they cover (``sequence(floor(s/W), floor(e/W))`` — fan-out bounded
+    they cover (``sequence(bin(s), bin(e), step=W)`` — fan-out bounded
     by interval length / W); hash equi-join on (keys..., bin) with the
     exact range check as a residual. Each qualifying pair meets in the
     point's single bin, so no dedup pass exists in the plan."""
@@ -84,7 +87,9 @@ def point_in_interval_join(
         "_bin",
         F.explode(
             F.sequence(
-                _bin(F.col(start_col), bin_width), _bin(F.col(end_col), bin_width)
+                _bin(F.col(start_col), bin_width),
+                _bin(F.col(end_col), bin_width),
+                F.lit(bin_width),
             )
         ),
     )
@@ -125,7 +130,9 @@ def interval_overlap_join(
         "_bin",
         F.explode(
             F.sequence(
-                _bin(F.col(l_start), bin_width), _bin(F.col(l_end), bin_width)
+                _bin(F.col(l_start), bin_width),
+                _bin(F.col(l_end), bin_width),
+                F.lit(bin_width),
             )
         ),
     )
@@ -133,7 +140,9 @@ def interval_overlap_join(
         "_bin",
         F.explode(
             F.sequence(
-                _bin(F.col(r_start), bin_width), _bin(F.col(r_end), bin_width)
+                _bin(F.col(r_start), bin_width),
+                _bin(F.col(r_end), bin_width),
+                F.lit(bin_width),
             )
         ),
     )
