@@ -1,0 +1,188 @@
+"""Streaming data-quality gate (streaming/quality_monitor.py): the
+expectation suite applied per micro-batch — report/quarantine/clean
+partition every batch, replay rewrites instead of double-counting,
+abort mode records before stopping, and the live-stream drive matches
+the batch ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+    in_range,
+    not_null,
+    unique,
+    validate,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.quality_monitor import (
+    BatchContractError,
+    QualityGate,
+)
+
+SCHEMA = "id bigint, v double, tag string"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _checks():
+    return [not_null("tag"), in_range("v", 0.0, 100.0), unique("id")]
+
+
+@pytest.fixture()
+def gate(spark, tmp_path):
+    return QualityGate(spark, _checks(), str(tmp_path / "gate"))
+
+
+def test_batch_partitions_into_clean_and_quarantine(spark, gate):
+    batch = _rows(
+        spark,
+        [
+            (1, 5.0, "a"),
+            (2, 500.0, "b"),      # range violation
+            (3, 7.0, None),       # null violation
+            (3, 8.0, "c"),        # duplicate id (table-level only)
+        ],
+    )
+    got_clean = []
+    stats = gate.process_batch(
+        batch, 0, lambda df, bid: got_clean.extend(df.collect())
+    )
+    assert stats["n_rows"] == 4
+    assert stats["n_quarantined"] == 2  # row-level only; the dup id stays
+    assert stats["n_clean"] == 2
+    assert set(stats["failed_checks"]) == {
+        "in_range(v,0.0,100.0)",
+        "not_null(tag)",
+        "unique(id)",
+    }
+    assert sorted(r["id"] for r in got_clean) == [1, 3]
+    q = gate.quarantine(empty_like=batch).collect()
+    assert sorted(r["id"] for r in q) == [2, 3]
+    blame = {r["id"]: list(r["failed_checks"]) for r in q}
+    assert blame[2] == ["in_range(v,0.0,100.0)"]
+    assert blame[3] == ["not_null(tag)"]
+    # clean + quarantined partition the batch
+    assert stats["n_clean"] + stats["n_quarantined"] == stats["n_rows"]
+
+
+def test_report_matches_batch_validate_exactly(spark, gate):
+    batch = _rows(spark, [(i, float(i * 30), "t" if i % 2 else None) for i in range(6)])
+    gate.process_batch(batch, 7)
+    want = sorted(
+        tuple(r) for r in validate(batch, _checks()).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in gate.report()
+        .filter(F.col("batch_id") == 7)
+        .select("check", "n_rows", "violations", "passed")
+        .collect()
+    )
+    assert got == want
+
+
+def test_replay_overwrites_not_doubles(spark, gate):
+    batch = _rows(spark, [(1, 5.0, "a"), (2, 500.0, "b")])
+    gate.process_batch(batch, 3)
+    before_report = sorted(tuple(r) for r in gate.report().collect())
+    before_q = sorted(tuple(r) for r in gate.quarantine(empty_like=batch).collect())
+    gate.process_batch(batch, 3)  # at-least-once replay of the SAME batch
+    assert sorted(tuple(r) for r in gate.report().collect()) == before_report
+    assert (
+        sorted(tuple(r) for r in gate.quarantine(empty_like=batch).collect())
+        == before_q
+    )
+
+
+def test_abort_mode_records_then_raises(spark, tmp_path):
+    gate = QualityGate(
+        spark, _checks(), str(tmp_path / "abort_gate"), mode="abort"
+    )
+    batch = _rows(spark, [(1, 5.0, "a"), (2, 500.0, "b")])
+    sunk = []
+    with pytest.raises(BatchContractError, match="batch 5 violates"):
+        gate.process_batch(batch, 5, lambda df, bid: sunk.extend(df.collect()))
+    # nothing was published to the sink, but the FAILURE is observable:
+    # the report and quarantine rows for the offending batch exist
+    assert not sunk
+    rep = gate.report().filter(F.col("batch_id") == 5).collect()
+    assert any(not r["passed"] for r in rep)
+    assert len(gate.quarantine(empty_like=batch).collect()) == 1
+    # a conforming batch then passes through the same gate
+    ok = _rows(spark, [(9, 5.0, "z")])
+    stats = gate.process_batch(ok, 6, lambda df, bid: sunk.extend(df.collect()))
+    assert stats["failed_checks"] == [] and len(sunk) == 1
+
+
+def test_empty_batch_reports_all_green(spark, gate):
+    stats = gate.process_batch(_rows(spark, []), 0)
+    assert stats == {
+        "n_rows": 0,
+        "n_clean": 0,
+        "n_quarantined": 0,
+        "failed_checks": [],
+    }
+    rep = gate.report().collect()
+    assert len(rep) == 3 and all(r["passed"] for r in rep)
+
+
+def test_bad_mode_is_loud(spark, tmp_path):
+    with pytest.raises(ValueError, match="mode must be"):
+        QualityGate(spark, _checks(), str(tmp_path / "g"), mode="drop")
+
+
+def test_live_stream_equals_batch_ground_truth(spark, tmp_path):
+    """Drive a real readStream -> foreachBatch(gate.wrap(sink)) over
+    multiple micro-batches: the union of sink-received clean rows and
+    quarantined rows must equal the input, the per-batch report must
+    say one row per (batch, check), and compaction must not change
+    either artifact."""
+    src = str(tmp_path / "src")
+    rows = [(i, 500.0 if i % 5 == 0 else float(i % 90), "t" if i % 7 else None)
+            for i in range(60)]
+    _rows(spark, rows).repartition(4).write.parquet(src)
+
+    gate = QualityGate(spark, _checks(), str(tmp_path / "stream_gate"))
+    landed = str(tmp_path / "landed")
+    sink = lambda df, bid: df.write.mode("overwrite").parquet(  # noqa: E731
+        f"{landed}/batch_id={bid}"
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(gate.wrap(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(landed).drop("batch_id")
+    quarantined = gate.quarantine(
+        empty_like=_rows(spark, [])
+    ).drop("failed_checks", "batch_id")
+    got = sorted(tuple(r) for r in clean.unionByName(quarantined).collect())
+    assert got == sorted(rows)
+
+    rep = gate.report().collect()
+    n_batches = len({r["batch_id"] for r in rep})
+    assert n_batches >= 2, "fixture must span multiple micro-batches"
+    assert len(rep) == n_batches * len(_checks())
+    # totals line up with the batch-level suite over the whole input
+    whole = {r["check"]: r["violations"]
+             for r in validate(_rows(spark, rows), _checks()).collect()}
+    per_batch = {}
+    for r in rep:
+        per_batch[r["check"]] = per_batch.get(r["check"], 0) + r["violations"]
+    # row-level checks sum across batches; uniqueness is per-batch scoped
+    # (cross-batch dedup is the CDC merge's job) — equal here because the
+    # fixture has no cross-batch duplicate ids
+    assert per_batch == whole
+
+    before_rep = sorted(tuple(r) for r in gate.report().collect())
+    gate.compact(keep_last=1)
+    assert sorted(tuple(r) for r in gate.report().collect()) == before_rep
