@@ -29,7 +29,7 @@ from ..operators.merge import _EPOCH as _MERGE_EPOCH
 from ..operators.merge import ALL_SPECS, incremental_merge
 from ..operators.storage import ParquetTable
 from ..plans.extract import build_extract
-from ..schemas import TARGET_SCHEMAS
+from ..schemas import KINESIS_RECORD_SCHEMA, TARGET_SCHEMAS
 from ..sources.cdc_envelope import read_cdc_record_stream
 
 
@@ -48,6 +48,8 @@ class CdcPipeline:
         partitioned: bool = False,
         n_buckets: int = 16,
         merge_shuffle_partitions: int | None = 8,
+        extract_checks: list | None = None,
+        contract_mode: str = "quarantine",
     ):
         """``partitioned=True`` switches targets to the key-bucketed store
         (operators/partitioned_store.py): merges rewrite only the hash
@@ -61,7 +63,21 @@ class CdcPipeline:
         2.3x on the 2k-event refresh heartbeat. Size it to batch volume on
         a real deployment (rows-per-trigger / target-partition-rows), or
         pass None to keep the session setting; AQE still coalesces below
-        whatever cap is active."""
+        whatever cap is active.
+
+        ``extract_checks``: optional expectation suite
+        (operators/expectations.py Check list) enforced on the parsed
+        extract of every micro-batch via streaming/quality_monitor
+        (QualityGate). The dead-letter quarantine catches payloads that
+        are not change events AT ALL; this catches rows that parse fine
+        but violate the table contract (unknown eventName, malformed pk,
+        missing sequence number …): violating rows are diverted to the
+        contract quarantine with their failed-check names — they never
+        reach the extract table, the maintained views, or the merges —
+        and every batch appends its per-check violation counts to the
+        contract report. ``contract_mode='abort'`` instead stops the
+        stream on the first violating batch after recording it (ST8
+        posture). Default None: zero cost, path unchanged."""
         self.spark = spark
         self.input_path = input_path
         self.warehouse = warehouse
@@ -90,6 +106,16 @@ class CdcPipeline:
         self.extract_path = os.path.join(warehouse, "member_quest_data_extract")
         self.quarantine_path = os.path.join(warehouse, "_quarantine")
         self.sync_log_path = os.path.join(warehouse, "sync_log")
+        self._contract_gate = None
+        if extract_checks:
+            from .quality_monitor import QualityGate
+
+            self._contract_gate = QualityGate(
+                spark,
+                extract_checks,
+                os.path.join(warehouse, "_contract"),
+                mode=contract_mode,
+            )
         if partitioned:
             from ..operators.partitioned_store import PartitionedParquetTable
 
@@ -301,6 +327,25 @@ class CdcPipeline:
                 )
             stages["parse_quarantine_sec"] = round(_time.perf_counter() - _t0, 4)
             _t0 = _time.perf_counter()
+            if self._contract_gate is not None:
+                # contract gate BEFORE the extract write: the extract
+                # table (the reference's MV), the maintained views, and
+                # the merges see only contract-clean rows; violators live
+                # in the contract quarantine with their failed checks.
+                # In abort mode this raises (after recording the batch's
+                # report+quarantine), foreachBatch fails, nothing below
+                # publishes — the replay re-gates identically.
+                holder: dict = {}
+                self._contract_gate.process_batch(
+                    extract,
+                    batch_id,
+                    lambda df, _bid: holder.update(clean=df),
+                )
+                extract = holder["clean"]
+                stages["contract_gate_sec"] = round(
+                    _time.perf_counter() - _t0, 4
+                )
+                _t0 = _time.perf_counter()
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             # batch-id-scoped overwrite, NOT append: foreachBatch is
             # at-least-once, and a replayed batch must overwrite its own
@@ -596,10 +641,30 @@ class CdcPipeline:
                 target_partitions=target_partitions,
                 keep_last=keep_last,
             )
+        if self._contract_gate is not None:
+            self._contract_gate.compact(keep_last=keep_last)
 
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.targets[name].read()
+
+    def contract_report(self) -> DataFrame:
+        """(batch_id, check, n_rows, violations, passed) per micro-batch
+        — the extract-contract conformance dashboard. Raises if the
+        pipeline was built without ``extract_checks``."""
+        if self._contract_gate is None:
+            raise ValueError("pipeline was built without extract_checks")
+        return self._contract_gate.report()
+
+    def contract_quarantine(self) -> DataFrame:
+        """Extract rows that parsed as change events but violated the
+        declared contract, tagged with their failed-check names."""
+        if self._contract_gate is None:
+            raise ValueError("pipeline was built without extract_checks")
+        empty = build_extract(
+            self.spark.createDataFrame([], KINESIS_RECORD_SCHEMA)
+        )
+        return self._contract_gate.quarantine(empty_like=empty)
 
     def quarantine_table(self) -> DataFrame:
         """Raw records whose payload failed envelope validation, with the

@@ -186,3 +186,128 @@ def test_live_stream_equals_batch_ground_truth(spark, tmp_path):
     before_rep = sorted(tuple(r) for r in gate.report().collect())
     gate.compact(keep_last=1)
     assert sorted(tuple(r) for r in gate.report().collect()) == before_rep
+
+
+def test_cdc_pipeline_contract_gate_e2e(spark, tmp_path):
+    """CdcPipeline(extract_checks=...): rows that PARSE as change events
+    but violate the declared extract contract (unknown eventName, pk
+    outside the entity prefixes) are diverted to the contract quarantine
+    with their failed checks — they never reach the extract table, the
+    targets, or the sync accounting — while conforming rows merge
+    normally. The dead-letter quarantine (unparseable payloads) and the
+    contract quarantine (parsed-but-nonconforming) stay distinct."""
+    import datetime as dt
+    import json
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        accepted_values,
+        matches,
+        not_null,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+    from .cdc_fixtures import (
+        envelope,
+        kinesis_record,
+        member_item,
+        member_quest_item,
+        quest_item,
+        write_jsonl,
+    )
+
+    BASE_MS = 1700000000000
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            member_item("m2", "Bob"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+
+    def member_env(seq, eid, name_ev, uuid, name, ms, pk=None):
+        img = {
+            "pk": {"S": pk or f"M_{uuid}"},
+            "sk": {"S": name},
+            "memberId": {"S": uuid},
+            "memberName": {"S": name},
+        }
+        return kinesis_record(
+            seq, envelope(eid, name_ev, pk or f"M_{uuid}", name, ms, img)
+        )
+
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [
+            member_env(1, "e1", "INSERT", "m3", "Carol", BASE_MS + 1000),
+            # parses fine; violates accepted_values(eventName)
+            member_env(2, "e2", "UPSERT", "m4", "Mallory", BASE_MS + 2000),
+            # parses fine; violates matches(pk): unknown entity prefix
+            member_env(3, "e3", "INSERT", "m5", "Eve", BASE_MS + 3000, pk="X_m5"),
+            # not an envelope at all -> the DEAD-LETTER quarantine
+            {
+                "approximate_arrival_timestamp": "2023-11-15T00:00:00.000Z",
+                "partition_key": "junk",
+                "shard_id": "s0",
+                "sequence_number": "0004",
+                "kinesis_data": json.dumps({"not": "an envelope"}),
+            },
+        ],
+    )
+
+    checks = [
+        accepted_values("eventName", ["INSERT", "MODIFY", "REMOVE"]),
+        matches("pk", "^(M_|Q_|MQ#)"),
+        not_null("sequencenumber"),
+    ]
+    pipe = CdcPipeline(
+        spark, str(stream_dir), str(tmp_path / "wh"), extract_checks=checks
+    )
+    pipe.initial_load(str(export_dir), sync_ts=dt.datetime(2023, 1, 1))
+    pipe.refresh()
+
+    # conforming row merged; violating rows did NOT become members
+    members = {r.memberId for r in pipe.table("member").collect()}
+    assert members == {"m1", "m2", "m3"}
+
+    # contract quarantine holds exactly the two violators, with blame
+    cq = pipe.contract_quarantine().collect()
+    blame = {r["eventID"]: list(r["failed_checks"]) for r in cq}
+    assert blame == {
+        "e2": ["accepted_values(eventName)"],
+        "e3": ["matches(pk)"],
+    }
+    # extract table holds only contract-clean rows
+    assert {r["eventID"] for r in pipe.extract_table().collect()} == {"e1"}
+
+    # report: one row per check for the batch; the two failing checks red
+    rep = {r["check"]: r for r in pipe.contract_report().collect()}
+    assert len(rep) == 3
+    assert rep["accepted_values(eventName)"]["violations"] == 1
+    assert rep["matches(pk)"]["violations"] == 1
+    assert rep["not_null(sequencenumber)"]["passed"]
+    # the gate saw only PARSED rows (3), not the dead-letter payload
+    assert rep["matches(pk)"]["n_rows"] == 3
+
+    # the unparseable payload went to the DEAD-LETTER quarantine, not the
+    # contract one
+    assert pipe.quarantine_table().count() == 1
+
+    # a second, fully-conforming refresh passes through untouched
+    write_jsonl(
+        str(stream_dir / "b2.json"),
+        [member_env(5, "e5", "INSERT", "m6", "Frank", BASE_MS + 5000)],
+    )
+    pipe.refresh()
+    assert {r.memberId for r in pipe.table("member").collect()} == {
+        "m1", "m2", "m3", "m6",
+    }
+    assert len(pipe.contract_report().collect()) == 6  # 2 batches x 3 checks
+    # accessors refuse when the gate was never configured
+    bare = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh2"))
+    with pytest.raises(ValueError, match="without extract_checks"):
+        bare.contract_report()
