@@ -87,7 +87,16 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     Row-level violations = rows where the predicate is false;
     uniqueness violations = n_rows_with_key - n_distinct_keys (rows
     beyond the first per duplicated key; rows with any NULL key column
-    are excluded, matching SQL UNIQUE semantics)."""
+    are excluded, matching SQL UNIQUE semantics).
+
+    An empty suite yields an empty (zero-row) report — an explode of
+    zero structs is an analysis error, and callers composing suites
+    dynamically shouldn't have to special-case "no checks"."""
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [],
+            "check string, n_rows bigint, violations bigint, passed boolean",
+        )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for i, ck in enumerate(checks):
         if ck.distinct_cols is not None:
@@ -140,6 +149,13 @@ def split_violations(
     pass; at 100 TB this is the per-row gate that feeds the clean side
     into training and the flagged side into a quarantine table."""
     row_checks = [c for c in checks if c.predicate is not None]
+    if not row_checks:
+        # no row-level checks: everything is clean; flagged keeps the
+        # declared shape (source columns + empty failed_checks)
+        flagged = df.withColumn(
+            "failed_checks", F.array().cast("array<string>")
+        ).limit(0)
+        return df, flagged
     failed = F.array_compact(
         F.array(
             *[

@@ -60,6 +60,23 @@ def _bin(col: Column, width: int) -> Column:
     return c - F.pmod(c, F.lit(width))
 
 
+def _interval_bins(start: Column, end: Column, width: int) -> Column:
+    """The bins a closed interval covers: sequence(bin(start), bin(end),
+    step=width). A REVERSED interval (end < start) is an EMPTY interval
+    and yields no bins — without the guard, sequence() with an explicit
+    positive step raises on descending boundaries, so one malformed row
+    in unvalidated event data would kill the whole job instead of
+    contributing zero matches (r8 review finding)."""
+    # the guard compares the RAW endpoints, not bin starts: a reversed
+    # interval that collapses into a single bin (bin(s) == bin(e)) would
+    # otherwise still emit that bin, and the overlap residual (written
+    # for well-formed intervals) can pass it through as a phantom pair
+    return F.when(
+        start.cast("long") <= end.cast("long"),
+        F.sequence(_bin(start, width), _bin(end, width), F.lit(width)),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -85,13 +102,7 @@ def point_in_interval_join(
     p = points.withColumn("_bin", _bin(F.col(point_col), bin_width))
     iv = intervals.withColumn(
         "_bin",
-        F.explode(
-            F.sequence(
-                _bin(F.col(start_col), bin_width),
-                _bin(F.col(end_col), bin_width),
-                F.lit(bin_width),
-            )
-        ),
+        F.explode(_interval_bins(F.col(start_col), F.col(end_col), bin_width)),
     )
     upper = (
         F.col(point_col) <= F.col(end_col)
@@ -127,24 +138,10 @@ def interval_overlap_join(
     _check_width(bin_width)
     keys = keys or []
     lb = left.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                _bin(F.col(l_start), bin_width),
-                _bin(F.col(l_end), bin_width),
-                F.lit(bin_width),
-            )
-        ),
+        "_bin", F.explode(_interval_bins(F.col(l_start), F.col(l_end), bin_width))
     )
     rb = right.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                _bin(F.col(r_start), bin_width),
-                _bin(F.col(r_end), bin_width),
-                F.lit(bin_width),
-            )
-        ),
+        "_bin", F.explode(_interval_bins(F.col(r_start), F.col(r_end), bin_width))
     )
     first_shared = F.greatest(
         _bin(F.col(l_start), bin_width), _bin(F.col(r_start), bin_width)

@@ -335,13 +335,12 @@ class CdcPipeline:
                 # In abort mode this raises (after recording the batch's
                 # report+quarantine), foreachBatch fails, nothing below
                 # publishes — the replay re-gates identically.
-                holder: dict = {}
-                self._contract_gate.process_batch(
-                    extract,
-                    batch_id,
-                    lambda df, _bid: holder.update(clean=df),
-                )
-                extract = holder["clean"]
+                # persist=False: extract derives from the already-cached
+                # tagged frame — a second persist would duplicate every
+                # valid row in executor memory on the refresh hot path
+                extract = self._contract_gate.process_batch(
+                    extract, batch_id, persist=False
+                )["clean"]
                 stages["contract_gate_sec"] = round(
                     _time.perf_counter() - _t0, 4
                 )
@@ -642,7 +641,9 @@ class CdcPipeline:
                 keep_last=keep_last,
             )
         if self._contract_gate is not None:
-            self._contract_gate.compact(keep_last=keep_last)
+            self._contract_gate.compact(
+                target_partitions=target_partitions, keep_last=keep_last
+            )
 
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:

@@ -54,8 +54,11 @@ from pyspark.sql import types as T
 
 from ..operators.expectations import Check, split_violations, validate
 
+# batch_id comes from partition-directory discovery on read (IntegerType,
+# matching every other batch_id= store in the repo) — it is NOT written
+# as a data column, which would shadow-duplicate the partition column
 REPORT_FIELDS = [
-    T.StructField("batch_id", T.LongType()),
+    T.StructField("batch_id", T.IntegerType()),
     T.StructField("check", T.StringType()),
     T.StructField("n_rows", T.LongType()),
     T.StructField("violations", T.LongType()),
@@ -104,17 +107,24 @@ class QualityGate:
         batch_df: DataFrame,
         batch_id: int,
         sink: Callable[[DataFrame, int], None] | None = None,
+        persist: bool = True,
     ) -> dict:
         """Validate one batch: write its report + quarantine rows into
         their own ``batch_id=`` directories (replay overwrites), hand
         clean rows to ``sink``. Returns ``{"n_rows", "n_clean",
-        "n_quarantined", "failed_checks"}`` for observability."""
-        batch_df = batch_df.persist()
+        "n_quarantined", "failed_checks", "clean"}`` — ``clean`` is the
+        clean-rows DataFrame, for callers embedding the gate in a larger
+        batch flow (the sink callback remains the streaming-facing way).
+        ``persist=False`` skips caching the batch when the CALLER already
+        holds it cached (CdcPipeline's persisted tagged extract) — a
+        second persist would duplicate every row in executor memory."""
+        if persist:
+            batch_df = batch_df.persist()
         try:
-            report = validate(batch_df, self.checks).withColumn(
-                "batch_id", F.lit(batch_id).cast("long")
-            )
+            report = validate(batch_df, self.checks)
             rows = report.collect()  # bounded: one row per check
+            # batch_id is supplied by the directory on read, never stored
+            # as a data column (it would shadow the partition column)
             self._write_own_dir(
                 self.spark.createDataFrame(rows, report.schema),
                 self.report_dir,
@@ -134,23 +144,22 @@ class QualityGate:
                     "report and quarantine are recorded, the batch is NOT "
                     "published"
                 )
-            n_clean = None
             if sink is not None:
                 sink(clean, batch_id)
             if rows:
                 n_rows = rows[0]["n_rows"]
-                n_clean = n_rows - (n_quarantined or 0)
             else:  # no checks configured: everything is clean
                 n_rows = batch_df.count()
-                n_clean = n_rows
             return {
                 "n_rows": n_rows,
-                "n_clean": n_clean,
+                "n_clean": n_rows - (n_quarantined or 0),
                 "n_quarantined": n_quarantined or 0,
                 "failed_checks": failed,
+                "clean": clean,
             }
         finally:
-            batch_df.unpersist()
+            if persist:
+                batch_df.unpersist()
 
     def wrap(
         self, sink: Callable[[DataFrame, int], None]
@@ -181,18 +190,23 @@ class QualityGate:
         if empty_like is not None:
             fields = list(empty_like.schema.fields) + [
                 T.StructField("failed_checks", T.ArrayType(T.StringType())),
-                T.StructField("batch_id", T.LongType()),
+                T.StructField("batch_id", T.IntegerType()),
             ]
         return batch_layout.read_root(self.spark, self.quarantine_dir, fields)
 
-    def compact(self, keep_last: int = 2) -> None:
+    def compact(self, target_partitions: int = 8, keep_last: int = 2) -> None:
         """Consolidate both stores' per-batch directory layouts (the
         shared crash-safe marker protocol in streaming/batch_layout.py)."""
         from . import batch_layout
 
         for root in (self.report_dir, self.quarantine_dir):
             if os.path.isdir(root):
-                batch_layout.compact_root(self.spark, root, keep_last=keep_last)
+                batch_layout.compact_root(
+                    self.spark,
+                    root,
+                    target_partitions=target_partitions,
+                    keep_last=keep_last,
+                )
 
     # -- internals ----------------------------------------------------------
     def _write_own_dir(

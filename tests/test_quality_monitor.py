@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
     in_range,
     not_null,
+    split_violations,
     unique,
     validate,
 )
@@ -119,14 +120,51 @@ def test_abort_mode_records_then_raises(spark, tmp_path):
 
 def test_empty_batch_reports_all_green(spark, gate):
     stats = gate.process_batch(_rows(spark, []), 0)
-    assert stats == {
-        "n_rows": 0,
-        "n_clean": 0,
-        "n_quarantined": 0,
-        "failed_checks": [],
-    }
+    assert (
+        stats["n_rows"],
+        stats["n_clean"],
+        stats["n_quarantined"],
+        stats["failed_checks"],
+    ) == (0, 0, 0, [])
+    assert stats["clean"].count() == 0
     rep = gate.report().collect()
     assert len(rep) == 3 and all(r["passed"] for r in rep)
+
+
+def test_empty_check_suite_passes_everything_through(spark, tmp_path):
+    """A dynamically-built suite can be empty; the gate must pass the
+    batch through rather than crash in validate()'s explode-of-zero-
+    structs (r8 review finding). Same contract for the batch operators
+    directly."""
+    gate = QualityGate(spark, [], str(tmp_path / "empty_gate"))
+    batch = _rows(spark, [(1, 5.0, "a"), (2, 500.0, None)])
+    stats = gate.process_batch(batch, 0)
+    assert stats["n_rows"] == 2 and stats["n_quarantined"] == 0
+    assert sorted(r["id"] for r in stats["clean"].collect()) == [1, 2]
+    assert gate.report().count() == 0
+    clean, flagged = split_violations(batch, [])
+    assert clean.count() == 2 and flagged.count() == 0
+    assert "failed_checks" in flagged.columns
+    assert validate(batch, []).count() == 0
+
+
+def test_report_batch_id_is_partition_column_only(spark, gate):
+    """batch_id comes from directory discovery (int, like every other
+    batch_id= store) and is not duplicated as a written data column —
+    duplication made Spark drop the written column with a warning and
+    flip the dtype between empty and non-empty reads (r8 review
+    finding)."""
+    gate.process_batch(_rows(spark, [(1, 5.0, "a")]), 4)
+    rep = gate.report()
+    assert dict(rep.dtypes)["batch_id"] == "int"
+    assert {r["batch_id"] for r in rep.collect()} == {4}
+    import glob
+    import os
+
+    part = glob.glob(os.path.join(gate.report_dir, "batch_id=4", "*.parquet"))
+    assert part, "report batch dir must exist"
+    on_disk = spark.read.parquet(part[0])
+    assert "batch_id" not in on_disk.columns
 
 
 def test_bad_mode_is_loud(spark, tmp_path):

@@ -163,3 +163,30 @@ def test_overlap_join_property_random(spark, ls, rs, width):
         (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
     )
     assert _pairs(got, "l_id", "r_id") == _pairs(naive, "l_id", "r_id")
+
+
+def test_reversed_interval_contributes_zero_matches_not_a_crash(spark):
+    """A malformed interval with end < start is an EMPTY closed interval:
+    it must contribute zero pairs — sequence() with an explicit positive
+    step would otherwise raise on the descending boundaries and kill the
+    whole job over one corrupt row (r8 review finding)."""
+    pts = _points(spark, [(1, 5), (2, 15)])
+    ivs = _intervals(spark, [(10, 0, 20), (11, 20, 0), (12, 7, 3)])
+    got = _pairs(
+        point_in_interval_join(pts, ivs, "t", "s", "e", bin_width=4)
+    )
+    assert got == [(1, 10), (2, 10)]  # only the well-formed interval
+
+    left = ivs.selectExpr("iv_id AS l_id", "s AS l_s", "e AS l_e")
+    right = spark.createDataFrame(
+        [(20, 0, 100), (21, 50, 40)], "r_id long, r_s long, r_e long"
+    )
+    overlaps = _pairs(
+        interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bin_width=16
+        ),
+        a="l_id",
+        b="r_id",
+    )
+    # reversed intervals on EITHER side are empty: only (10, 20) overlap
+    assert overlaps == [(10, 20)]
