@@ -1,0 +1,169 @@
+"""Drift detection (operators/drift.py): one-scan histogram profiles,
+PSI pinned against an independent numpy reference, declared-bucket
+invariants (nulls and unseen categories are buckets, zero-count buckets
+materialize), and a real-tables smoke over the events fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+    NULL_BUCKET,
+    OTHER_BUCKET,
+    CategoricalProfile,
+    NumericProfile,
+    profile,
+    psi_report,
+    suggest_edges,
+)
+
+SCHEMA = "v double, cat string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+SPECS = [
+    NumericProfile("v", (0.0, 10.0, 100.0)),
+    CategoricalProfile("cat", ("a", "b")),
+]
+
+
+def _counts(prof):
+    return {(r["column"], r["bucket"]): r["cnt"] for r in prof.collect()}
+
+
+def test_profile_counts_and_full_support(spark):
+    df = _df(
+        spark,
+        [
+            (-3.0, "a"),   # v: (-inf,0)        cat: a
+            (0.0, "b"),    # v: [0,10)  (left-closed)
+            (9.9, "zzz"),  # cat outside domain -> __other__
+            (10.0, None),  # v: [10,100)        cat null
+            (250.0, "a"),  # v: [100,inf)
+            (None, "a"),   # v null
+        ],
+    )
+    got = _counts(profile(df, SPECS))
+    assert got[("v", "[-inf,0.0)")] == 1
+    assert got[("v", "[0.0,10.0)")] == 2
+    assert got[("v", "[10.0,100.0)")] == 1
+    assert got[("v", "[100.0,inf)")] == 1
+    assert got[("v", NULL_BUCKET)] == 1
+    assert got[("cat", "a")] == 3
+    assert got[("cat", "b")] == 1
+    assert got[("cat", OTHER_BUCKET)] == 1
+    assert got[("cat", NULL_BUCKET)] == 1
+    # per column, counts partition the table
+    assert sum(v for (c, _), v in got.items() if c == "v") == 6
+    assert sum(v for (c, _), v in got.items() if c == "cat") == 6
+
+
+def test_zero_count_buckets_materialize(spark):
+    got = _counts(profile(_df(spark, [(5.0, "a")]), SPECS))
+    # every declared bucket present, most at zero
+    assert len(got) == (4 + 1) + (2 + 2)
+    assert got[("v", "[-inf,0.0)")] == 0
+    assert got[("cat", "b")] == 0
+
+
+def test_profile_is_one_scan(spark, tmp_path):
+    src = str(tmp_path / "t")
+    _df(spark, [(float(i), "a") for i in range(100)]).write.parquet(src)
+    prof = profile(spark.read.parquet(src), SPECS)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_psi_matches_numpy_reference(spark):
+    import numpy as np
+
+    base_rows = [(float(i % 20), "a" if i % 3 else "b") for i in range(300)]
+    cur_rows = [(float(i % 40), "a" if i % 7 else "zzz") for i in range(200)]
+    base_p = profile(_df(spark, base_rows), SPECS)
+    cur_p = profile(_df(spark, cur_rows), SPECS)
+    got = {r["column"]: r for r in psi_report(cur_p, base_p, eps=1e-6).collect()}
+
+    bc, cc = _counts(base_p), _counts(cur_p)
+    for col in ("v", "cat"):
+        buckets = sorted({b for (c, b) in set(bc) | set(cc) if c == col})
+        nb = sum(bc.get((col, b), 0) for b in buckets)
+        nc = sum(cc.get((col, b), 0) for b in buckets)
+        pb = np.maximum(
+            np.array([bc.get((col, b), 0) for b in buckets]) / max(nb, 1), 1e-6
+        )
+        pc = np.maximum(
+            np.array([cc.get((col, b), 0) for b in buckets]) / max(nc, 1), 1e-6
+        )
+        want = float(np.sum((pc - pb) * np.log(pc / pb)))
+        assert got[col]["psi"] == pytest.approx(want, rel=1e-12)
+        assert got[col]["n_current"] == nc and got[col]["n_baseline"] == nb
+    # the injected shifts are large enough to cross the 0.2 default
+    assert got["v"]["drifted"] and got["cat"]["drifted"]
+
+
+def test_identical_distributions_have_zero_psi(spark):
+    rows = [(float(i % 15), "a" if i % 2 else "b") for i in range(100)]
+    p1 = profile(_df(spark, rows), SPECS)
+    p2 = profile(_df(spark, rows), SPECS)
+    for r in psi_report(p1, p2).collect():
+        assert r["psi"] == pytest.approx(0.0, abs=1e-12)
+        assert not r["drifted"]
+
+
+def test_null_rate_shift_is_drift(spark):
+    base = [(5.0, "a")] * 100
+    cur = [(5.0, "a")] * 70 + [(None, "a")] * 30  # 0% -> 30% nulls in v
+    rep = {
+        r["column"]: r
+        for r in psi_report(
+            profile(_df(spark, cur), SPECS), profile(_df(spark, base), SPECS)
+        ).collect()
+    }
+    assert rep["v"]["drifted"]
+    assert not rep["cat"]["drifted"]
+
+
+def test_spec_validation_is_loud(spark):
+    with pytest.raises(ValueError, match="sorted"):
+        NumericProfile("v", (10.0, 0.0))
+    with pytest.raises(ValueError, match="unique"):
+        CategoricalProfile("cat", ("a", "a"))
+    with pytest.raises(ValueError, match="duplicate columns"):
+        profile(_df(spark, []), [NumericProfile("v", (0.0,)),
+                                 NumericProfile("v", (1.0,))])
+
+
+def test_empty_specs_and_empty_frame(spark):
+    assert profile(_df(spark, [(1.0, "a")]), []).count() == 0
+    prof = profile(_df(spark, []), SPECS)
+    assert all(r["cnt"] == 0 for r in prof.collect())
+
+
+def test_suggest_edges_then_monitor_events(spark):
+    """The freeze-baseline-then-monitor loop on the real events table:
+    edges derived once from the full table, then a filtered slice
+    (purchases only) scored against the full-table baseline — value is
+    type-correlated in the fixture, so the slice must register drift on
+    event_type and a finite PSI on value."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
+        load_table,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    edges = suggest_edges(events, "value", n_bins=8)
+    assert edges == tuple(sorted(set(edges))) and len(edges) >= 1
+    specs = [
+        NumericProfile("value", edges),
+        CategoricalProfile("event_type", ("click", "view", "purchase")),
+    ]
+    baseline = profile(events, specs)
+    slice_ = profile(events.filter(F.col("event_type") == "purchase"), specs)
+    rep = {r["column"]: r for r in psi_report(slice_, baseline).collect()}
+    assert rep["event_type"]["drifted"]  # 100% purchase vs mixed baseline
+    assert math.isfinite(rep["value"]["psi"])
