@@ -1,0 +1,138 @@
+"""Micro-batch-maintained distribution profiles: the streaming form of
+operators/drift.py, mirroring the KMV sketch store
+(streaming/sketch_maintenance.py).
+
+Histogram-profile algebra is EXACT under union — counts add — so a
+profile store maintained one micro-batch at a time answers every later
+distribution question identically to profiling all landed data at once,
+regardless of batch slicing (pinned in tests). Each batch writes its
+own tiny ``batch_id=<n>`` profile directory (the repo's idempotence
+recipe: an at-least-once replay overwrites itself), and the monitor
+reads:
+
+- ``profiles()`` — the per-batch long-format rows, the drift TREND
+  table (PSI of each batch against the frozen baseline shows exactly
+  when the corpus shifted);
+- ``cumulative_profile()`` — counts summed by (column, bucket), equal
+  to profiling the whole landed corpus directly;
+- ``trend(baseline)`` / ``cumulative_report(baseline)`` — PSI tables,
+  computed entirely from stored profiles (the data is never rescanned).
+
+Scale shape: the only thing that ever sees batch data is the one-scan
+profile aggregation; the store grows by (cols x buckets) rows per batch
+— kilobytes — and supports the shared crash-safe compaction.
+
+Composes with, not replaces, the quality gate: QualityGate enforces row
+CONTRACTS per batch; this watches DISTRIBUTIONS across batches. Chain
+them in one foreachBatch: ``gate.wrap(monitor.wrap(sink))``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.drift import ProfileSpec, profile, psi_report
+
+PROFILE_FIELDS = [
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("column", T.StringType()),
+    T.StructField("bucket", T.StringType()),
+    T.StructField("cnt", T.LongType()),
+]
+
+
+class ProfileMonitor:
+    def __init__(
+        self, spark: SparkSession, specs: list[ProfileSpec], root: str
+    ) -> None:
+        if not specs:
+            raise ValueError("ProfileMonitor needs at least one ProfileSpec")
+        self.spark = spark
+        self.specs = list(specs)
+        self.root = root
+        self.profile_dir = os.path.join(root, "_drift_profiles")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Profile one batch into its own directory. The profile rows are
+        collected first (bounded: cols x buckets) so the write is a tiny
+        local-relation job, not a second pass over the batch."""
+        prof = profile(batch_df, self.specs)
+        rows = prof.collect()
+        self.spark.createDataFrame(rows, prof.schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.profile_dir, f"batch_id={batch_id}"))
+
+    def wrap(
+        self, sink: Callable[[DataFrame, int], None]
+    ) -> Callable[[DataFrame, int], None]:
+        """foreachBatch pass-through: profile, then hand the UNCHANGED
+        batch to the inner sink. Chain under QualityGate to profile only
+        contract-clean rows: ``gate.wrap(monitor.wrap(sink))``."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            sink(batch_df, batch_id)
+
+        return _fn
+
+    # -- readers (stored profiles only; landed data never rescanned) -------
+    def profiles(self) -> DataFrame:
+        """(batch_id, column, bucket, cnt) — one profile per batch."""
+        from . import batch_layout
+
+        return batch_layout.read_root(
+            self.spark, self.profile_dir, PROFILE_FIELDS
+        )
+
+    def cumulative_profile(self) -> DataFrame:
+        """(column, bucket, cnt) over all landed batches — exactly the
+        profile of the landed corpus (count algebra is exact under
+        union; equality pinned in tests)."""
+        return (
+            self.profiles()
+            .groupBy("column", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def cumulative_report(self, baseline: DataFrame, **kw) -> DataFrame:
+        """PSI of everything landed so far vs the frozen baseline."""
+        return psi_report(self.cumulative_profile(), baseline, **kw)
+
+    def trend(self, baseline: DataFrame, **kw) -> DataFrame:
+        """(batch_id, column, psi, drifted, ...) — each batch scored
+        against the baseline independently: the WHEN-did-it-shift table.
+        Kilobyte inputs; one loop over distinct batch ids is driver-side
+        bookkeeping, not data work."""
+        prof = self.profiles()
+        ids = [r["batch_id"] for r in prof.select("batch_id").distinct().collect()]
+        out = None
+        for bid in sorted(ids):
+            rep = psi_report(
+                prof.filter(F.col("batch_id") == bid).drop("batch_id"),
+                baseline,
+                **kw,
+            ).withColumn("batch_id", F.lit(bid).cast("int"))
+            out = rep if out is None else out.unionByName(rep)
+        if out is None:
+            return self.spark.createDataFrame(
+                [],
+                "column string, psi double, n_current bigint, "
+                "n_baseline bigint, drifted boolean, batch_id int",
+            )
+        return out
+
+    def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
+        from . import batch_layout
+
+        if os.path.isdir(self.profile_dir):
+            batch_layout.compact_root(
+                self.spark,
+                self.profile_dir,
+                target_partitions=target_partitions,
+                keep_last=keep_last,
+            )

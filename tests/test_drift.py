@@ -167,3 +167,117 @@ def test_suggest_edges_then_monitor_events(spark):
     rep = {r["column"]: r for r in psi_report(slice_, baseline).collect()}
     assert rep["event_type"]["drifted"]  # 100% purchase vs mixed baseline
     assert math.isfinite(rep["value"]["psi"])
+
+
+# ---------------------------------------------------------------------------
+# streaming/drift_maintenance.py — the micro-batch-maintained profile store
+# ---------------------------------------------------------------------------
+
+
+def _monitor(spark, tmp_path, name="mon"):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.drift_maintenance import (
+        ProfileMonitor,
+    )
+
+    return ProfileMonitor(spark, SPECS, str(tmp_path / name))
+
+
+def test_maintained_profile_equals_direct_regardless_of_slicing(spark, tmp_path):
+    """Count algebra is exact under union: the cumulative profile after
+    N batches equals profiling all the data at once, however the rows
+    were sliced."""
+    rows = [(float(i % 25), "a" if i % 3 else "b") for i in range(90)]
+    mon = _monitor(spark, tmp_path)
+    for bid, lo in enumerate(range(0, 90, 17)):  # uneven batch sizes
+        mon.process_batch(_df(spark, rows[lo:lo + 17]), bid)
+    got = _counts(mon.cumulative_profile())
+    want = _counts(profile(_df(spark, rows), SPECS))
+    assert got == want
+
+
+def test_maintained_profile_replay_idempotent(spark, tmp_path):
+    rows = [(float(i), "a") for i in range(20)]
+    mon = _monitor(spark, tmp_path)
+    mon.process_batch(_df(spark, rows[:10]), 0)
+    mon.process_batch(_df(spark, rows[10:]), 1)
+    before = _counts(mon.cumulative_profile())
+    mon.process_batch(_df(spark, rows[10:]), 1)  # at-least-once replay
+    assert _counts(mon.cumulative_profile()) == before
+
+
+def test_trend_localizes_the_shift_to_the_batch_that_drifted(spark, tmp_path):
+    base_rows = [(float(i % 10), "a" if i % 2 else "b") for i in range(200)]
+    baseline = profile(_df(spark, base_rows), SPECS)
+    mon = _monitor(spark, tmp_path)
+    mon.process_batch(_df(spark, base_rows[:100]), 0)       # same dist
+    shifted = [(500.0, "zzz")] * 100                        # very different
+    mon.process_batch(_df(spark, shifted), 1)
+    trend = {
+        (r["batch_id"], r["column"]): r for r in mon.trend(baseline).collect()
+    }
+    assert not trend[(0, "v")]["drifted"] and not trend[(0, "cat")]["drifted"]
+    assert trend[(1, "v")]["drifted"] and trend[(1, "cat")]["drifted"]
+    # cumulative view also registers the shift
+    cum = {r["column"]: r for r in mon.cumulative_report(baseline).collect()}
+    assert cum["v"]["psi"] > 0
+
+
+def test_monitor_streams_and_composes_with_quality_gate(spark, tmp_path):
+    """Live readStream drive of gate.wrap(monitor.wrap(sink)): the gate
+    quarantines contract violators, the monitor profiles only the CLEAN
+    rows (clean profile total == clean row count), and the sink still
+    receives every clean row."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        in_range,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.quality_monitor import (
+        QualityGate,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(1000.0 if i % 10 == 0 else float(i % 30), "a" if i % 2 else "b")
+            for i in range(80)]
+    _df(spark, rows).repartition(4).write.parquet(src)
+
+    gate = QualityGate(
+        spark, [in_range("v", 0.0, 100.0)], str(tmp_path / "gate")
+    )
+    mon = _monitor(spark, tmp_path, "stream_mon")
+    landed = str(tmp_path / "landed")
+    sink = lambda df, bid: df.write.mode("overwrite").parquet(  # noqa: E731
+        f"{landed}/batch_id={bid}"
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(gate.wrap(mon.wrap(sink)))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_clean = spark.read.parquet(landed).count()
+    assert n_clean == sum(1 for v, _ in rows if 0.0 <= v <= 100.0)
+    cum = _counts(mon.cumulative_profile())
+    assert sum(v for (c, _), v in cum.items() if c == "v") == n_clean
+    # the monitor never saw the quarantined out-of-range rows
+    assert cum[("v", "[100.0,inf)")] == 0
+    n_batches = mon.profiles().select("batch_id").distinct().count()
+    assert n_batches >= 2
+    before = _counts(mon.cumulative_profile())
+    mon.compact(keep_last=1)
+    assert _counts(mon.cumulative_profile()) == before
+
+
+def test_monitor_empty_store_and_spec_guard(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.drift_maintenance import (
+        ProfileMonitor,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        ProfileMonitor(spark, [], str(tmp_path / "x"))
+    mon = _monitor(spark, tmp_path, "empty")
+    assert mon.profiles().count() == 0
+    assert mon.trend(profile(_df(spark, [(1.0, "a")]), SPECS)).count() == 0
