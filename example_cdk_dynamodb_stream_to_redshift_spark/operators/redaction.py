@@ -1,0 +1,127 @@
+"""PII detection and redaction over text columns — the scrub pass a
+training-data pipeline runs before a corpus is allowed anywhere near a
+model, expressed entirely as JVM-side regex expressions (zero Python
+boundary: ``regexp_count`` / ``regexp_replace`` stay inside whole-stage
+codegen, so the scrub is a pure projection over the corpus scan — no
+shuffle, no UDF, scale-invariant by construction).
+
+Detectors are deliberately PATTERN-BASED and conservative: emails,
+IPv4 addresses, E.164-ish phone numbers, 13-19-digit card-shaped
+numbers, US-SSN-shaped triples, and IBAN-shaped codes. Pattern PII
+scrubbing is a well-understood floor, not a ceiling — it catches the
+formats that appear verbatim in web corpora and leaves NER-grade
+entity detection (names, addresses) to model-based tooling outside
+this engine's scope; the point here is that the FLOOR costs one
+projection at 100 TB. Patterns are ordered most-specific-first so one
+kind's replacement cannot destroy evidence of another (cards before
+phones: a 16-digit card must not be half-eaten by the phone pattern).
+
+Every kind redacts to a TYPED placeholder (``<EMAIL>``, ``<IP>``, …):
+downstream token statistics still see a stable token, and redaction is
+IDEMPOTENT — placeholders match none of the patterns, so scrubbing an
+already-scrubbed corpus is a no-op (pinned in tests, along with
+count/replace equivalence against Python's re on the documents
+fixture).
+
+Two consumption modes, mirroring operators/expectations.py:
+
+- ``pii_stats(df, col)``: per-row counts by kind + total, ONE
+  projection — the audit artifact (which sources leak, how much).
+- ``redact(df, col)``: the scrubbed text (optionally keeping the
+  original under ``keep_original``), plus per-kind counts so the
+  pipeline can route heavily-leaking rows to quarantine instead of
+  keeping a half-scrubbed document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (kind, java-regex, placeholder) — ORDER MATTERS: replacements run in
+# this sequence, most-specific first. Word-ish boundaries keep the
+# digit patterns from firing inside longer digit runs (timestamps,
+# ids): (?<!\d) / (?!\d) are zero-width so they never eat neighbors.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "iban",
+        r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+        "<IBAN>",
+    ),
+    (
+        "card",
+        # 13-19 digits, optionally space/dash-grouped in 3-6-digit runs
+        r"(?<![\dA-Za-z])(?:\d[ \-]?){12,18}\d(?![\dA-Za-z])",
+        "<CARD>",
+    ),
+    (
+        "ssn",
+        r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+        "<SSN>",
+    ),
+    (
+        "phone",
+        # +country or (area) prefixed, 7-12 further digits with
+        # separators; requires a prefix marker so plain numbers don't fire
+        r"(?<![\dA-Za-z])(?:\+\d{1,3}[ \-.]?|\(\d{2,4}\)[ \-.]?)(?:\d[ \-.]?){6,11}\d(?![\dA-Za-z])",
+        "<PHONE>",
+    ),
+    (
+        "ipv4",
+        r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+        "<IP>",
+    ),
+]
+
+KINDS = [k for k, _, _ in PII_PATTERNS]
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind in the column (0 for NULL text)."""
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(pat)), F.lit(0)
+    ).cast("bigint")
+
+
+def scrub(col: Column | str) -> Column:
+    """The redacted text: every pattern replaced by its typed
+    placeholder, applied in declaration order. Pure codegen expression
+    chain — usable inside any larger projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_stats(df: DataFrame, col: str) -> DataFrame:
+    """Source columns + ``pii_<kind>`` counts + ``pii_total`` — ONE
+    projection over the scan (the audit artifact; aggregate it by
+    source/domain to see which feeds leak)."""
+    out = df
+    for kind in KINDS:
+        out = out.withColumn(f"pii_{kind}", pii_count(F.col(col), kind))
+    total = None
+    for kind in KINDS:
+        t = F.col(f"pii_{kind}")
+        total = t if total is None else total + t
+    return out.withColumn("pii_total", total)
+
+
+def redact(
+    df: DataFrame, col: str, keep_original: bool = False
+) -> DataFrame:
+    """Scrub ``col`` in place (plus per-kind counts from the ORIGINAL
+    text, so the caller can quarantine heavy leakers rather than trust
+    a heavily-rewritten document). ``keep_original=True`` preserves the
+    pre-scrub text under ``<col>_raw`` for audit pipelines."""
+    out = pii_stats(df, col)
+    if keep_original:
+        out = out.withColumn(f"{col}_raw", F.col(col))
+    return out.withColumn(col, scrub(F.col(col)))

@@ -1,0 +1,124 @@
+"""PII scrub (operators/redaction.py): detector counts vs Python's re
+on hand-built and fixture text, typed placeholders, idempotence, order
+independence between kinds, and the no-UDF plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.redaction import (
+    KINDS,
+    PII_PATTERNS,
+    pii_stats,
+    redact,
+    scrub,
+)
+
+CASES = [
+    ("contact a.smith+spam@mail.example.co.uk today", {"email": 1}),
+    ("server at 10.0.42.7 and 192.168.1.255, version 1.2.3.4.5 is not an ip",
+     {"ipv4": 2}),
+    ("call +1 415-555-0133 or (020) 7946 0958", {"phone": 2}),
+    ("card 4111 1111 1111 1111 expires soon", {"card": 1}),
+    ("ssn 078-05-1120 leaked", {"ssn": 1}),
+    ("iban DE89370400440532013000 on file", {"iban": 1}),
+    ("clean text with numbers 12345 and date 2024-01-02", {}),
+    (None, {}),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(CASES)], "id long, text string"
+    )
+
+
+def test_counts_per_kind(spark):
+    got = {r["id"]: r for r in pii_stats(_df(spark), "text").collect()}
+    for i, (_, want) in enumerate(CASES):
+        for kind in KINDS:
+            assert got[i][f"pii_{kind}"] == want.get(kind, 0), (
+                i, kind, CASES[i][0]
+            )
+        assert got[i]["pii_total"] == sum(want.values())
+
+
+def test_counts_match_python_re_on_documents_fixture(spark):
+    """Same regexes, independent engine: Java and Python agree on every
+    fixture document (the patterns deliberately avoid syntax the two
+    engines read differently)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: {k: r[f"pii_{k}"] for k in KINDS}
+        for r in pii_stats(docs, "text").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        want = {
+            kind: len(re.findall(pat, row["text"] or ""))
+            for kind, pat, _ in PII_PATTERNS
+        }
+        assert got[row["doc_id"]] == want
+
+
+def test_redaction_replaces_with_typed_placeholders(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.com from 1.2.3.4 card 4111-1111-1111-1111",)],
+        "text string",
+    )
+    out = redact(df, "text", keep_original=True).collect()[0]
+    assert out["text"] == "mail <EMAIL> from <IP> card <CARD>"
+    assert out["text_raw"].startswith("mail a@b.com")
+    assert out["pii_email"] == 1 and out["pii_ipv4"] == 1 and out["pii_card"] == 1
+
+
+def test_redaction_is_idempotent(spark):
+    df = _df(spark).filter(F.col("text").isNotNull())
+    once = sorted(
+        r["text"] for r in df.select(scrub("text").alias("text")).collect()
+    )
+    twice = sorted(
+        r["text"]
+        for r in df.select(scrub(scrub("text")).alias("text")).collect()
+    )
+    assert once == twice
+    # placeholders themselves trigger no detector
+    ph = spark.createDataFrame(
+        [("<EMAIL> <IP> <CARD> <SSN> <PHONE> <IBAN>",)], "text string"
+    )
+    assert pii_stats(ph, "text").collect()[0]["pii_total"] == 0
+
+
+def test_card_not_half_eaten_by_phone(spark):
+    """Ordering contract: the 16-digit card redacts as ONE <CARD>, not a
+    phone prefix plus digit residue."""
+    df = spark.createDataFrame([("pay 4111 1111 1111 1111 now",)], "text string")
+    assert df.select(scrub("text").alias("t")).collect()[0]["t"] == (
+        "pay <CARD> now"
+    )
+
+
+def test_plan_is_pure_projection_without_python(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([("a@b.com", 1)], "text string, id long").write.parquet(src)
+    out = redact(spark.read.parquet(src), "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_nulls_pass_through(spark):
+    out = redact(_df(spark), "text").filter(F.col("text").isNull()).collect()
+    assert len(out) == 1 and out[0]["pii_total"] == 0
+
+
+@pytest.mark.parametrize("kind,pat", [(k, p) for k, p, _ in PII_PATTERNS])
+def test_patterns_compile_in_python_too(kind, pat):
+    re.compile(pat)  # cross-engine check support: both engines parse them
