@@ -31,6 +31,15 @@ Two consumption modes, mirroring operators/expectations.py:
   original under ``keep_original``), plus per-kind counts so the
   pipeline can route heavily-leaking rows to quarantine instead of
   keeping a half-scrubbed document.
+
+Relationship to ``plans/inventory_pipeline.scrub_pii``: that is the
+driver-ORACLE-checked minimal form (email + one phone shape, untyped
+``[PII]`` replacement, hash-compared against DuckDB every rotation of
+``pii_scrub_docs``); this module is the full production surface —
+typed placeholders, six detectors, idempotence and ordering contracts.
+The minimal form stays as registered so its green driver row keeps
+proving the regexp_replace plumbing cross-engine; new pipeline code
+should use THIS module.
 """
 
 from __future__ import annotations

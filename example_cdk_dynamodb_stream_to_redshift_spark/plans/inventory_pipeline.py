@@ -30,7 +30,13 @@ def scrub_pii(
 ) -> DataFrame:
     """Redact email addresses and phone numbers from ``text_col`` in place;
     append ``n_redactions`` (how many spans were masked). Pure codegen
-    regexp ops — scales as a per-row projection, no shuffle."""
+    regexp ops — scales as a per-row projection, no shuffle.
+
+    This is the driver-oracle-checked MINIMAL form (kept stable so
+    ``pii_scrub_docs``'s hash row keeps proving the regexp plumbing
+    cross-engine); the full production scrub — six typed detectors,
+    idempotence/ordering contracts, per-kind stats — lives in
+    ``operators/redaction.py``."""
     email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
     phone_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), 0))
     cleaned = F.regexp_replace(
