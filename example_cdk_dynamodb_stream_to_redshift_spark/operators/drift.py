@@ -53,13 +53,21 @@ class NumericProfile:
     """Equi-comparable histogram spec: ``edges`` are the INTERIOR bin
     boundaries (len k => k+1 bins, the outer bins unbounded). A value v
     lands in bucket i = count(edges <= v) — left-closed bins
-    ``(-inf,e0) [e0,e1) ... [ek,inf)``."""
+    ``(-inf,e0) [e0,e1) ... [ek,inf)``.
+
+    Edges are NORMALIZED to float on construction: bucket LABELS embed
+    the edge repr, and a baseline frozen from int-spelled edges (e.g.
+    round-tripped through JSON) must produce the identical label set as
+    a float-spelled monitoring spec, or the PSI join matches nothing
+    and every bucket reads as total drift (r8 review finding)."""
 
     col: str
     edges: tuple[float, ...]
 
     def __post_init__(self):
-        if not self.edges or list(self.edges) != sorted(set(self.edges)):
+        norm = tuple(float(e) for e in self.edges)
+        object.__setattr__(self, "edges", norm)
+        if not norm or list(norm) != sorted(set(norm)):
             raise ValueError(
                 f"{self.col}: edges must be non-empty, sorted, unique — "
                 f"got {self.edges!r}"
@@ -87,6 +95,21 @@ class CategoricalProfile:
 ProfileSpec = NumericProfile | CategoricalProfile
 
 
+def _numeric_labels(edges: tuple[float, ...]) -> list[str]:
+    """THE single source of numeric bucket labels — _bucket_expr and
+    _buckets_of must emit identical strings or profile() produces
+    buckets the full-support enumeration never materializes (the PSI
+    join-mismatch failure class). Edges are already float-normalized by
+    NumericProfile, so repr() is deterministic."""
+    labels = []
+    lo = "-inf"
+    for e in edges:
+        labels.append(f"[{lo},{repr(e)})")
+        lo = repr(e)
+    labels.append(f"[{lo},inf)")
+    return labels
+
+
 def _bucket_expr(spec: ProfileSpec) -> Column:
     c = F.col(spec.col)
     if isinstance(spec, NumericProfile):
@@ -94,14 +117,9 @@ def _bucket_expr(spec: ProfileSpec) -> Column:
         # codegen'd sum of boolean casts (count of edges <= v), branch-free
         idx = None
         for e in spec.edges:
-            step = (c >= F.lit(float(e))).cast("int")
+            step = (c >= F.lit(e)).cast("int")
             idx = step if idx is None else idx + step
-        labels = []
-        lo = "-inf"
-        for e in spec.edges:
-            labels.append(f"[{lo},{e})")
-            lo = repr(float(e))
-        labels.append(f"[{lo},inf)")
+        labels = _numeric_labels(spec.edges)
         label = F.element_at(
             F.array(*[F.lit(lab) for lab in labels]), idx + F.lit(1)
         )
@@ -116,13 +134,7 @@ def _bucket_expr(spec: ProfileSpec) -> Column:
 
 def _buckets_of(spec: ProfileSpec) -> list[str]:
     if isinstance(spec, NumericProfile):
-        labels = []
-        lo = "-inf"
-        for e in spec.edges:
-            labels.append(f"[{lo},{e})")
-            lo = repr(float(e))
-        labels.append(f"[{lo},inf)")
-        return labels + [NULL_BUCKET]
+        return _numeric_labels(spec.edges) + [NULL_BUCKET]
     return list(spec.categories) + [OTHER_BUCKET, NULL_BUCKET]
 
 
@@ -165,34 +177,26 @@ def profile(df: DataFrame, specs: list[ProfileSpec]) -> DataFrame:
     )
 
 
-def psi_report(
-    current: DataFrame,
-    baseline: DataFrame,
-    eps: float = 1e-6,
-    drift_threshold: float = 0.2,
+def _psi_from_joined(
+    joined: DataFrame,
+    group_cols: list[str],
+    eps: float,
+    drift_threshold: float,
 ) -> DataFrame:
-    """(column, psi, n_current, n_baseline, drifted) from two profile
-    tables — the data is never rescanned. Bucket shares are floored at
-    ``eps`` before the log so buckets empty on one side contribute a
-    large-but-finite term. Columns are matched by (column, bucket);
-    buckets present on only one side still contribute (the other side's
-    count reads as 0 -> eps share) via the full outer join."""
-    cur = current.select(
-        "column", "bucket", F.col("cnt").alias("cnt_cur")
-    )
-    base = baseline.select(
-        "column", "bucket", F.col("cnt").alias("cnt_base")
-    )
-    joined = cur.join(F.broadcast(base), ["column", "bucket"], "full_outer").select(
-        "column",
-        "bucket",
-        F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
-        F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
-    )
-    totals = joined.groupBy("column").agg(
+    """Shared PSI arithmetic over a (group_cols..., bucket, cnt_cur,
+    cnt_base) frame — used by psi_report (group = column) and the
+    streaming trend (group = batch_id, column) so the numerics live in
+    exactly one place.
+
+    EMPTY-SIDE RULE (r8 review finding): a group with n_current == 0 or
+    n_baseline == 0 has no distribution to compare — every share floors
+    to eps and PSI saturates at a huge constant, which turned every
+    idle/empty micro-batch into a full-columns drift alert. Such groups
+    report psi = NULL, drifted = false; the n_* columns still say WHY."""
+    totals = joined.groupBy(*group_cols).agg(
         F.sum("cnt_cur").alias("n_current"), F.sum("cnt_base").alias("n_baseline")
     )
-    shared = joined.join(F.broadcast(totals), "column")
+    shared = joined.join(F.broadcast(totals), group_cols)
     p_cur = F.greatest(
         F.col("cnt_cur") / F.greatest(F.col("n_current"), F.lit(1)),
         F.lit(float(eps)),
@@ -202,17 +206,50 @@ def psi_report(
         F.lit(float(eps)),
     )
     term = (p_cur - p_base) * F.log(p_cur / p_base)
+    both_sides = (F.col("n_current") > 0) & (F.col("n_baseline") > 0)
     return (
-        shared.groupBy("column", "n_current", "n_baseline")
-        .agg(F.sum(term).alias("psi"))
+        shared.groupBy(*group_cols, "n_current", "n_baseline")
+        .agg(F.sum(term).alias("_psi_raw"))
         .select(
-            "column",
-            "psi",
+            *group_cols,
+            F.when(both_sides, F.col("_psi_raw")).alias("psi"),
             "n_current",
             "n_baseline",
-            (F.col("psi") > F.lit(float(drift_threshold))).alias("drifted"),
+            (
+                both_sides & (F.col("_psi_raw") > F.lit(float(drift_threshold)))
+            ).alias("drifted"),
         )
     )
+
+
+def psi_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    eps: float = 1e-6,
+    drift_threshold: float = 0.2,
+) -> DataFrame:
+    """(column, psi, n_current, n_baseline, drifted) from two profile
+    tables — the data is never rescanned; the inputs are kilobyte
+    (cols x buckets) frames so the join cost is nil (full-outer cannot
+    broadcast, so the plan is a tiny sort-merge — fine at this size).
+    Bucket shares are floored at ``eps`` before the log so buckets empty
+    on one side contribute a large-but-finite term. Columns are matched
+    by (column, bucket); buckets present on only one side still
+    contribute (the other side's count reads as 0 -> eps share) via the
+    full outer join. A side with ZERO total rows for a column yields
+    psi = NULL / drifted = false (see _psi_from_joined)."""
+    cur = current.select(
+        "column", "bucket", F.col("cnt").alias("cnt_cur")
+    )
+    base = baseline.select(
+        "column", "bucket", F.col("cnt").alias("cnt_base")
+    )
+    joined = cur.join(base, ["column", "bucket"], "full_outer").select(
+        "column",
+        F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
+        F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
+    )
+    return _psi_from_joined(joined, ["column"], eps, drift_threshold)
 
 
 def suggest_edges(

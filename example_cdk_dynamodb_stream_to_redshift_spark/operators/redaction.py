@@ -50,7 +50,16 @@ from pyspark.sql import functions as F
 # (kind, java-regex, placeholder) — ORDER MATTERS: replacements run in
 # this sequence, most-specific first. Word-ish boundaries keep the
 # digit patterns from firing inside longer digit runs (timestamps,
-# ids): (?<!\d) / (?!\d) are zero-width so they never eat neighbors.
+# ids); the lookarounds are zero-width so they never eat neighbors.
+#
+# ASCII-EXPLICIT on purpose (r8 review finding): \d and \b are
+# ASCII-only in Java regex but Unicode-aware in Python 3, so the
+# cross-engine count equivalence the tests pin would silently diverge
+# on Unicode digits — every class is spelled [0-9]/[A-Za-z0-9] and
+# boundaries are explicit lookarounds in BOTH engines' shared subset.
+# The card pattern refuses a leading '+' so a 13-19-digit E.164 phone
+# number is counted/redacted ONCE as <PHONE>, never double-counted as
+# card+phone or half-eaten into '+<CARD>'.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     (
         "email",
@@ -59,30 +68,31 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
     (
         "iban",
-        r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+        r"(?<![A-Za-z0-9])[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}(?![A-Za-z0-9])",
         "<IBAN>",
     ),
     (
         "card",
-        # 13-19 digits, optionally space/dash-grouped in 3-6-digit runs
-        r"(?<![\dA-Za-z])(?:\d[ \-]?){12,18}\d(?![\dA-Za-z])",
+        # 13-19 digits, optionally space/dash-grouped in 3-6-digit runs;
+        # a leading '+' marks an international phone number, not a card
+        r"(?<![+0-9A-Za-z])(?:[0-9][ \-]?){12,18}[0-9](?![0-9A-Za-z])",
         "<CARD>",
     ),
     (
         "ssn",
-        r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+        r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])",
         "<SSN>",
     ),
     (
         "phone",
         # +country or (area) prefixed, 7-12 further digits with
         # separators; requires a prefix marker so plain numbers don't fire
-        r"(?<![\dA-Za-z])(?:\+\d{1,3}[ \-.]?|\(\d{2,4}\)[ \-.]?)(?:\d[ \-.]?){6,11}\d(?![\dA-Za-z])",
+        r"(?<![0-9A-Za-z])(?:\+[0-9]{1,3}[ \-.]?|\([0-9]{2,4}\)[ \-.]?)(?:[0-9][ \-.]?){6,11}[0-9](?![0-9A-Za-z])",
         "<PHONE>",
     ),
     (
         "ipv4",
-        r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])",
+        r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
         "<IP>",
     ),
 ]

@@ -103,28 +103,44 @@ class ProfileMonitor:
         """PSI of everything landed so far vs the frozen baseline."""
         return psi_report(self.cumulative_profile(), baseline, **kw)
 
-    def trend(self, baseline: DataFrame, **kw) -> DataFrame:
-        """(batch_id, column, psi, drifted, ...) — each batch scored
-        against the baseline independently: the WHEN-did-it-shift table.
-        Kilobyte inputs; one loop over distinct batch ids is driver-side
-        bookkeeping, not data work."""
-        prof = self.profiles()
-        ids = [r["batch_id"] for r in prof.select("batch_id").distinct().collect()]
-        out = None
-        for bid in sorted(ids):
-            rep = psi_report(
-                prof.filter(F.col("batch_id") == bid).drop("batch_id"),
-                baseline,
-                **kw,
-            ).withColumn("batch_id", F.lit(bid).cast("int"))
-            out = rep if out is None else out.unionByName(rep)
-        if out is None:
-            return self.spark.createDataFrame(
-                [],
-                "column string, psi double, n_current bigint, "
-                "n_baseline bigint, drifted boolean, batch_id int",
-            )
-        return out
+    def trend(
+        self,
+        baseline: DataFrame,
+        eps: float = 1e-6,
+        drift_threshold: float = 0.2,
+    ) -> DataFrame:
+        """(batch_id, column, psi, n_current, n_baseline, drifted) —
+        each batch scored against the baseline independently: the
+        WHEN-did-it-shift table.
+
+        ONE bounded plan regardless of stream age: per-batch profiles
+        carry the FULL declared bucket support (profile() materializes
+        zero-count buckets precisely so this join needs no outer
+        gymnastics), so a single left join to the baseline plus one
+        grouped aggregation scores every batch — not a per-batch-id
+        loop of unioned join subtrees, whose Catalyst plan grew O(B)
+        with stream lifetime (r8 review finding). Requires the baseline
+        to share this monitor's specs, which comparability demands
+        anyway; empty batches score psi = NULL / drifted = false."""
+        from ..operators.drift import _psi_from_joined
+
+        cur = self.profiles().select(
+            "batch_id", "column", "bucket", F.col("cnt").alias("cnt_cur")
+        )
+        base = baseline.select(
+            "column", "bucket", F.col("cnt").alias("cnt_base")
+        )
+        joined = cur.join(F.broadcast(base), ["column", "bucket"], "left").select(
+            "batch_id",
+            "column",
+            "cnt_cur",
+            F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
+        )
+        return _psi_from_joined(
+            joined, ["batch_id", "column"], eps, drift_threshold
+        ).select(
+            "column", "psi", "n_current", "n_baseline", "drifted", "batch_id"
+        )
 
     def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
         from . import batch_layout

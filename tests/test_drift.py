@@ -281,3 +281,67 @@ def test_monitor_empty_store_and_spec_guard(spark, tmp_path):
     mon = _monitor(spark, tmp_path, "empty")
     assert mon.profiles().count() == 0
     assert mon.trend(profile(_df(spark, [(1.0, "a")]), SPECS)).count() == 0
+
+
+def test_int_and_float_spelled_edges_are_identical_specs(spark):
+    """Edges round-tripped through JSON as ints must produce the SAME
+    bucket labels as float-spelled edges — otherwise the PSI join
+    matches nothing and identical data scores as total drift (r8
+    review finding)."""
+    int_spec = [NumericProfile("v", (0, 10, 100)), SPECS[1]]
+    rows = [(float(i % 30), "a") for i in range(50)]
+    p_int = profile(_df(spark, rows), int_spec)
+    p_float = profile(_df(spark, rows), SPECS)
+    assert _counts(p_int) == _counts(p_float)
+    for r in psi_report(p_int, p_float).collect():
+        assert r["psi"] == pytest.approx(0.0, abs=1e-12) and not r["drifted"]
+
+
+def test_empty_side_scores_null_psi_not_drift(spark, tmp_path):
+    """An empty current slice (idle micro-batch) has no distribution to
+    compare: psi must be NULL / drifted false, not a saturated
+    every-column alert (r8 review finding) — both in psi_report and in
+    the maintained trend."""
+    baseline = profile(_df(spark, [(5.0, "a")] * 100), SPECS)
+    empty_cur = profile(_df(spark, []), SPECS)
+    for r in psi_report(empty_cur, baseline).collect():
+        assert r["psi"] is None and not r["drifted"] and r["n_current"] == 0
+    # reversed: empty BASELINE also refuses to cry drift
+    for r in psi_report(baseline, empty_cur).collect():
+        assert r["psi"] is None and not r["drifted"]
+
+    mon = _monitor(spark, tmp_path, "idle_mon")
+    mon.process_batch(_df(spark, [(5.0, "a")] * 10), 0)
+    mon.process_batch(_df(spark, []), 1)  # idle trigger
+    trend = {
+        (r["batch_id"], r["column"]): r for r in mon.trend(baseline).collect()
+    }
+    assert not trend[(0, "v")]["drifted"]
+    assert trend[(1, "v")]["psi"] is None and not trend[(1, "v")]["drifted"]
+
+
+def test_trend_plan_is_bounded_in_batch_count(spark, tmp_path):
+    """trend() must compile ONE join + one grouped aggregation however
+    many batches have landed — the per-batch-id union grew the Catalyst
+    plan O(B) with stream lifetime (r8 review finding)."""
+    baseline = profile(_df(spark, [(5.0, "a")] * 50), SPECS)
+
+    def join_count(mon):
+        plan = (
+            mon.trend(baseline)._jdf.queryExecution().executedPlan().toString()
+        )
+        return sum(
+            plan.count(j)
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+
+    small = _monitor(spark, tmp_path, "few_batches")
+    for bid in range(2):
+        small.process_batch(_df(spark, [(float(bid), "a")] * 5), bid)
+    big = _monitor(spark, tmp_path, "many_batches")
+    for bid in range(12):
+        big.process_batch(_df(spark, [(float(bid), "a")] * 5), bid)
+    # the CONSTANT that matters: 6x the batches, identical join count
+    # (the old per-batch-id union compiled ~2 joins per batch)
+    assert join_count(big) == join_count(small) <= 3
+    assert big.trend(baseline).count() == 12 * 2  # every batch scored

@@ -122,3 +122,35 @@ def test_nulls_pass_through(spark):
 @pytest.mark.parametrize("kind,pat", [(k, p) for k, p, _ in PII_PATTERNS])
 def test_patterns_compile_in_python_too(kind, pat):
     re.compile(pat)  # cross-engine check support: both engines parse them
+
+
+def test_international_phone_is_phone_once_not_card(spark):
+    """A 13-19-digit E.164 number must count and redact ONCE as
+    <PHONE> — the card pattern previously also matched the digit run,
+    double-counting pii_total and scrubbing to '+<CARD>' (r8 review
+    finding)."""
+    df = spark.createDataFrame(
+        [("reach me at +8613912345678 thanks",)], "text string"
+    )
+    row = redact(df, "text").collect()[0]
+    assert row["pii_phone"] == 1 and row["pii_card"] == 0
+    assert row["pii_total"] == 1
+    assert row["text"] == "reach me at <PHONE> thanks"
+    # a bare (unprefixed) card-shaped run still counts as card
+    df2 = spark.createDataFrame([("pay 4111111111111111 ok",)], "text string")
+    row2 = redact(df2, "text").collect()[0]
+    assert row2["pii_card"] == 1 and row2["pii_phone"] == 0
+    assert row2["text"] == "pay <CARD> ok"
+
+
+def test_unicode_digits_agree_across_engines(spark):
+    """\\d is ASCII in Java but Unicode in Python — the patterns spell
+    [0-9] explicitly so BOTH engines count Unicode-digit lookalikes as
+    zero (r8 review finding): the audit can never claim a redaction the
+    scrub didn't make."""
+    txt = "٠٧٨-٠٥-١١٢٠"  # ٠٧٨-٠٥-١١٢٠
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = pii_stats(df, "text").collect()[0]
+    assert row["pii_total"] == 0
+    for kind, pat, _ in PII_PATTERNS:
+        assert len(re.findall(pat, txt)) == row[f"pii_{kind}"] == 0
