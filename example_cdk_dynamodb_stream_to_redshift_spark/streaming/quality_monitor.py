@@ -131,12 +131,25 @@ class QualityGate:
                 batch_id,
             )
             clean, flagged = split_violations(batch_df, self.checks)
-            # quarantine write first: if the sink (or abort) fails after,
-            # a replay rewrites both dirs — never double-counts
-            n_quarantined = self._write_own_dir(
-                flagged, self.quarantine_dir, batch_id, count=True
-            )
             failed = [r["check"] for r in rows if not r["passed"]]
+            # the report (already collected) says whether any ROW-LEVEL
+            # check failed; an all-clean batch — the overwhelmingly
+            # common case — skips the quarantine write job entirely
+            # (the dead-letter isEmpty idiom). Deterministic, so replay
+            # agrees: the same batch re-derives the same (non-)write.
+            row_level = {
+                ck.name for ck in self.checks if ck.predicate is not None
+            }
+            any_row_violations = any(
+                not r["passed"] and r["check"] in row_level for r in rows
+            )
+            n_quarantined = 0
+            if any_row_violations:
+                # quarantine write before the sink/abort: if either fails
+                # after, a replay rewrites both dirs — never double-counts
+                n_quarantined = self._write_own_dir(
+                    flagged, self.quarantine_dir, batch_id, count=True
+                )
             if self.mode == "abort" and failed:
                 raise BatchContractError(
                     f"batch {batch_id} violates contract checks {failed} "
