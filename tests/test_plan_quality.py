@@ -538,3 +538,43 @@ def test_udtf_ngrams_aggregates_map_side_and_take_ordered(spark):
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
     assert "ReadSchema: struct<text:string>" in plan  # 1-column pruned scan
+
+
+def test_kmv_sketch_corpus_never_shuffles_below_kernel(spark):
+    plan = _plan(spark, "user_reach_kmv_sketch")
+    # the raw events flow scan -> filter -> MapInPandas with NO exchange
+    # below the kernel (per-batch min-k partials are the only thing that
+    # ever shuffles, keyed by the bounded shard key); the null filter is
+    # pushed into the 3-column pruned scan
+    assert "MapInPandas" in plan
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # formatted plans print each node twice (tree + detail): 3 logical
+    # exchanges = shard agg, type-level merge, output ordering
+    assert plan.count("Exchange") <= 6
+
+
+def test_range_join_query_is_hash_join_with_residual(spark):
+    plan = _plan(spark, "purchases_in_error_windows")
+    # the interval predicate executes as a hash equi-join on the bin id
+    # (intervals exploded into <=2 bins via Generate), never the
+    # BroadcastNestedLoopJoin Spark gives a bare range predicate; the
+    # exact bounds survive as a join residual
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan  # the interval bin explode
+    assert "(p_us" in plan  # exact residual comparison on the point column
+
+
+def test_quality_report_is_one_conditional_aggregation(spark):
+    plan = _plan(spark, "orders_quality_report")
+    # five checks compile into ONE aggregation pair over one orders scan
+    # branch (plus the FK branch's broadcast anti-join and 1-row-count
+    # crossJoins); never a scan per check
+    assert "BroadcastHashJoin LeftAnti" in plan  # FK orphan count
+    assert "SortMergeJoin" not in plan
+    # 4 logical orders/customer scans x2 print occurrences (validate,
+    # orphans, count, customer keys) — NOT 6 checks x table scans
+    assert plan.count("Scan parquet") <= 8
+    assert "count(distinct o_orderkey" in plan  # uniqueness on the same agg
