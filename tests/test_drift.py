@@ -345,3 +345,113 @@ def test_trend_plan_is_bounded_in_batch_count(spark, tmp_path):
     # (the old per-batch-id union compiled ~2 joins per batch)
     assert join_count(big) == join_count(small) <= 3
     assert big.trend(baseline).count() == 12 * 2  # every batch scored
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (the rangejoin/KMV r7 pattern)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    edges=st.lists(
+        st.integers(min_value=-100, max_value=100),
+        min_size=1, max_size=6, unique=True,
+    ),
+)
+def test_profile_matches_numpy_binning_on_random_inputs(spark, vals, edges):
+    """profile()'s left-closed binning == an independent numpy/python
+    derivation for arbitrary floats (boundaries, negatives, nulls) and
+    arbitrary edge sets — and counts always partition the input."""
+    edges = tuple(sorted(edges))
+    spec = NumericProfile("v", edges)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["bucket"]: r["cnt"] for r in profile(df, [spec]).collect()
+    }
+    # independent reference: bucket index = count(edges <= v)
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+        _numeric_labels,
+    )
+
+    labels = _numeric_labels(spec.edges)
+    want = {lab: 0 for lab in labels}
+    want[NULL_BUCKET] = 0
+    for v in vals:
+        if v is None:
+            want[NULL_BUCKET] += 1
+        else:
+            idx = sum(1 for e in spec.edges if v >= e)
+            want[labels[idx]] += 1
+    assert got == want
+    assert sum(got.values()) == len(vals)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(min_value=-1e3, max_value=1e3,
+                                           allow_nan=False)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "weird"])),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    lo=st.integers(min_value=-10, max_value=0),
+    hi=st.integers(min_value=1, max_value=500),
+)
+def test_gate_partition_invariant_on_random_inputs(spark, tmp_path, rows, lo, hi):
+    """For ANY batch and range bounds: clean + quarantined partition the
+    batch exactly, blame only names genuinely-failed checks, and the
+    report's violation counts equal the quarantine's blame tallies for
+    row-level checks."""
+    import uuid
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.quality_monitor import (
+        QualityGate,
+    )
+
+    checks = [not_null("cat"), in_range("v", float(lo), float(hi))]
+    gate = QualityGate(
+        spark, checks, str(tmp_path / f"g{uuid.uuid4().hex[:8]}")
+    )
+    batch = spark.createDataFrame(rows, "v double, cat string")
+    stats = gate.process_batch(batch, 0)
+    assert stats["n_clean"] + stats["n_quarantined"] == stats["n_rows"] == len(rows)
+    want_null = sum(1 for _, c in rows if c is None)
+    want_range = sum(
+        1 for v, _ in rows if v is not None and not (lo <= v <= hi)
+    )
+    rep = {r["check"]: r["violations"] for r in gate.report().collect()}
+    assert rep["not_null(cat)"] == want_null
+    assert rep[f"in_range(v,{float(lo)},{float(hi)})"] == want_range
+    q = gate.quarantine(empty_like=batch).collect()
+    blame_null = sum(1 for r in q if "not_null(cat)" in r["failed_checks"])
+    assert blame_null == want_null
+    assert stats["n_quarantined"] == len(q)
