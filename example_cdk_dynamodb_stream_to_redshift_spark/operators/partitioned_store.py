@@ -209,7 +209,7 @@ class PartitionedParquetTable:
             try:
                 with open(manifest) as fh:
                     pending = json.load(fh)
-            except (json.JSONDecodeError, OSError):
+            except json.JSONDecodeError:
                 # belt over the atomic-rename braces: the manifest is
                 # written tmp+os.replace so a torn file should be
                 # impossible, but if one ever appears (filesystem without
@@ -217,7 +217,13 @@ class PartitionedParquetTable:
                 # live directory was touched before the manifest became
                 # readable, so discarding staging+manifest is the safe
                 # branch, same as the no-manifest case (the storage.py
-                # _current_version torn-JSON posture)
+                # _current_version torn-JSON posture). Only DECODE errors
+                # take this branch: an OSError (EIO, EACCES) can hit a
+                # COMPLETE manifest — possibly with _commit_moves already
+                # partially run — and discarding staging there would lose
+                # the touched buckets' non-staged rows, the exact loss the
+                # protocol exists to prevent. Transient I/O must fail-stop
+                # (propagate) so a retry can still roll forward.
                 os.remove(manifest)
                 shutil.rmtree(self._staging_dir(), ignore_errors=True)
                 return

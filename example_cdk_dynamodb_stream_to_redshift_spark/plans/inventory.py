@@ -492,69 +492,67 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 _DRIVER_WINDOW_PRIORITY = [
-    # new in r8: the three proven-offline operator families earn their
-    # first driver-visible hash rows (COVERAGE.md round-8 slot plan) —
-    # KMV sketches, binned range joins, one-scan expectation suites
-    "user_reach_kmv_sketch",
-    "purchases_in_error_windows",
-    "orders_quality_report",
-    # one-time recorded row for the r7 rows-only newcomer (registered
-    # late r7, never windowed; rotates OUT next round per the rows-only
-    # policy, like doc_link_pagerank / doc_quality_classifier_topk)
-    "user_reach_hll_rollup",
-    # ---- re-verification duty: the remaining r5-green cohort (46
-    # entries, the oldest green rows in the registry after the r7
-    # rotation) — keeps every oracle-bearing entry within the 3-round
-    # staleness bound; round 9 then owes exactly the 50-entry r6 cohort
-    "ann_bruteforce_topk",
-    "cdc_merge_latest_state",
-    "corpus_clean_keep",
-    "customers_with_orders",
-    "date_trunc_filter",
-    "dedup_corpus_keep_first",
-    "disjunctive_part_revenue_q19",
-    "distinct_users_per_type",
-    "doc_binary_features",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_text_stats",
-    "embedding_near_dup_pairs",
-    "event_stream_union_all",
-    "event_type_stats",
-    "events_hourly_tumbling",
-    "events_sliding_window",
-    "frequent_tokens_exact",
-    "high_watermark_filter",
-    "incremental_mv_user_value",
-    "ivf_knn_join_fullprobe",
-    "large_volume_customers_q18",
-    "latest_event_argmax",
-    "latest_event_per_user",
-    "lineitem_pricing_summary",
-    "media_feature_extract",
-    "ngram_jaccard_pairs",
-    "order_rank_in_priority",
-    "prefix_like_filter",
-    "region_customer_counts",
-    "returned_item_customers_q10",
-    "rewards_by_member",
-    "rewards_by_quest",
-    "rollup_event_daily",
-    "shipping_priority_q3",
-    "span_dedup_docs",
-    "srp_bucket_near_dups",
-    "top_orders_by_revenue",
-    "user_running_spend",
-    "user_sessions",
-    "users_click_and_purchase",
-    "users_view_not_signup",
-    "volume_shipping_q7",
-    "weighted_sample_per_source",
-    "weighted_sample_topk",
+    # ---- round 9 is a ZERO-SLACK re-verification window: EXACTLY the
+    # 50-entry r6 cohort (every oracle-bearing entry whose latest green
+    # hash row is CORRECTNESS_r06 — re-derived from the artifacts and
+    # pre-driven foreign-CWD at sf0.01, 50/50 oracle-equal, before this
+    # rotation). ZERO new oracle registrations this round; the r7
+    # rows-only one-timer user_reach_hll_rollup rotates OUT per policy.
+    # Round 10 owes the 48-entry r7 cohort with ≤2 spare slots
+    # (COVERAGE.md driver-window capacity budget).
+    "bm25_topk_docs",
+    "count_rows",
+    "customer_order_counts_left",
+    "customers_without_orders",
+    "dedup_clusters",
+    "doc_chunk_windows",
+    "doc_distinctive_terms",
+    "doc_repetition_stats",
+    "doc_token_topk",
+    "doc_winnowing_fingerprints",
+    "event_gap_topk",
+    "event_lag_topk",
+    "event_type_daily_cube",
+    "exact_dedup_docs",
+    "incremental_mv_rewards_cdc",
+    "ivf_ann_fullprobe_topk",
+    "language_rebalance_sample",
+    "late_lines_by_priority_q12",
+    "minhash_lsh_near_dups",
+    "mv_rewards_freshness",
+    "nation_market_share_q8",
+    "ngram_decontamination",
+    "ngram_decontamination_bloom",
+    "order_price_percentiles",
+    "order_price_quartiles",
+    "order_priority_having",
+    "orders_above_avg_price",
+    "param_events_by_user",
+    "pii_scrub_docs",
+    "promo_revenue_q14",
+    "props_variant_extract",
+    "quality_trim_bottom_decile",
+    "recent_events_topk",
+    "returns_conditional_agg",
+    "scalar_function_suite",
+    "source_centroid_embeddings",
+    "srp_ann_exact_topk",
+    "stratified_sample_by_source",
+    "supplier_customer_nations_full",
+    "top_docs_per_source",
+    "top_supplier_revenue_q15",
+    "train_test_contamination",
+    "train_val_test_split",
+    "untapped_customers_q22",
+    "user_event_type_pivot",
+    "user_event_type_profile",
+    "user_event_type_unpivot",
+    "user_state_history",
+    "view_purchase_interval_join",
+    "watermark_max",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

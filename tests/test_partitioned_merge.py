@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import glob
 import os
+import shutil
 
 import pytest
 
@@ -276,6 +277,37 @@ def test_torn_manifest_is_treated_as_pre_commit(spark, tmp_path, extract):
     assert not os.path.isdir(table._staging_dir())
     assert _sorted(table.read()) == expected
     assert before != expected  # the merge really changed rows
+
+
+def test_unreadable_manifest_fails_stop(spark, tmp_path, extract):
+    """An OSError reading the manifest is NOT evidence of a pre-commit
+    tear: the manifest may be COMPLETE (crash window between os.replace
+    and os.remove, _commit_moves possibly part-run), and discarding
+    staging there would permanently lose the touched buckets' non-staged
+    rows — the exact loss the protocol exists to prevent. Only
+    JSONDecodeError (torn content, provably pre-commit under atomic
+    rename) takes the discard branch; I/O errors must propagate so a
+    retry can still roll forward (ADVICE r8)."""
+    seed = spark.createDataFrame(_seed_rows(), MEMBER_SCHEMA)
+    table = PartitionedParquetTable(
+        spark, str(tmp_path / "member"), MEMBER_SCHEMA, "memberId", N_BUCKETS
+    )
+    table.overwrite_full(seed)
+
+    # a manifest that EXISTS but cannot be read as a file (IsADirectoryError
+    # is an OSError; chmod tricks don't work under root) — stands in for
+    # any transient I/O failure on a complete manifest
+    staging = table._staging_dir()
+    os.makedirs(staging, exist_ok=True)
+    os.makedirs(table._commit_manifest())
+
+    with pytest.raises(OSError):
+        table.merge(extract, MEMBER_SPEC, sync_ts=SYNC)
+    # fail-stop preserved the recovery state: both survive for a retry
+    assert os.path.exists(table._commit_manifest())
+    assert os.path.isdir(staging)
+    os.rmdir(table._commit_manifest())
+    shutil.rmtree(staging)
 
 
 def test_leftover_manifest_tmp_is_cleared(spark, tmp_path, extract):
