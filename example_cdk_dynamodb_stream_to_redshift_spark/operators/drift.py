@@ -30,7 +30,9 @@ data — one scan, map-side partial aggregation of cols x buckets
 counters, one bounded-key shuffle. Everything downstream (PSI, the
 drift verdict, dashboards) reads profile tables. NULL handling is
 explicit: nulls are a bucket (``__null__``), not an omission — a column
-going 0% -> 30% null IS drift and must move the score.
+going 0% -> 30% null IS drift and must move the score. NaN likewise
+gets its own bucket (``__nan__``) rather than riding Spark's
+NaN-sorts-greatest rule into the top bin.
 
 Reference tie-in: the reference trusts its stream blindly; this extends
 the engine's observability family (sync-run log, expectation suites,
@@ -45,6 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NULL_BUCKET = "__null__"
+NAN_BUCKET = "__nan__"
 OTHER_BUCKET = "__other__"
 
 
@@ -123,7 +126,17 @@ def _bucket_expr(spec: ProfileSpec) -> Column:
         label = F.element_at(
             F.array(*[F.lit(lab) for lab in labels]), idx + F.lit(1)
         )
-        return F.when(c.isNull(), F.lit(NULL_BUCKET)).otherwise(label)
+        # NaN gets its OWN bucket, not the top bin: Spark orders NaN
+        # greater than any number, so every `c >= edge` comparison is
+        # true and a column shifting 0% -> 30% NaN would read as
+        # top-bin growth, conflated with genuine high-value drift
+        # (ADVICE r8). The isnan probe runs on a double cast so integer
+        # columns (which cannot hold NaN) stay valid inputs.
+        return (
+            F.when(c.isNull(), F.lit(NULL_BUCKET))
+            .when(F.isnan(c.cast("double")), F.lit(NAN_BUCKET))
+            .otherwise(label)
+        )
     known = c.cast("string").isin(*spec.categories)
     return (
         F.when(c.isNull(), F.lit(NULL_BUCKET))
@@ -134,7 +147,7 @@ def _bucket_expr(spec: ProfileSpec) -> Column:
 
 def _buckets_of(spec: ProfileSpec) -> list[str]:
     if isinstance(spec, NumericProfile):
-        return _numeric_labels(spec.edges) + [NULL_BUCKET]
+        return _numeric_labels(spec.edges) + [NAN_BUCKET, NULL_BUCKET]
     return list(spec.categories) + [OTHER_BUCKET, NULL_BUCKET]
 
 

@@ -7,7 +7,8 @@ shuffle, no UDF, scale-invariant by construction).
 
 Detectors are deliberately PATTERN-BASED and conservative: emails,
 IPv4 addresses, E.164-ish phone numbers, 13-19-digit card-shaped
-numbers, US-SSN-shaped triples, and IBAN-shaped codes. Pattern PII
+numbers (Luhn-checked, so numeric order-ids survive), US-SSN-shaped
+triples, and IBAN-shaped codes. Pattern PII
 scrubbing is a well-understood floor, not a ceiling — it catches the
 formats that appear verbatim in web corpora and leaves NER-grade
 entity detection (names, addresses) to model-based tooling outside
@@ -99,33 +100,133 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 KINDS = [k for k, _, _ in PII_PATTERNS]
 
+# The card pattern with its digit run CAPTURED (lookarounds stay
+# zero-width outside the group) — regexp_extract_all pulls the
+# candidate spans so the Luhn residual can judge each one.
+_CARD_EXTRACT = (
+    r"(?<![+0-9A-Za-z])((?:[0-9][ \-]?){12,18}[0-9])(?![0-9A-Za-z])"
+)
+
+
+def luhn_valid(m: Column) -> Column:
+    """Mod-10 (Luhn, Peterson 1954 — the check digit every real PAN
+    carries) over a separator-grouped digit string, as a pure Catalyst
+    expression: reverse the digit string, double every second digit
+    from the right (subtracting 9 on overflow), and test the sum
+    modulo 10. No UDF — transform/aggregate are JVM-side higher-order
+    functions, so the no-Python-boundary discipline holds."""
+    s = F.reverse(F.regexp_replace(m, r"[ \-]", ""))
+    terms = F.transform(
+        F.sequence(F.lit(0), F.length(s) - F.lit(1)),
+        lambda i: _luhn_term(
+            F.ascii(s.substr(i + F.lit(1), F.lit(1))) - F.lit(48), i
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return total % F.lit(10) == F.lit(0)
+
+
+def _luhn_term(d: Column, i: Column) -> Column:
+    doubled = d * F.lit(2)
+    return F.when(
+        i % F.lit(2) == F.lit(1),
+        F.when(doubled > F.lit(9), doubled - F.lit(9)).otherwise(doubled),
+    ).otherwise(d)
+
+
+def _card_candidates(c: Column) -> Column:
+    return F.regexp_extract_all(c, F.lit(_CARD_EXTRACT), 1)
+
+
+def _card_count(c: Column) -> Column:
+    """Occurrences of LUHN-VALID card-shaped runs. The shape pattern
+    alone fires on any 13-19-digit separator-grouped run — long numeric
+    order-ids redacted as <CARD> (r8 verdict nit); the mod-10 residual
+    costs one more codegen expression and cuts those false positives to
+    the 1-in-10 that mod-10 admits by chance."""
+    return F.size(F.filter(_card_candidates(c), luhn_valid))
+
+
+def _card_scrub(c: Column) -> Column:
+    """Replace only the Luhn-valid candidates: fold the distinct valid
+    spans back over the text, each re-anchored with the original
+    lookarounds (quoted \\Q..\\E so separators stay literal) so a valid
+    span never rewrites inside a longer digit run elsewhere. Candidate
+    arrays are empty for ordinary text, so the common path is a no-op
+    fold over []."""
+    valid = F.filter(F.array_distinct(_card_candidates(c)), luhn_valid)
+    return F.aggregate(
+        valid,
+        c,
+        lambda acc, m: F.regexp_replace(
+            acc,
+            F.concat(
+                F.lit(r"(?<![+0-9A-Za-z])\Q"),
+                m,
+                F.lit(r"\E(?![0-9A-Za-z])"),
+            ),
+            F.lit(dict((k, r) for k, _, r in PII_PATTERNS)["card"]),
+        ),
+    )
+
 
 def pii_count(col: Column | str, kind: str) -> Column:
-    """Occurrences of one PII kind in the column (0 for NULL text)."""
-    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
+    """Occurrences of one PII kind in the column AS GIVEN (0 for NULL
+    text). ``card`` counts only Luhn-valid runs. Single-kind, stage-free
+    probe; ``pii_stats`` computes the sequential-scrub-consistent
+    counts."""
     c = F.col(col) if isinstance(col, str) else col
+    if kind == "card":
+        return F.coalesce(_card_count(c), F.lit(0)).cast("bigint")
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)[kind]
     return F.coalesce(
         F.regexp_count(c, F.lit(pat)), F.lit(0)
     ).cast("bigint")
 
 
+def _scrub_stages(c: Column) -> tuple[list[tuple[str, Column]], Column]:
+    """The shared sequential machinery: per kind, the count of spans the
+    scrub REPLACES at that stage (evaluated on the text after all
+    earlier kinds ran) and the progressively-scrubbed text. Counting on
+    the staged text makes ``pii_total`` exactly the number of
+    placeholders the scrub inserts — a span matching two detectors
+    (e.g. a card-digit email localpart) counts ONCE, for the kind that
+    actually masked it, instead of once per detector (ADVICE r8)."""
+    counts: list[tuple[str, Column]] = []
+    for kind, pat, repl in PII_PATTERNS:
+        if kind == "card":
+            counts.append((kind, F.coalesce(_card_count(c), F.lit(0)).cast("bigint")))
+            c = _card_scrub(c)
+        else:
+            counts.append((
+                kind,
+                F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("bigint"),
+            ))
+            c = F.regexp_replace(c, pat, repl)
+    return counts, c
+
+
 def scrub(col: Column | str) -> Column:
     """The redacted text: every pattern replaced by its typed
-    placeholder, applied in declaration order. Pure codegen expression
-    chain — usable inside any larger projection."""
+    placeholder, applied in declaration order (card spans additionally
+    Luhn-gated). Pure codegen expression chain — usable inside any
+    larger projection."""
     c = F.col(col) if isinstance(col, str) else col
-    for _, pat, repl in PII_PATTERNS:
-        c = F.regexp_replace(c, pat, repl)
-    return c
+    return _scrub_stages(c)[1]
 
 
 def pii_stats(df: DataFrame, col: str) -> DataFrame:
     """Source columns + ``pii_<kind>`` counts + ``pii_total`` — ONE
     projection over the scan (the audit artifact; aggregate it by
-    source/domain to see which feeds leak)."""
+    source/domain to see which feeds leak). Counts mirror the
+    sequential replacement: kind k is counted on the text with kinds
+    1..k-1 already scrubbed, so ``pii_total`` equals the number of
+    placeholders ``scrub`` inserts even when a span matches several
+    detectors."""
+    counts, _ = _scrub_stages(F.col(col))
     out = df
-    for kind in KINDS:
-        out = out.withColumn(f"pii_{kind}", pii_count(F.col(col), kind))
+    for kind, cnt in counts:
+        out = out.withColumn(f"pii_{kind}", cnt)
     total = None
     for kind in KINDS:
         t = F.col(f"pii_{kind}")
@@ -136,10 +237,11 @@ def pii_stats(df: DataFrame, col: str) -> DataFrame:
 def redact(
     df: DataFrame, col: str, keep_original: bool = False
 ) -> DataFrame:
-    """Scrub ``col`` in place (plus per-kind counts from the ORIGINAL
-    text, so the caller can quarantine heavy leakers rather than trust
-    a heavily-rewritten document). ``keep_original=True`` preserves the
-    pre-scrub text under ``<col>_raw`` for audit pipelines."""
+    """Scrub ``col`` in place, plus the per-kind counts of exactly the
+    spans the scrub masks (so the caller can quarantine heavy leakers
+    rather than trust a heavily-rewritten document).
+    ``keep_original=True`` preserves the pre-scrub text under
+    ``<col>_raw`` for audit pipelines."""
     out = pii_stats(df, col)
     if keep_original:
         out = out.withColumn(f"{col}_raw", F.col(col))

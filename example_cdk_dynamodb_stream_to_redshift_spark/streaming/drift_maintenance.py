@@ -139,7 +139,7 @@ class ProfileMonitor:
         return _psi_from_joined(
             joined, ["batch_id", "column"], eps, drift_threshold
         ).select(
-            "column", "psi", "n_current", "n_baseline", "drifted", "batch_id"
+            "batch_id", "column", "psi", "n_current", "n_baseline", "drifted"
         )
 
     def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+    NAN_BUCKET,
     NULL_BUCKET,
     OTHER_BUCKET,
     CategoricalProfile,
@@ -67,9 +68,38 @@ def test_profile_counts_and_full_support(spark):
 def test_zero_count_buckets_materialize(spark):
     got = _counts(profile(_df(spark, [(5.0, "a")]), SPECS))
     # every declared bucket present, most at zero
-    assert len(got) == (4 + 1) + (2 + 2)
+    assert len(got) == (4 + 2) + (2 + 2)
     assert got[("v", "[-inf,0.0)")] == 0
     assert got[("cat", "b")] == 0
+
+
+def test_nan_gets_its_own_bucket_not_the_top_bin(spark):
+    """Spark orders NaN greater than any number, so without the explicit
+    isnan probe every `c >= edge` comparison is true and NaN rows count
+    as top-bin data — a column shifting 0% -> 30% NaN would read as
+    high-value drift (ADVICE r8). NaN is its own declared bucket, NULL
+    stays separate."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+        NAN_BUCKET,
+    )
+
+    df = _df(
+        spark,
+        [(float("nan"), "a"), (float("nan"), "a"), (250.0, "a"), (None, "a")],
+    )
+    got = _counts(profile(df, SPECS))
+    assert got[("v", NAN_BUCKET)] == 2
+    assert got[("v", "[100.0,inf)")] == 1  # only the genuine top-bin row
+    assert got[("v", NULL_BUCKET)] == 1
+    # NaN appearing 0% -> 50% moves PSI even when real values are stable
+    base = profile(
+        _df(spark, [(250.0, "a"), (5.0, "a")] * 10), SPECS
+    )
+    cur = profile(
+        _df(spark, [(250.0, "a"), (float("nan"), "a")] * 10), SPECS
+    )
+    row = {r["column"]: r for r in psi_report(cur, base).collect()}
+    assert row["v"]["drifted"] is True
 
 
 def test_profile_is_one_scan(spark, tmp_path):
@@ -217,6 +247,11 @@ def test_trend_localizes_the_shift_to_the_batch_that_drifted(spark, tmp_path):
     }
     assert not trend[(0, "v")]["drifted"] and not trend[(0, "cat")]["drifted"]
     assert trend[(1, "v")]["drifted"] and trend[(1, "cat")]["drifted"]
+    # emitted column ORDER matches the documented contract — positional
+    # consumers (tuple unpacking, toPandas().values) rely on it (ADVICE r8)
+    assert mon.trend(baseline).columns == [
+        "batch_id", "column", "psi", "n_current", "n_baseline", "drifted",
+    ]
     # cumulative view also registers the shift
     cum = {r["column"]: r for r in mon.cumulative_report(baseline).collect()}
     assert cum["v"]["psi"] > 0
@@ -363,6 +398,7 @@ from hypothesis import strategies as st  # noqa: E402
     vals=st.lists(
         st.one_of(
             st.none(),
+            st.just(float("nan")),
             st.floats(
                 min_value=-1e6, max_value=1e6,
                 allow_nan=False, allow_infinity=False,
@@ -394,9 +430,12 @@ def test_profile_matches_numpy_binning_on_random_inputs(spark, vals, edges):
     labels = _numeric_labels(spec.edges)
     want = {lab: 0 for lab in labels}
     want[NULL_BUCKET] = 0
+    want[NAN_BUCKET] = 0
     for v in vals:
         if v is None:
             want[NULL_BUCKET] += 1
+        elif v != v:  # NaN: its own bucket, never a bin (ADVICE r8)
+            want[NAN_BUCKET] += 1
         else:
             idx = sum(1 for e in spec.edges if v >= e)
             want[labels[idx]] += 1

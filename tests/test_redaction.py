@@ -46,8 +46,45 @@ def test_counts_per_kind(spark):
         assert got[i]["pii_total"] == sum(want.values())
 
 
-def test_counts_match_python_re_on_documents_fixture(spark):
-    """Same regexes, independent engine: Java and Python agree on every
+def _py_luhn(span: str) -> bool:
+    ds = [int(ch) for ch in reversed(re.sub(r"[ \-]", "", span))]
+    total = 0
+    for i, d in enumerate(ds):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _py_scrub_counts(text: str) -> tuple[dict, str]:
+    """Independent Python mirror of the sequential scrub: per-kind
+    counts of the spans actually replaced, and the scrubbed text."""
+    cur = text or ""
+    counts = {}
+    for kind, pat, repl in PII_PATTERNS:
+        if kind == "card":
+            n = 0
+
+            def _sub(m):
+                nonlocal n
+                if _py_luhn(m.group(0)):
+                    n += 1
+                    return repl
+                return m.group(0)
+
+            cur = re.sub(pat, _sub, cur)
+            counts[kind] = n
+        else:
+            counts[kind] = len(re.findall(pat, cur))
+            cur = re.sub(pat, repl, cur)
+    return counts, cur
+
+
+def test_counts_and_scrub_match_python_re_on_documents_fixture(spark):
+    """Same regexes + same sequential/Luhn semantics, independent
+    engine: Java and Python agree on counts AND scrubbed text for every
     fixture document (the patterns deliberately avoid syntax the two
     engines read differently)."""
     from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
@@ -56,15 +93,16 @@ def test_counts_match_python_re_on_documents_fixture(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     got = {
-        r["doc_id"]: {k: r[f"pii_{k}"] for k in KINDS}
-        for r in pii_stats(docs, "text").collect()
+        r["doc_id"]: ({k: r[f"pii_{k}"] for k in KINDS}, r["scrubbed"])
+        for r in pii_stats(docs, "text")
+        .withColumn("scrubbed", scrub("text"))
+        .collect()
     }
     for row in docs.select("doc_id", "text").collect():
-        want = {
-            kind: len(re.findall(pat, row["text"] or ""))
-            for kind, pat, _ in PII_PATTERNS
-        }
-        assert got[row["doc_id"]] == want
+        want_counts, want_text = _py_scrub_counts(row["text"])
+        assert got[row["doc_id"]][0] == want_counts, row["doc_id"]
+        if row["text"] is not None:
+            assert got[row["doc_id"]][1] == want_text, row["doc_id"]
 
 
 def test_redaction_replaces_with_typed_placeholders(spark):
@@ -141,6 +179,49 @@ def test_international_phone_is_phone_once_not_card(spark):
     row2 = redact(df2, "text").collect()[0]
     assert row2["pii_card"] == 1 and row2["pii_phone"] == 0
     assert row2["text"] == "pay <CARD> ok"
+
+
+def test_card_detector_is_luhn_gated(spark):
+    """The shape pattern alone fires on ANY 13-19-digit grouped run, so
+    long numeric order-ids redacted as <CARD> (r8 verdict nit). The
+    mod-10 residual keeps real PANs redacting while invalid-Luhn runs
+    pass through untouched."""
+    valid = "4111 1111 1111 1111"        # classic Luhn-valid test PAN
+    invalid = "4111 1111 1111 1112"      # same shape, fails mod-10
+    order_id = "9400111899560000000000"  # carrier-tracking-shaped, 22 digits
+    df = spark.createDataFrame(
+        [(0, f"pay {valid} now"), (1, f"order {invalid} shipped"),
+         (2, f"track {order_id} here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in redact(df, "text").collect()}
+    assert rows[0]["pii_card"] == 1 and rows[0]["text"] == "pay <CARD> now"
+    assert rows[1]["pii_card"] == 0
+    assert rows[1]["text"] == f"order {invalid} shipped"  # preserved
+    # >19 digits never matched the shape in the first place
+    assert rows[2]["pii_card"] == 0 and order_id in rows[2]["text"]
+    # python mirror agrees on all three
+    for i, txt in [(0, f"pay {valid} now"), (1, f"order {invalid} shipped"),
+                   (2, f"track {order_id} here")]:
+        counts, text = _py_scrub_counts(txt)
+        assert counts["card"] == rows[i]["pii_card"]
+        assert text == rows[i]["text"]
+
+
+def test_cross_kind_overlap_counts_once(spark):
+    """A span matching two detectors must count ONCE, for the kind that
+    actually masks it: the card-digit email localpart counted as both
+    email and card (pii_total=2 for one masked span), overstating
+    leakage for quarantine thresholds keyed on pii_total (ADVICE r8).
+    Counts now mirror the sequential replacement."""
+    df = spark.createDataFrame(
+        [("mail 4111111111111111@x.com please",)], "text string"
+    )
+    row = redact(df, "text").collect()[0]
+    assert row["pii_email"] == 1
+    assert row["pii_card"] == 0  # already masked by the email stage
+    assert row["pii_total"] == 1
+    assert row["text"] == "mail <EMAIL> please"
 
 
 def test_unicode_digits_agree_across_engines(spark):
