@@ -117,16 +117,22 @@ HEADLINE = [
 ]
 
 
-def _bench_cdc_refresh(spark, n_events: int = 2000):
+def _bench_cdc_refresh(spark, n_events: int = 2000, gated: bool = False):
     """Streaming heartbeat: one AvailableNow refresh (parse -> extract ->
     3-entity partition-scoped merge) over n_events synthetic envelopes.
     Mirrors the reference's REFRESH MV + CALL sync loop.
 
+    ``gated=True`` runs the same refresh through the composed
+    observability pipeline (extract_checks contract gate +
+    extract_profile_specs drift monitor — gate-then-profile over every
+    micro-batch): the delta vs the plain metric is the per-batch price
+    of full observability, fenced here so it can never silently grow.
+
     Returns ``(total_sec, stage_sec)`` where stage_sec decomposes the
-    batch (parse/quarantine probe, extract write, per-entity merges,
-    sync-log write) so a drift in the headline number is attributable;
-    the stream wiring + checkpoint overhead is total minus the stages.
-    None on failure."""
+    batch (parse/quarantine probe, contract gate + drift profile when
+    gated, extract write, per-entity merges, sync-log write) so a drift
+    in the headline number is attributable; the stream wiring +
+    checkpoint overhead is total minus the stages. None on failure."""
     import datetime as dt
     import json
     import shutil
@@ -175,7 +181,32 @@ def _bench_cdc_refresh(spark, n_events: int = 2000):
                     "sequence_number": str(i).zfill(20),
                     "kinesis_data": json.dumps(env)}) + "\n")
 
-        pipe = CdcPipeline(spark, stream_d, wh, partitioned=True, n_buckets=16)
+        gate_kwargs = {}
+        if gated:
+            from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+                CategoricalProfile,
+            )
+            from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+                accepted_values,
+                matches,
+                not_null,
+            )
+
+            gate_kwargs = {
+                "extract_checks": [
+                    accepted_values("eventName", ["INSERT", "MODIFY", "REMOVE"]),
+                    matches("pk", "^(M_|Q_|MQ#)"),
+                    not_null("sequencenumber"),
+                ],
+                "extract_profile_specs": [
+                    CategoricalProfile(
+                        "eventName", ("INSERT", "MODIFY", "REMOVE")
+                    )
+                ],
+            }
+        pipe = CdcPipeline(
+            spark, stream_d, wh, partitioned=True, n_buckets=16, **gate_kwargs
+        )
         pipe.initial_load(export_d, sync_ts=dt.datetime(2023, 1, 1))
         t0 = time.perf_counter()
         pipe.refresh()
@@ -457,6 +488,19 @@ def main() -> None:
         # steady-state heartbeat: second refresh of the same pipeline —
         # carried watermark, no per-entity MAX(ts) target scan
         timings["cdc_refresh_2k_events_warm"] = min(w for _, _, w in cdc_runs)
+    # the composed observability pipeline (contract gate + drift-profile
+    # monitor on every micro-batch): tracked as its own metric so the
+    # per-batch observability overhead has a regression fence (the delta
+    # vs cdc_refresh_2k_events; the stage record carries
+    # contract_gate_sec / drift_profile_sec explicitly)
+    gated_runs = [t for t in (_bench_cdc_refresh(spark, n_events=2000, gated=True) for _ in range(2)) if t is not None]
+    gated_stages: dict[str, float] = {}
+    if gated_runs:
+        gated_total, gated_stages, _ = min(gated_runs, key=lambda x: x[0])
+        timings["cdc_refresh_gated_2k_events"] = gated_total
+        timings["cdc_refresh_gated_2k_events_warm"] = min(
+            w for _, _, w in gated_runs
+        )
     shutil.rmtree(chunked, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
@@ -481,6 +525,10 @@ def main() -> None:
         # stage decomposition of the BEST cdc refresh (bounded keys) —
         # makes heartbeat drift attributable across rounds
         "cdc_refresh_stages": cdc_stages,
+        # same decomposition for the gated (contract + drift-profile)
+        # refresh: contract_gate_sec / drift_profile_sec are the
+        # observability line items
+        "cdc_refresh_gated_stages": gated_stages,
         # steady-state (second-refresh) heartbeat, also under "queries" as
         # cdc_refresh_2k_events_warm; top-level so the compact summary
         # (the driver-tail-safe last line) carries it

@@ -50,6 +50,7 @@ class CdcPipeline:
         merge_shuffle_partitions: int | None = 8,
         extract_checks: list | None = None,
         contract_mode: str = "quarantine",
+        extract_profile_specs: list | None = None,
     ):
         """``partitioned=True`` switches targets to the key-bucketed store
         (operators/partitioned_store.py): merges rewrite only the hash
@@ -77,7 +78,17 @@ class CdcPipeline:
         and every batch appends its per-check violation counts to the
         contract report. ``contract_mode='abort'`` instead stops the
         stream on the first violating batch after recording it (ST8
-        posture). Default None: zero cost, path unchanged."""
+        posture). Default None: zero cost, path unchanged.
+
+        ``extract_profile_specs``: optional drift-profile specs
+        (operators/drift.py ProfileSpec list) — each micro-batch's
+        CONTRACT-CLEAN extract rows are histogram-profiled into the
+        per-batch profile store (streaming/drift_maintenance
+        ProfileMonitor), the ``gate.wrap(monitor.wrap(sink))``
+        composition as a first-class pipeline option: contracts gate,
+        then distributions are watched, then the extract publishes.
+        Read back via ``drift_profiles()`` / ``drift_trend(baseline)``.
+        Default None: zero cost."""
         self.spark = spark
         self.input_path = input_path
         self.warehouse = warehouse
@@ -115,6 +126,13 @@ class CdcPipeline:
                 extract_checks,
                 os.path.join(warehouse, "_contract"),
                 mode=contract_mode,
+            )
+        self._profile_monitor = None
+        if extract_profile_specs:
+            from .drift_maintenance import ProfileMonitor
+
+            self._profile_monitor = ProfileMonitor(
+                spark, extract_profile_specs, warehouse
             )
         if partitioned:
             from ..operators.partitioned_store import PartitionedParquetTable
@@ -342,6 +360,18 @@ class CdcPipeline:
                     extract, batch_id, persist=False
                 )["clean"]
                 stages["contract_gate_sec"] = round(
+                    _time.perf_counter() - _t0, 4
+                )
+                _t0 = _time.perf_counter()
+            if self._profile_monitor is not None:
+                # profile AFTER the gate: distributions are watched over
+                # the rows the pipeline actually publishes (the
+                # monitor.wrap-under-gate.wrap composition). One
+                # conditional aggregation over the cached batch; the
+                # store write is a collected cols x buckets local
+                # relation, so the stream itself never shuffles.
+                self._profile_monitor.process_batch(extract, batch_id)
+                stages["drift_profile_sec"] = round(
                     _time.perf_counter() - _t0, 4
                 )
                 _t0 = _time.perf_counter()
@@ -644,6 +674,8 @@ class CdcPipeline:
             self._contract_gate.compact(
                 target_partitions=target_partitions, keep_last=keep_last
             )
+        if self._profile_monitor is not None:
+            self._profile_monitor.compact(keep_last=keep_last)
 
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -656,6 +688,23 @@ class CdcPipeline:
         if self._contract_gate is None:
             raise ValueError("pipeline was built without extract_checks")
         return self._contract_gate.report()
+
+    def drift_profiles(self) -> DataFrame:
+        """(batch_id, column, bucket, cnt) — per-micro-batch histogram
+        profiles of the contract-clean extract. Raises if the pipeline
+        was built without ``extract_profile_specs``."""
+        if self._profile_monitor is None:
+            raise ValueError("pipeline was built without extract_profile_specs")
+        return self._profile_monitor.profiles()
+
+    def drift_trend(self, baseline: DataFrame, **kw) -> DataFrame:
+        """(batch_id, column, psi, n_current, n_baseline, drifted) —
+        each micro-batch scored against a frozen baseline profile; the
+        WHEN-did-the-stream-shift table, computed from stored profiles
+        only (the extract is never rescanned)."""
+        if self._profile_monitor is None:
+            raise ValueError("pipeline was built without extract_profile_specs")
+        return self._profile_monitor.trend(baseline, **kw)
 
     def contract_quarantine(self) -> DataFrame:
         """Extract rows that parsed as change events but violated the

@@ -349,3 +349,197 @@ def test_cdc_pipeline_contract_gate_e2e(spark, tmp_path):
     bare = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh2"))
     with pytest.raises(ValueError, match="without extract_checks"):
         bare.contract_report()
+
+
+def test_cdc_pipeline_composed_gate_and_drift_monitor(spark, tmp_path):
+    """The full composed observability pipeline as a first-class
+    CdcPipeline option (extract_checks + extract_profile_specs — the
+    gate.wrap(monitor.wrap(sink)) ordering): contracts gate each batch,
+    then the CONTRACT-CLEAN rows are histogram-profiled into the
+    per-batch drift store, then the extract publishes. Violators are
+    excluded from the profiles; trend() localizes which micro-batch
+    shifted; the per-batch stage clock records the profile cost."""
+    import datetime as dt
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+        CategoricalProfile,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        accepted_values,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+    from .cdc_fixtures import (
+        envelope,
+        kinesis_record,
+        member_item,
+        member_quest_item,
+        quest_item,
+        write_jsonl,
+    )
+
+    BASE_MS = 1700000000000
+    export_dir = tmp_path / "export"
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+
+    def member_env(seq, eid, name_ev, uuid, name, ms):
+        img = {
+            "pk": {"S": f"M_{uuid}"},
+            "sk": {"S": name},
+            "memberId": {"S": uuid},
+            "memberName": {"S": name},
+        }
+        return kinesis_record(
+            seq, envelope(eid, name_ev, f"M_{uuid}", name, ms, img)
+        )
+
+    # batch 0: 3 INSERTs + 1 contract violator (UPSERT — gated out)
+    write_jsonl(
+        str(stream_dir / "b0.json"),
+        [member_env(i, f"e{i}", "INSERT", f"m{i+2}", f"n{i}", BASE_MS + i * 1000)
+         for i in range(1, 4)]
+        + [member_env(4, "e4", "UPSERT", "m9", "bad", BASE_MS + 4000)],
+    )
+    specs = [CategoricalProfile("eventName", ("INSERT", "MODIFY", "REMOVE"))]
+    pipe = CdcPipeline(
+        spark,
+        str(stream_dir),
+        str(tmp_path / "wh"),
+        extract_checks=[accepted_values("eventName", ["INSERT", "MODIFY", "REMOVE"])],
+        extract_profile_specs=specs,
+    )
+    pipe.initial_load(str(export_dir), sync_ts=dt.datetime(2023, 1, 1))
+    pipe.refresh()
+    assert "drift_profile_sec" in pipe.last_batch_stages
+
+    prof0 = {
+        (r["bucket"]): r["cnt"]
+        for r in pipe.drift_profiles().filter("batch_id = 0").collect()
+    }
+    # the UPSERT violator was gated out BEFORE profiling: 3 clean rows,
+    # none in __other__ (where UPSERT would land)
+    assert prof0["INSERT"] == 3
+    assert prof0["__other__"] == 0
+    assert sum(prof0.values()) == 3
+
+    # batch 1: distribution shift — all REMOVEs
+    write_jsonl(
+        str(stream_dir / "b1.json"),
+        [member_env(10 + i, f"r{i}", "REMOVE", f"m{i+2}", f"n{i}",
+                    BASE_MS + (10 + i) * 1000) for i in range(3)],
+    )
+    pipe.refresh()
+    baseline = pipe.drift_profiles().filter("batch_id = 0").select(
+        "column", "bucket", "cnt"
+    )
+    trend = {
+        r["batch_id"]: r for r in pipe.drift_trend(baseline).collect()
+    }
+    assert not trend[0]["drifted"]  # batch 0 vs itself
+    assert trend[1]["drifted"]      # the all-REMOVE batch
+
+    # accessors refuse when the monitor was never configured
+    bare = CdcPipeline(spark, str(stream_dir), str(tmp_path / "wh3"))
+    with pytest.raises(ValueError, match="without extract_profile_specs"):
+        bare.drift_profiles()
+
+
+def test_gated_refresh_job_overhead_budget(spark, tmp_path):
+    """The composed observability pipeline's per-refresh Spark-job
+    overhead is FENCED (the budget entry for the cdc_refresh_gated
+    bench metric): gate (validate agg + report write + clean-batch
+    quarantine skip probe) plus drift profile (one agg collect + one
+    local-relation store write) must stay a bounded handful of extra
+    jobs per micro-batch — if a change makes either rescan or shuffle
+    the batch, this count jumps and the fence fails mechanically."""
+    import datetime as dt
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.drift import (
+        CategoricalProfile,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        accepted_values,
+        not_null,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming import CdcPipeline
+
+    from .cdc_fixtures import (
+        envelope,
+        kinesis_record,
+        member_item,
+        member_quest_item,
+        quest_item,
+        write_jsonl,
+    )
+
+    BASE_MS = 1700000000000
+    export_dir = tmp_path / "export"
+    write_jsonl(
+        str(export_dir / "part0.json"),
+        [
+            member_item("m1", "Alice"),
+            quest_item("q1", "Walk"),
+            member_quest_item("mq1", "m1", "q1", "10.00"),
+        ],
+    )
+
+    def stream_of(d):
+        d.mkdir()
+        rows = []
+        for i in range(50):
+            img = {
+                "pk": {"S": f"M_u{i}"},
+                "sk": {"S": f"n{i}"},
+                "memberId": {"S": f"u{i}"},
+                "memberName": {"S": f"n{i}"},
+            }
+            rows.append(
+                kinesis_record(
+                    i,
+                    envelope(f"e{i}", "INSERT", f"M_u{i}", f"n{i}",
+                             BASE_MS + i * 1000, img),
+                )
+            )
+        write_jsonl(str(d / "b0.json"), rows)
+        return str(d)
+
+    next_job_id = (
+        lambda: spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    )  # noqa: E731
+
+    obs_kwargs = {
+        "extract_checks": [
+            accepted_values("eventName", ["INSERT", "MODIFY", "REMOVE"]),
+            not_null("sequencenumber"),
+        ],
+        "extract_profile_specs": [
+            CategoricalProfile("eventName", ("INSERT", "MODIFY", "REMOVE"))
+        ],
+    }
+    jobs = {}
+    for tag, kwargs in (("bare", {}), ("gated", obs_kwargs)):
+        pipe = CdcPipeline(
+            spark,
+            stream_of(tmp_path / f"stream_{tag}"),
+            str(tmp_path / f"wh_{tag}"),
+            **kwargs,
+        )
+        pipe.initial_load(str(export_dir), sync_ts=dt.datetime(2023, 1, 1))
+        j0 = next_job_id()
+        pipe.refresh()
+        jobs[tag] = next_job_id() - j0
+
+    delta = jobs["gated"] - jobs["bare"]
+    # measured: 6 extra jobs per all-clean micro-batch (gate validate +
+    # report write + skip probe; profile agg collect + store write);
+    # +3 AQE/stage-split headroom
+    assert 0 < delta <= 9, jobs
