@@ -1,0 +1,136 @@
+"""Boundary-respecting sequence packing: first-fit-decreasing bin
+packing of documents into fixed-token-budget training sequences.
+
+The counterpart of ``plans/inventory_pipeline.sequence_packing``
+(concat-and-chunk, which SPLITS documents at chunk boundaries — the
+pretraining shape): here every document stays WHOLE, the
+SFT/instruction-tuning constraint where an example must never straddle
+two sequences. The cost of that constraint is boundary waste, so the
+packer's job is minimizing it: first-fit-decreasing guarantees
+``<= 11/9 * OPT + 6/9`` bins (Johnson 1973 / Dósa 2007's tight
+constant), against the trivial one-doc-per-sequence ceiling.
+
+Scale shape, mirroring how real training pipelines shard: packing is
+SHARD-LOCAL. Documents are assigned to ``n_shards`` by a hash of their
+id — ONE bounded shuffle — and each shard packs independently inside
+one Arrow batch (``applyInPandas``); pack ids are globally unique by
+construction (``shard * 2^32 + local``). Global FFD would serialize
+the corpus through one node for at most an ``11/9``-factor's worth of
+boundary waste; per-shard FFD keeps the bound per shard and the
+whole operator embarrassingly parallel — at 100 TB each shard packs
+its own slice and nothing else moves. Determinism: the shard hash
+depends only on ids and the in-shard order is (size desc, id), so the
+assignment is independent of input partitioning (pinned in tests).
+
+Oversized documents (size > budget) cannot satisfy the invariant; each
+becomes its own single-doc pack flagged ``oversize = true`` so the
+caller can route them to truncation/splitting instead of silently
+losing them — the quality-gate posture (surface, never drop).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ffd_pack(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """(id, size, shard, pack_id, oversize): every input row assigned to
+    exactly one pack; sum(size) per non-oversize pack <= budget.
+
+    ``budget`` is the training sequence length in the same units as
+    ``size_col`` (tokens). ``n_shards`` bounds both the shuffle width
+    and the worst-case boundary waste (each shard wastes at most its
+    own FFD slack); size it like training data shards, not like Spark
+    partitions — the two are decoupled on purpose.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard"),
+    )
+
+    out_schema = (
+        "id " + dict(df.dtypes)[id_col] + ", size long, shard int, "
+        "pack_id long, oversize boolean"
+    )
+
+    def _pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # input contract enforced where the data is (no extra validation
+        # scan): a null/negative size is a caller bug, surfaced loudly
+        if pdf["size"].isnull().any() or (pdf["size"] < 0).any():
+            raise ValueError("ffd_pack: sizes must be non-negative and non-null")
+        # deterministic within the shard regardless of arrival order:
+        # FFD = sort by (size desc, id) then first bin that fits.
+        pdf = pdf.sort_values(
+            ["size", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        remaining: list[int] = []  # bin -> capacity left
+        packs = []
+        oversize = []
+        for sz in pdf["size"]:
+            sz = int(sz)
+            if sz > budget:
+                # own pack, flagged; does not open a reusable bin
+                remaining.append(-1)
+                packs.append(len(remaining) - 1)
+                oversize.append(True)
+                continue
+            for b, cap in enumerate(remaining):
+                if cap >= sz:
+                    remaining[b] = cap - sz
+                    packs.append(b)
+                    break
+            else:
+                remaining.append(budget - sz)
+                packs.append(len(remaining) - 1)
+            oversize.append(False)
+        pdf["pack_id"] = [shard * (1 << 32) + p for p in packs]
+        pdf["oversize"] = oversize
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(_pack_shard, out_schema)
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row packing report from an ``ffd_pack`` result: pack counts,
+    fill factor, boundary waste, and the oversize tail — ONE bounded
+    aggregation over the assignment table (never re-reads the corpus)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("size").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("over") == 1, 1).otherwise(0)).alias(
+            "n_oversize_packs"
+        ),
+        F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0)).alias(
+            "packed_tokens"
+        ),
+        F.sum(
+            F.when(F.col("over") == 0, F.lit(budget) - F.col("fill")).otherwise(0)
+        ).alias("wasted_tokens"),
+        (
+            F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0))
+            / (
+                F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
+                * F.lit(float(budget))
+            )
+        ).alias("fill_factor"),
+    )
