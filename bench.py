@@ -246,6 +246,8 @@ def _bench_cdc_refresh(spark, n_events: int = 2000, gated: bool = False):
         # them would double-count)
         sequential = (
             "parse_quarantine_sec",
+            "contract_gate_sec",   # gated runs only (absent -> 0)
+            "drift_profile_sec",   # gated runs only (absent -> 0)
             "extract_write_sec",
             "merge_wall_sec",
             "sync_log_write_sec",

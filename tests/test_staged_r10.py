@@ -54,6 +54,24 @@ def test_corpus_is_detector_free(spark):
     assert total == 0
 
 
+def test_staged_plan_shapes(spark):
+    """Pre-pin the plan shapes registration day will fence via
+    plan_budgets: the profile query is ONE scan + ONE aggregation (the
+    one-scan contract) and the typed scrub is a pure projection — no
+    join, no Python eval, the only exchanges from the final ORDER BY."""
+    fn, _ = STAGED_R10["events_value_drift_profile"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert marker not in plan, plan
+
+    fn2, _ = STAGED_R10["typed_pii_scrub_docs"]
+    plan2 = fn2(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 1, plan2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Join", "HashAggregate"):
+        assert marker not in plan2, plan2
+
+
 def test_profile_query_column_names_match_oracle(spark, con):
     """The driver sorts columns BY NAME before hashing — a Spark/oracle
     name mismatch hash-fails even on equal values."""
