@@ -128,11 +128,13 @@ def _bench_cdc_refresh(spark, n_events: int = 2000, gated: bool = False):
     micro-batch): the delta vs the plain metric is the per-batch price
     of full observability, fenced here so it can never silently grow.
 
-    Returns ``(total_sec, stage_sec)`` where stage_sec decomposes the
-    batch (parse/quarantine probe, contract gate + drift profile when
-    gated, extract write, per-entity merges, sync-log write) so a drift
-    in the headline number is attributable; the stream wiring +
-    checkpoint overhead is total minus the stages. None on failure."""
+    Returns ``(total_sec, stage_sec, warm_total_sec)`` where stage_sec
+    decomposes the first batch (parse/quarantine probe, contract gate +
+    drift profile when gated, extract write, per-entity merges,
+    sync-log write) so a drift in the headline number is attributable —
+    the stream wiring + checkpoint overhead is total minus the stages —
+    and warm_total_sec is the second (carried-watermark) refresh.
+    None on failure."""
     import datetime as dt
     import json
     import shutil

@@ -126,11 +126,17 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum(
             F.when(F.col("over") == 0, F.lit(budget) - F.col("fill")).otherwise(0)
         ).alias("wasted_tokens"),
-        (
+        # 0.0 when every pack is oversize: the zero non-oversize count
+        # would otherwise divide-by-zero (ANSI) or surface NULL to a
+        # threshold comparison (r9 review finding)
+        F.when(
+            F.sum(F.when(F.col("over") == 0, 1).otherwise(0)) > 0,
             F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0))
             / (
                 F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
                 * F.lit(float(budget))
-            )
-        ).alias("fill_factor"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fill_factor"),
     )

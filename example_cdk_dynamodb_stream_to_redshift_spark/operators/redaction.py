@@ -149,11 +149,20 @@ def _card_count(c: Column) -> Column:
 
 def _card_scrub(c: Column) -> Column:
     """Replace only the Luhn-valid candidates: fold the distinct valid
-    spans back over the text, each re-anchored with the original
-    lookarounds (quoted \\Q..\\E so separators stay literal) so a valid
-    span never rewrites inside a longer digit run elsewhere. Candidate
-    arrays are empty for ordinary text, so the common path is a no-op
-    fold over []."""
+    spans back over the text, each re-anchored so the literal replace
+    fires exactly where the scanning regex produced that span as a
+    MAXIMAL candidate (quoted \\Q..\\E so separators stay literal).
+    The original lookarounds alone are not enough: a valid 16-digit
+    span embedded in a longer separator-grouped run (e.g. the tail of
+    '123-4111 1111 1111 1111', a 19-digit Luhn-INVALID candidate that
+    must survive verbatim) is preceded by a separator, which
+    ``(?<![+0-9A-Za-z])`` permits — the fold would rewrite inside text
+    the scan never matched (r9 review finding, confirmed by
+    execution). Two bounded lookarounds restore the scan's
+    maximal-run semantics: the occurrence may not continue a digit run
+    to the left (``(?<![0-9][ \\-])``) or to the right
+    (``(?![ \\-][0-9])``). Candidate arrays are empty for ordinary
+    text, so the common path is a no-op fold over []."""
     valid = F.filter(F.array_distinct(_card_candidates(c)), luhn_valid)
     return F.aggregate(
         valid,
@@ -161,9 +170,9 @@ def _card_scrub(c: Column) -> Column:
         lambda acc, m: F.regexp_replace(
             acc,
             F.concat(
-                F.lit(r"(?<![+0-9A-Za-z])\Q"),
+                F.lit(r"(?<![+0-9A-Za-z])(?<![0-9][ \-])\Q"),
                 m,
-                F.lit(r"\E(?![0-9A-Za-z])"),
+                F.lit(r"\E(?![0-9A-Za-z])(?![ \-][0-9])"),
             ),
             F.lit(dict((k, r) for k, _, r in PII_PATTERNS)["card"]),
         ),

@@ -675,7 +675,9 @@ class CdcPipeline:
                 target_partitions=target_partitions, keep_last=keep_last
             )
         if self._profile_monitor is not None:
-            self._profile_monitor.compact(keep_last=keep_last)
+            self._profile_monitor.compact(
+                target_partitions=target_partitions, keep_last=keep_last
+            )
 
     # -- reads ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:

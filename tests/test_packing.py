@@ -130,6 +130,14 @@ def test_oversize_docs_are_flagged_singleton_packs(spark):
     assert stats["fill_factor"] == pytest.approx(0.8)
 
 
+def test_all_oversize_fill_factor_is_zero_not_null(spark):
+    packed = ffd_pack(_df(spark, [150, 250]), "doc_id", "n_tokens", BUDGET,
+                      n_shards=1)
+    stats = pack_stats(packed, BUDGET).collect()[0]
+    assert stats["n_oversize_packs"] == 2
+    assert stats["fill_factor"] == 0.0  # defined, not NULL
+
+
 def test_invalid_inputs_are_loud(spark):
     with pytest.raises(ValueError, match="budget"):
         ffd_pack(_df(spark, [1]), "doc_id", "n_tokens", 0)

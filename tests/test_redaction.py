@@ -86,23 +86,44 @@ def test_counts_and_scrub_match_python_re_on_documents_fixture(spark):
     """Same regexes + same sequential/Luhn semantics, independent
     engine: Java and Python agree on counts AND scrubbed text for every
     fixture document (the patterns deliberately avoid syntax the two
-    engines read differently)."""
+    engines read differently). The raw corpus is detector-free
+    (pinned in tests/test_staged_r10.py), which would make this check
+    vacuous — so every document is SEEDED with one span per kind plus
+    the adversarial shapes (a Luhn-invalid run, a valid span embedded
+    in a longer invalid run) before comparing (r9 review finding)."""
     from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
         load_table,
     )
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "@x.org call +44 20 7946 0958 pay 4111 1111 1111 1111"
+                " ref 4111 1111 1111 1112 tracking"
+                " 123-4111 1111 1111 1111 ssn 078-05-1120 at 10.2.3."
+            ),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" iban GB82WEST12345698765432 done"),
+        ).alias("text"),
+    )
     got = {
         r["doc_id"]: ({k: r[f"pii_{k}"] for k in KINDS}, r["scrubbed"])
-        for r in pii_stats(docs, "text")
+        for r in pii_stats(seeded, "text")
         .withColumn("scrubbed", scrub("text"))
         .collect()
     }
-    for row in docs.select("doc_id", "text").collect():
+    nonzero = 0
+    for row in seeded.select("doc_id", "text").collect():
         want_counts, want_text = _py_scrub_counts(row["text"])
         assert got[row["doc_id"]][0] == want_counts, row["doc_id"]
-        if row["text"] is not None:
-            assert got[row["doc_id"]][1] == want_text, row["doc_id"]
+        assert got[row["doc_id"]][1] == want_text, row["doc_id"]
+        nonzero += sum(want_counts.values()) > 0
+    assert nonzero == seeded.count()  # the check is not vacuous
 
 
 def test_redaction_replaces_with_typed_placeholders(spark):
@@ -206,6 +227,26 @@ def test_card_detector_is_luhn_gated(spark):
         counts, text = _py_scrub_counts(txt)
         assert counts["card"] == rows[i]["pii_card"]
         assert text == rows[i]["text"]
+
+
+def test_valid_span_inside_longer_invalid_run_survives(spark):
+    """The fold-back literal replace must fire only where the scanning
+    regex produced the span as a MAXIMAL candidate: a Luhn-valid
+    16-digit span embedded in a longer separator-grouped run (itself a
+    Luhn-invalid 19-digit candidate) must survive verbatim, exactly as
+    the Python mirror and the sequential-count contract say (r9 review
+    finding, was: 'ref 123-<CARD> end' with pii_total lying about the
+    second insertion)."""
+    txt = ("use 4111 1111 1111 1111 ok ref 123-4111 1111 1111 1111 end"
+           " tail 4111 1111 1111 1111-77 x")
+    df = spark.createDataFrame([(txt,)], "text string")
+    row = redact(df, "text").collect()[0]
+    counts, want = _py_scrub_counts(txt)
+    assert row["text"] == want
+    assert row["text"] == ("use <CARD> ok ref 123-4111 1111 1111 1111 end"
+                           " tail 4111 1111 1111 1111-77 x")
+    assert row["pii_card"] == counts["card"] == 1
+    assert row["pii_total"] == 1
 
 
 def test_cross_kind_overlap_counts_once(spark):

@@ -52,6 +52,11 @@ def test_corpus_is_detector_free(spark):
         pii_stats(docs, "text").agg(F.sum("pii_total").alias("t")).collect()
     )[0]["t"]
     assert total == 0
+    # the oracle also assumes NO NULL text: a NULL-text doc would make
+    # the Spark side emit NULL counts/md5 while the oracle emits the
+    # seeded constants — pin the precondition here, not on registration
+    # day (r9 review finding)
+    assert docs.filter(F.col("text").isNull()).count() == 0
 
 
 def test_staged_plan_shapes(spark):
