@@ -73,36 +73,68 @@ def ffd_pack(
         if pdf["size"].isnull().any() or (pdf["size"] < 0).any():
             raise ValueError("ffd_pack: sizes must be non-negative and non-null")
         # deterministic within the shard regardless of arrival order:
-        # FFD = sort by (size desc, id) then first bin that fits.
+        # FFD = sort by (size desc, id) then leftmost bin that fits.
         pdf = pdf.sort_values(
             ["size", "id"], ascending=[False, True]
         ).reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-        remaining: list[int] = []  # bin -> capacity left
-        packs = []
-        oversize = []
-        for sz in pdf["size"]:
-            sz = int(sz)
-            if sz > budget:
-                # own pack, flagged; does not open a reusable bin
-                remaining.append(-1)
-                packs.append(len(remaining) - 1)
-                oversize.append(True)
-                continue
-            for b, cap in enumerate(remaining):
-                if cap >= sz:
-                    remaining[b] = cap - sz
-                    packs.append(b)
-                    break
-            else:
-                remaining.append(budget - sz)
-                packs.append(len(remaining) - 1)
-            oversize.append(False)
+        packs, oversize = _ffd_assign(
+            [int(s) for s in pdf["size"]], budget
+        )
         pdf["pack_id"] = [shard * (1 << 32) + p for p in packs]
         pdf["oversize"] = oversize
         return pdf
 
     return base.groupBy("shard").applyInPandas(_pack_shard, out_schema)
+
+
+def _ffd_assign(sizes: list[int], budget: int) -> tuple[list[int], list[bool]]:
+    """Leftmost-fit bin assignment in O(n log n): a max-segment-tree
+    over bin residual capacities answers 'leftmost bin with cap >= sz'
+    by root-to-leaf descent (go left whenever the left subtree's max
+    fits). The naive scan-every-open-bin loop is O(n^2) — a
+    million-doc shard whose sizes hover above budget/2 opens ~n bins
+    and scans ~n/2 each placement (r9 review finding); the tree makes
+    the same FIRST-fit choice, so assignments are bit-identical to the
+    reference loop (equality pinned in tests). Bins are indexed in
+    opening order; oversize docs take an index without opening a
+    usable bin (leaf stays at the -1 sentinel, never accepts rows)."""
+    n = len(sizes)
+    width = 1
+    while width < max(n, 1):
+        width *= 2
+    tree = [-1] * (2 * width)  # node -> max residual capacity below it
+
+    def _set(leaf: int, cap: int) -> None:
+        i = leaf + width
+        tree[i] = cap
+        i //= 2
+        while i:
+            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+            i //= 2
+
+    n_bins = 0
+    packs: list[int] = []
+    oversize: list[bool] = []
+    for sz in sizes:
+        if sz > budget:
+            packs.append(n_bins)  # flagged singleton, leaf stays closed
+            oversize.append(True)
+            n_bins += 1
+            continue
+        if tree[1] >= sz:
+            i = 1
+            while i < width:
+                i = 2 * i if tree[2 * i] >= sz else 2 * i + 1
+            b = i - width
+            _set(b, tree[i] - sz)
+        else:
+            b = n_bins
+            n_bins += 1
+            _set(b, budget - sz)
+        packs.append(b)
+        oversize.append(False)
+    return packs, oversize
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

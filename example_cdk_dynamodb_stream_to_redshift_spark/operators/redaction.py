@@ -148,35 +148,39 @@ def _card_count(c: Column) -> Column:
 
 
 def _card_scrub(c: Column) -> Column:
-    """Replace only the Luhn-valid candidates: fold the distinct valid
-    spans back over the text, each re-anchored so the literal replace
-    fires exactly where the scanning regex produced that span as a
-    MAXIMAL candidate (quoted \\Q..\\E so separators stay literal).
-    The original lookarounds alone are not enough: a valid 16-digit
-    span embedded in a longer separator-grouped run (e.g. the tail of
-    '123-4111 1111 1111 1111', a 19-digit Luhn-INVALID candidate that
-    must survive verbatim) is preceded by a separator, which
-    ``(?<![+0-9A-Za-z])`` permits — the fold would rewrite inside text
-    the scan never matched (r9 review finding, confirmed by
-    execution). Two bounded lookarounds restore the scan's
-    maximal-run semantics: the occurrence may not continue a digit run
-    to the left (``(?<![0-9][ \\-])``) or to the right
-    (``(?![ \\-][0-9])``). Candidate arrays are empty for ordinary
-    text, so the common path is a no-op fold over []."""
-    valid = F.filter(F.array_distinct(_card_candidates(c)), luhn_valid)
-    return F.aggregate(
-        valid,
-        c,
-        lambda acc, m: F.regexp_replace(
+    """Per-match conditional replacement with the SCANNER'S OWN
+    segmentation — the JVM-expression equivalent of a re.sub callback.
+    ``split(text, pattern)`` yields exactly the inter-match segments of
+    the same leftmost-maximal scan that ``regexp_extract_all`` matches
+    against (both run successive ``find()`` of the identical regex), so
+    rebuilding ``seg0 + decide(m1) + seg1 + decide(m2) + ...`` replaces
+    a candidate IFF the scan produced it, with zero positional
+    approximation. Two earlier shapes failed exactly there (r9 review,
+    both confirmed by execution): a global re-anchored literal replace
+    rewrote a valid span INSIDE a longer invalid run, and
+    stricter-than-the-scanner lookarounds left adjacent counted PANs
+    UNSCRUBBED — counts and text must come from the same match set,
+    so now they do by construction. The common no-candidate path is
+    ``when(size=0) -> text`` (split/extract arrays stay unevaluated
+    per-row only in cost, not in plan — still a pure projection)."""
+    repl = dict((k, r) for k, _, r in PII_PATTERNS)["card"]
+    pat = dict((k, p) for k, p, _ in PII_PATTERNS)["card"]
+    matches = _card_candidates(c)
+    segs = F.split(c, pat, -1)  # limit -1 keeps trailing empty segments
+    n = F.size(matches)
+    rebuilt = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.element_at(segs, 1),
+        lambda acc, i: F.concat(
             acc,
-            F.concat(
-                F.lit(r"(?<![+0-9A-Za-z])(?<![0-9][ \-])\Q"),
-                m,
-                F.lit(r"\E(?![0-9A-Za-z])(?![ \-][0-9])"),
-            ),
-            F.lit(dict((k, r) for k, _, r in PII_PATTERNS)["card"]),
+            F.when(
+                luhn_valid(F.element_at(matches, i)), F.lit(repl)
+            ).otherwise(F.element_at(matches, i)),
+            F.element_at(segs, i + F.lit(1)),
         ),
     )
+    # sequence(1, 0) would count DOWN; guard the no-match (and NULL) path
+    return F.when(n > 0, rebuilt).otherwise(c)
 
 
 def pii_count(col: Column | str, kind: str) -> Column:

@@ -156,6 +156,46 @@ def test_plan_one_shuffle_one_arrow_stage(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
 
 
+def _naive_first_fit(sizes, budget):
+    """The O(n^2) reference loop the segment tree must reproduce
+    bit-identically (leftmost open bin with cap >= sz)."""
+    remaining: list[int] = []
+    packs, oversize = [], []
+    for sz in sizes:
+        if sz > budget:
+            remaining.append(-1)
+            packs.append(len(remaining) - 1)
+            oversize.append(True)
+            continue
+        for b, cap in enumerate(remaining):
+            if cap >= sz:
+                remaining[b] = cap - sz
+                packs.append(b)
+                break
+        else:
+            remaining.append(budget - sz)
+            packs.append(len(remaining) - 1)
+        oversize.append(False)
+    return packs, oversize
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=200), min_size=0,
+                   max_size=200),
+    budget=st.integers(min_value=1, max_value=150),
+)
+def test_segment_tree_equals_naive_first_fit(sizes, budget):
+    """The O(n log n) segment-tree first-fit makes the SAME leftmost
+    choice as the naive scan on arbitrary inputs (no Spark — pure
+    assignment arithmetic)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.packing import (
+        _ffd_assign,
+    )
+
+    assert _ffd_assign(sizes, budget) == _naive_first_fit(sizes, budget)
+
+
 @settings(
     max_examples=10,
     deadline=None,

@@ -249,6 +249,31 @@ def test_valid_span_inside_longer_invalid_run_survives(spark):
     assert row["pii_total"] == 1
 
 
+def test_counted_cards_are_always_scrubbed(spark):
+    """Counts and text must come from the SAME match set: every
+    Luhn-valid candidate the scanner counts is replaced, including
+    adjacent PANs and a PAN followed by space+digits — the shapes the
+    previous lookaround approximation left UNSCRUBBED while pii_card
+    claimed them masked (r9 review finding 2, confirmed by
+    execution: counted PII leaking into 'scrubbed' text is the worst
+    failure mode a scrub can have)."""
+    cases = [
+        "pay 4111 1111 1111 1111 4111 1111 1111 1111 now",
+        "card 4111 1111 1111 1111 20250815 end",
+        "at 4111 1111 1111 1111 1234 Main St",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "id long, text string")
+    rows = {r["id"]: r for r in redact(df, "text").collect()}
+    for i, txt in enumerate(cases):
+        counts, want = _py_scrub_counts(txt)
+        assert rows[i]["text"] == want, (i, txt)
+        assert rows[i]["pii_card"] == counts["card"], (i, txt)
+        # the invariant itself: no digit run the scanner counted as a
+        # valid card survives in the output
+        assert "4111 1111 1111 1111" not in rows[i]["text"], (i, txt)
+
+
 def test_cross_kind_overlap_counts_once(spark):
     """A span matching two detectors must count ONCE, for the kind that
     actually masks it: the card-digit email localpart counted as both
