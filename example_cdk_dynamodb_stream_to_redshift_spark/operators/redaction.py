@@ -168,6 +168,7 @@ def _card_scrub(c: Column) -> Column:
     matches = _card_candidates(c)
     segs = F.split(c, pat, -1)  # limit -1 keeps trailing empty segments
     n = F.size(matches)
+    n_valid = F.size(F.filter(matches, luhn_valid))
     rebuilt = F.aggregate(
         F.sequence(F.lit(1), n),
         F.element_at(segs, 1),
@@ -179,8 +180,16 @@ def _card_scrub(c: Column) -> Column:
             F.element_at(segs, i + F.lit(1)),
         ),
     )
-    # sequence(1, 0) would count DOWN; guard the no-match (and NULL) path
-    return F.when(n > 0, rebuilt).otherwise(c)
+    # fast paths keep the expensive interpreted rebuild off the common
+    # rows: no valid candidate -> text unchanged (also the NULL and
+    # sequence(1,0)-would-count-DOWN guard); ALL candidates valid ->
+    # the plain codegen regexp_replace IS the per-match semantics
+    # (every maximal match replaced); only MIXED rows rebuild.
+    return (
+        F.when(F.coalesce(n_valid, F.lit(0)) == 0, c)
+        .when(n_valid == n, F.regexp_replace(c, pat, repl))
+        .otherwise(rebuilt)
+    )
 
 
 def pii_count(col: Column | str, kind: str) -> Column:
@@ -198,13 +207,17 @@ def pii_count(col: Column | str, kind: str) -> Column:
 
 
 def _scrub_stages(c: Column) -> tuple[list[tuple[str, Column]], Column]:
-    """The shared sequential machinery: per kind, the count of spans the
-    scrub REPLACES at that stage (evaluated on the text after all
-    earlier kinds ran) and the progressively-scrubbed text. Counting on
-    the staged text makes ``pii_total`` exactly the number of
-    placeholders the scrub inserts — a span matching two detectors
-    (e.g. a card-digit email localpart) counts ONCE, for the kind that
-    actually masked it, instead of once per detector (ADVICE r8)."""
+    """The sequential machinery as ONE expression tree: per kind, the
+    count of spans the scrub REPLACES at that stage (evaluated on the
+    text after all earlier kinds ran) and the progressively-scrubbed
+    text. Counting on the staged text makes ``pii_total`` exactly the
+    number of placeholders the scrub inserts — a span matching two
+    detectors (e.g. a card-digit email localpart) counts ONCE, for the
+    kind that actually masked it, instead of once per detector (ADVICE
+    r8). Used by the Column-level ``scrub``; the DataFrame APIs go
+    through ``_staged_frame`` instead, which materializes each stage as
+    a column so the interpreted card rebuild is never duplicated
+    across counts."""
     counts: list[tuple[str, Column]] = []
     for kind, pat, repl in PII_PATTERNS:
         if kind == "card":
@@ -228,18 +241,30 @@ def scrub(col: Column | str) -> Column:
     return _scrub_stages(c)[1]
 
 
-def pii_stats(df: DataFrame, col: str) -> DataFrame:
-    """Source columns + ``pii_<kind>`` counts + ``pii_total`` — ONE
-    projection over the scan (the audit artifact; aggregate it by
-    source/domain to see which feeds leak). Counts mirror the
-    sequential replacement: kind k is counted on the text with kinds
-    1..k-1 already scrubbed, so ``pii_total`` equals the number of
-    placeholders ``scrub`` inserts even when a span matches several
-    detectors."""
-    counts, _ = _scrub_stages(F.col(col))
-    out = df
-    for kind, cnt in counts:
-        out = out.withColumn(f"pii_{kind}", cnt)
+def _staged_frame(df: DataFrame, col: str) -> DataFrame:
+    """The sequential scrub as a chain of MATERIALIZED stage columns:
+    each kind's count reads the ``_stage`` column as of its turn, then
+    ``_stage`` advances. Building this as one monolithic expression
+    tree inlined the (interpreted, CodegenFallback) card rebuild into
+    every downstream count — HOFs are excluded from codegen
+    subexpression elimination, so the whole card stage re-evaluated
+    per count, measured 3.3x slower on a card-bearing corpus (r9).
+    Catalyst's CollapseProject refuses to merge projections when that
+    would duplicate non-cheap expressions, so the withColumn chain
+    keeps each stage evaluated once per row. Still a pure projection
+    pipeline: no shuffle, no Python."""
+    out = df.withColumn("_stage", F.col(col))
+    for kind, pat, repl in PII_PATTERNS:
+        stage = F.col("_stage")
+        if kind == "card":
+            cnt = F.coalesce(_card_count(stage), F.lit(0)).cast("bigint")
+            nxt = _card_scrub(stage)
+        else:
+            cnt = F.coalesce(
+                F.regexp_count(stage, F.lit(pat)), F.lit(0)
+            ).cast("bigint")
+            nxt = F.regexp_replace(stage, pat, repl)
+        out = out.withColumn(f"pii_{kind}", cnt).withColumn("_stage", nxt)
     total = None
     for kind in KINDS:
         t = F.col(f"pii_{kind}")
@@ -247,15 +272,27 @@ def pii_stats(df: DataFrame, col: str) -> DataFrame:
     return out.withColumn("pii_total", total)
 
 
+def pii_stats(df: DataFrame, col: str) -> DataFrame:
+    """Source columns + ``pii_<kind>`` counts + ``pii_total`` — a pure
+    projection pipeline over the scan (the audit artifact; aggregate it
+    by source/domain to see which feeds leak). Counts mirror the
+    sequential replacement: kind k is counted on the text with kinds
+    1..k-1 already scrubbed, so ``pii_total`` equals the number of
+    placeholders ``scrub`` inserts even when a span matches several
+    detectors."""
+    return _staged_frame(df, col).drop("_stage")
+
+
 def redact(
     df: DataFrame, col: str, keep_original: bool = False
 ) -> DataFrame:
     """Scrub ``col`` in place, plus the per-kind counts of exactly the
     spans the scrub masks (so the caller can quarantine heavy leakers
-    rather than trust a heavily-rewritten document).
-    ``keep_original=True`` preserves the pre-scrub text under
-    ``<col>_raw`` for audit pipelines."""
-    out = pii_stats(df, col)
+    rather than trust a heavily-rewritten document) — the final stage
+    column IS the scrubbed text, so counts and text share one
+    evaluation. ``keep_original=True`` preserves the pre-scrub text
+    under ``<col>_raw`` for audit pipelines."""
+    out = _staged_frame(df, col)
     if keep_original:
         out = out.withColumn(f"{col}_raw", F.col(col))
-    return out.withColumn(col, scrub(F.col(col)))
+    return out.withColumn(col, F.col("_stage")).drop("_stage")
