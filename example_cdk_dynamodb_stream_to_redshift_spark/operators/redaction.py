@@ -163,12 +163,21 @@ def _card_scrub(c: Column) -> Column:
     so now they do by construction. The common no-candidate path is
     ``when(size=0) -> text`` (split/extract arrays stay unevaluated
     per-row only in cost, not in plan — still a pure projection)."""
+    matches = _card_candidates(c)
+    n_valid = F.size(F.filter(matches, luhn_valid))
+    return _card_scrub_from(c, matches, n_valid)
+
+
+def _card_scrub_from(c: Column, matches: Column, n_valid: Column) -> Column:
+    """The scrub core with the candidate array and valid count supplied
+    by the caller — `_staged_frame` materializes both as columns so the
+    interpreted extraction+Luhn work is shared between the pii_card
+    count and the scrub decision instead of re-evaluated per
+    reference (r9 review)."""
     repl = dict((k, r) for k, _, r in PII_PATTERNS)["card"]
     pat = dict((k, p) for k, p, _ in PII_PATTERNS)["card"]
-    matches = _card_candidates(c)
     segs = F.split(c, pat, -1)  # limit -1 keeps trailing empty segments
     n = F.size(matches)
-    n_valid = F.size(F.filter(matches, luhn_valid))
     rebuilt = F.aggregate(
         F.sequence(F.lit(1), n),
         F.element_at(segs, 1),
@@ -220,16 +229,28 @@ def _scrub_stages(c: Column) -> tuple[list[tuple[str, Column]], Column]:
     across counts."""
     counts: list[tuple[str, Column]] = []
     for kind, pat, repl in PII_PATTERNS:
-        if kind == "card":
-            counts.append((kind, F.coalesce(_card_count(c), F.lit(0)).cast("bigint")))
-            c = _card_scrub(c)
-        else:
-            counts.append((
-                kind,
-                F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("bigint"),
-            ))
-            c = F.regexp_replace(c, pat, repl)
+        cnt, c = _stage_step(kind, pat, repl, c)
+        counts.append((kind, cnt))
     return counts, c
+
+
+def _stage_step(
+    kind: str, pat: str, repl: str, c: Column
+) -> tuple[Column, Column]:
+    """ONE kind's (replaced-span count, advanced text) — the single
+    definition both the expression-tree form (`_scrub_stages`) and the
+    materialized-column form (`_staged_frame`) consume, so the
+    count/text machinery cannot desynchronize between the Column and
+    DataFrame APIs (r9 review)."""
+    if kind == "card":
+        return (
+            F.coalesce(_card_count(c), F.lit(0)).cast("bigint"),
+            _card_scrub(c),
+        )
+    return (
+        F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("bigint"),
+        F.regexp_replace(c, pat, repl),
+    )
 
 
 def scrub(col: Column | str) -> Column:
@@ -241,35 +262,60 @@ def scrub(col: Column | str) -> Column:
     return _scrub_stages(c)[1]
 
 
-def _staged_frame(df: DataFrame, col: str) -> DataFrame:
+def _fresh_name(base: str, taken: set) -> str:
+    """A working-column name that cannot shadow (and so destroy) a
+    caller's column — the first `_stage` draft silently dropped a
+    pre-existing `_stage` input column (r9 review)."""
+    name = base
+    while name in taken:
+        name = "_" + name
+    taken.add(name)
+    return name
+
+
+def _staged_frame(df: DataFrame, col: str) -> tuple[DataFrame, str]:
     """The sequential scrub as a chain of MATERIALIZED stage columns:
-    each kind's count reads the ``_stage`` column as of its turn, then
-    ``_stage`` advances. Building this as one monolithic expression
-    tree inlined the (interpreted, CodegenFallback) card rebuild into
-    every downstream count — HOFs are excluded from codegen
-    subexpression elimination, so the whole card stage re-evaluated
-    per count, measured 3.3x slower on a card-bearing corpus (r9).
-    Catalyst's CollapseProject refuses to merge projections when that
-    would duplicate non-cheap expressions, so the withColumn chain
-    keeps each stage evaluated once per row. Still a pure projection
-    pipeline: no shuffle, no Python."""
-    out = df.withColumn("_stage", F.col(col))
+    each kind's count reads the stage column as of its turn, then the
+    stage advances; returns (frame, stage_column_name). Building this
+    as one monolithic expression tree inlined the (interpreted,
+    CodegenFallback) card rebuild into every downstream count — HOFs
+    are excluded from codegen subexpression elimination, so the whole
+    card stage re-evaluated per count, measured 3.3x slower on a
+    card-bearing corpus (r9). Catalyst's CollapseProject refuses to
+    merge projections when that would duplicate non-cheap expressions,
+    so the withColumn chain keeps each stage evaluated once per row —
+    the card stage additionally materializes its candidate array and
+    valid count so extraction+Luhn are shared between the pii_card
+    count and the scrub decision. Still a pure projection pipeline: no
+    shuffle, no Python."""
+    taken = set(df.columns)
+    stage_name = _fresh_name("_stage", taken)
+    out = df.withColumn(stage_name, F.col(col))
     for kind, pat, repl in PII_PATTERNS:
-        stage = F.col("_stage")
+        stage = F.col(stage_name)
         if kind == "card":
-            cnt = F.coalesce(_card_count(stage), F.lit(0)).cast("bigint")
-            nxt = _card_scrub(stage)
+            m_name = _fresh_name("_card_matches", taken)
+            nv_name = _fresh_name("_card_n_valid", taken)
+            out = out.withColumn(m_name, _card_candidates(stage)).withColumn(
+                nv_name, F.size(F.filter(F.col(m_name), luhn_valid))
+            )
+            cnt = F.coalesce(F.col(nv_name), F.lit(0)).cast("bigint")
+            nxt = _card_scrub_from(stage, F.col(m_name), F.col(nv_name))
+            out = (
+                out.withColumn(f"pii_{kind}", cnt)
+                .withColumn(stage_name, nxt)
+                .drop(m_name, nv_name)
+            )
         else:
-            cnt = F.coalesce(
-                F.regexp_count(stage, F.lit(pat)), F.lit(0)
-            ).cast("bigint")
-            nxt = F.regexp_replace(stage, pat, repl)
-        out = out.withColumn(f"pii_{kind}", cnt).withColumn("_stage", nxt)
+            cnt, nxt = _stage_step(kind, pat, repl, stage)
+            out = out.withColumn(f"pii_{kind}", cnt).withColumn(
+                stage_name, nxt
+            )
     total = None
     for kind in KINDS:
         t = F.col(f"pii_{kind}")
         total = t if total is None else total + t
-    return out.withColumn("pii_total", total)
+    return out.withColumn("pii_total", total), stage_name
 
 
 def pii_stats(df: DataFrame, col: str) -> DataFrame:
@@ -280,7 +326,8 @@ def pii_stats(df: DataFrame, col: str) -> DataFrame:
     1..k-1 already scrubbed, so ``pii_total`` equals the number of
     placeholders ``scrub`` inserts even when a span matches several
     detectors."""
-    return _staged_frame(df, col).drop("_stage")
+    out, stage_name = _staged_frame(df, col)
+    return out.drop(stage_name)
 
 
 def redact(
@@ -292,7 +339,7 @@ def redact(
     column IS the scrubbed text, so counts and text share one
     evaluation. ``keep_original=True`` preserves the pre-scrub text
     under ``<col>_raw`` for audit pipelines."""
-    out = _staged_frame(df, col)
+    out, stage_name = _staged_frame(df, col)
     if keep_original:
         out = out.withColumn(f"{col}_raw", F.col(col))
-    return out.withColumn(col, F.col("_stage")).drop("_stage")
+    return out.withColumn(col, F.col(stage_name)).drop(stage_name)

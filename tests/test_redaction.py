@@ -290,6 +290,22 @@ def test_cross_kind_overlap_counts_once(spark):
     assert row["text"] == "mail <EMAIL> please"
 
 
+def test_caller_columns_named_like_working_columns_survive(spark):
+    """The staged implementation's working columns must not shadow (and
+    silently destroy) caller columns of the same name (r9 review: an
+    input `_stage` column vanished from redact()'s output)."""
+    df = spark.createDataFrame(
+        [("a@b.com", "keepme", "alsome", "metoo")],
+        "text string, _stage string, _card_matches string, _card_n_valid string",
+    )
+    for out in (redact(df, "text", keep_original=True), pii_stats(df, "text")):
+        row = out.collect()[0]
+        assert row["_stage"] == "keepme"
+        assert row["_card_matches"] == "alsome"
+        assert row["_card_n_valid"] == "metoo"
+    assert redact(df, "text").collect()[0]["text"] == "<EMAIL>"
+
+
 def test_unicode_digits_agree_across_engines(spark):
     """\\d is ASCII in Java but Unicode in Python — the patterns spell
     [0-9] explicitly so BOTH engines count Unicode-digit lookalikes as
