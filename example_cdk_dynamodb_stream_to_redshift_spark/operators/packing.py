@@ -88,53 +88,72 @@ def ffd_pack(
     return base.groupBy("shard").applyInPandas(_pack_shard, out_schema)
 
 
-def _ffd_assign(sizes: list[int], budget: int) -> tuple[list[int], list[bool]]:
-    """Leftmost-fit bin assignment in O(n log n): a max-segment-tree
-    over bin residual capacities answers 'leftmost bin with cap >= sz'
-    by root-to-leaf descent (go left whenever the left subtree's max
-    fits). The naive scan-every-open-bin loop is O(n^2) — a
-    million-doc shard whose sizes hover above budget/2 opens ~n bins
-    and scans ~n/2 each placement (r9 review finding); the tree makes
-    the same FIRST-fit choice, so assignments are bit-identical to the
-    reference loop (equality pinned in tests). Bins are indexed in
-    opening order; oversize docs take an index without opening a
-    usable bin (leaf stays at the -1 sentinel, never accepts rows)."""
-    n = len(sizes)
-    width = 1
-    while width < max(n, 1):
-        width *= 2
-    tree = [-1] * (2 * width)  # node -> max residual capacity below it
+def _make_ffd_assign():
+    """Factory so the assign function pickles BY VALUE (its qualname
+    contains ``<locals>``, which cloudpickle cannot serialize as an
+    importable reference): ``_pack_shard`` closes over it, and a
+    module-level def here would ride the closure to the executors as a
+    module REFERENCE — ModuleNotFoundError the moment the driver runs
+    outside the repo root (the round-5 simhash64 bug class, re-caught
+    by the round-9 foreign-CWD drive; the simhash factory is the
+    repo's canonical fix, and tests/test_pickle_safety.py now flags
+    the transitive shape statically)."""
 
-    def _set(leaf: int, cap: int) -> None:
-        i = leaf + width
-        tree[i] = cap
-        i //= 2
-        while i:
-            tree[i] = max(tree[2 * i], tree[2 * i + 1])
+    def _ffd_assign(
+        sizes: list[int], budget: int
+    ) -> tuple[list[int], list[bool]]:
+        """Leftmost-fit bin assignment in O(n log n): a max-segment-tree
+        over bin residual capacities answers 'leftmost bin with cap >=
+        sz' by root-to-leaf descent (go left whenever the left
+        subtree's max fits). The naive scan-every-open-bin loop is
+        O(n^2) — a million-doc shard whose sizes hover above budget/2
+        opens ~n bins and scans ~n/2 each placement (r9 review
+        finding); the tree makes the same FIRST-fit choice, so
+        assignments are bit-identical to the reference loop (equality
+        pinned in tests). Bins are indexed in opening order; oversize
+        docs take an index without opening a usable bin (leaf stays at
+        the -1 sentinel, never accepts rows)."""
+        n = len(sizes)
+        width = 1
+        while width < max(n, 1):
+            width *= 2
+        tree = [-1] * (2 * width)  # node -> max residual capacity below it
+
+        def _set(leaf: int, cap: int) -> None:
+            i = leaf + width
+            tree[i] = cap
             i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
 
-    n_bins = 0
-    packs: list[int] = []
-    oversize: list[bool] = []
-    for sz in sizes:
-        if sz > budget:
-            packs.append(n_bins)  # flagged singleton, leaf stays closed
-            oversize.append(True)
-            n_bins += 1
-            continue
-        if tree[1] >= sz:
-            i = 1
-            while i < width:
-                i = 2 * i if tree[2 * i] >= sz else 2 * i + 1
-            b = i - width
-            _set(b, tree[i] - sz)
-        else:
-            b = n_bins
-            n_bins += 1
-            _set(b, budget - sz)
-        packs.append(b)
-        oversize.append(False)
-    return packs, oversize
+        n_bins = 0
+        packs: list[int] = []
+        oversize: list[bool] = []
+        for sz in sizes:
+            if sz > budget:
+                packs.append(n_bins)  # flagged singleton, leaf stays closed
+                oversize.append(True)
+                n_bins += 1
+                continue
+            if tree[1] >= sz:
+                i = 1
+                while i < width:
+                    i = 2 * i if tree[2 * i] >= sz else 2 * i + 1
+                b = i - width
+                _set(b, tree[i] - sz)
+            else:
+                b = n_bins
+                n_bins += 1
+                _set(b, budget - sz)
+            packs.append(b)
+            oversize.append(False)
+        return packs, oversize
+
+    return _ffd_assign
+
+
+_ffd_assign = _make_ffd_assign()
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

@@ -85,3 +85,67 @@ def test_no_module_level_function_passed_to_executor_api():
         "module-level function passed to an executor-side API — pickles by "
         f"reference; use a nested def/factory instead: {offenders}"
     )
+
+
+def test_executor_kernels_do_not_reference_module_level_functions():
+    """The TRANSITIVE shape of the same bug: a nested kernel passed to
+    an executor API is itself pickled by value, but any module-level
+    function it references rides along as a module REFERENCE — same
+    ModuleNotFoundError on workers outside the repo root. Caught live
+    by the round-9 foreign-CWD drive (packing's _pack_shard closing
+    over a module-level _ffd_assign); the fix is the simhash factory
+    pattern (define the helper as a nested def, or bind the
+    module-level name to a factory-produced closure, whose
+    ``<locals>`` qualname forces by-value pickling)."""
+    offenders = []
+    for path in _module_files():
+        tree = ast.parse(open(path).read())
+        # names defined as PLAIN module-level defs (importable ->
+        # pickled by reference). Names rebound by assignment (the
+        # factory pattern `x = _make_x()`) produce <locals> closures
+        # and are safe, so exclude them.
+        assigned = {
+            t.id
+            for n in tree.body
+            if isinstance(n, ast.Assign)
+            for t in n.targets
+            if isinstance(t, ast.Name)
+        }
+        top_level_fns = {
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        } - assigned
+        # every function definition in the file, by name (innermost wins
+        # is fine for this lint)
+        fn_defs = {
+            n.name: n
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _EXECUTOR_APIS
+            ):
+                continue
+            for arg in node.args:
+                if not (isinstance(arg, ast.Name) and arg.id in fn_defs):
+                    continue
+                kernel = fn_defs[arg.id]
+                refs = {
+                    m.id
+                    for m in ast.walk(kernel)
+                    if isinstance(m, ast.Name) and isinstance(m.ctx, ast.Load)
+                }
+                for bad in sorted(refs & top_level_fns):
+                    offenders.append(
+                        f"{path}:{kernel.lineno} {arg.id} references "
+                        f"module-level function {bad}"
+                    )
+    assert not offenders, (
+        "executor-side kernel references a module-level function — the "
+        "reference pickles by module name and dies on workers outside "
+        f"the repo root; use the factory pattern: {offenders}"
+    )
