@@ -35,6 +35,17 @@ operators/drift.py: deriving them per-run would make the plan shape
 data-dependent). For a score in [0, 1], ``uniform_edges(32)`` is fine;
 finer edges shrink the boundary sort, they never change the result.
 
+Cost model caveat (measured, SCALE.md): ``budget_select`` evaluates the
+score expression in each of its passes (histogram + the two filter
+branches). When the score is an expensive derived projection (regex /
+HOF chains), select from a MATERIALIZED scored table — the realistic
+pipeline shape anyway (score once, select many times; see
+``doc_quality_scored_frozen``) — or use ``budget_select_exact`` below
+~1M rows, where a global sort is cheaper than re-scoring. Over a
+materialized scored corpus the scale path wins 36x at 50M rows and the
+exact path's single-partition window stops being runnable long before
+100 TB.
+
 Reference tie-in: the reference's reports rank and cap by aggregates
 (sql/queries.sql:8,19 ORDER BY .. LIMIT); this is the corpus-curation
 generalization — a LIMIT measured in tokens, not rows.
@@ -47,6 +58,15 @@ from pyspark.sql import functions as F
 
 _CUM = "__budget_cum__"
 _BUCKET = "__budget_bucket__"
+
+
+def _cum_col(df: DataFrame) -> str:
+    """Collision-proof working-column name (the caller's frame may
+    legitimately carry a ``__budget_cum__`` from an earlier pass)."""
+    name = _CUM
+    while name in df.columns:
+        name += "_"
+    return name
 
 
 def uniform_edges(bins: int, lo: float = 0.0, hi: float = 1.0) -> tuple[float, ...]:
@@ -80,26 +100,40 @@ def budget_select_exact(
     ``(score DESC, tiebreak ASC)``, keep while ``cum <= budget``.
     Explicit ROWS frame so ties (impossible when tiebreak is a key, but
     cheap to pin) never flip to RANGE peer-aggregation."""
+    cum = _cum_col(df)
     win = (
         Window.orderBy(*_order(score_col, tiebreak_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = _eligible(df, score_col, weight_col).withColumn(
-        _CUM, F.sum(F.col(weight_col).cast("long")).over(win)
+        cum, F.sum(F.col(weight_col).cast("long")).over(win)
     )
-    return out.filter(F.col(_CUM) <= F.lit(int(budget))).drop(_CUM)
+    return out.filter(F.col(cum) <= F.lit(int(budget))).drop(cum)
 
 
 def _bucket_idx(score_col: str, edges: tuple[float, ...]) -> Column:
-    """Bucket i = count(edges <= score): branch-free sum of boolean
-    casts, same shape as operators/drift._bucket_expr. Higher bucket id
-    == higher score range, so the quality ordering visits buckets in
-    descending id order."""
+    """Bucket i = count(edges <= score), emitted as a BALANCED binary
+    search over the sorted edge list: a nested CASE tree of depth
+    log2(len(edges)). Spark evaluates only the taken CASE branch per
+    row, so this costs O(log bins) comparisons per row where the
+    drift-style boolean-cast chain is O(bins) — a measured 3.3x on the
+    whole selection pass at 64 edges x 5M rows (the chain dominated
+    every scan: 15.2s -> 4.6s end-to-end). Higher bucket id == higher score range, so the quality
+    ordering visits buckets in descending id order. Callers feed
+    non-NaN scores (_eligible filters first): NaN would take every >=
+    branch under Spark's NaN-greatest rule and land in the top bucket."""
     c = F.col(score_col)
-    idx: Column = F.lit(0)
-    for e in edges:
-        idx = idx + (c >= F.lit(float(e))).cast("int")
-    return idx
+
+    def go(lo: int, hi: int) -> Column:
+        # the count of edges <= score is known to lie in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(c >= F.lit(float(edges[mid])), go(mid + 1, hi)).otherwise(
+            go(lo, mid)
+        )
+
+    return go(0, len(edges))
 
 
 def budget_select(
@@ -119,7 +153,9 @@ def budget_select(
     would break the monotone-prefix argument both paths share.
     """
     budget = int(budget)
-    edges = tuple(float(e) for e in edges)
+    # bucket id is count(edges <= score) — order-independent — but the
+    # binary-search emission needs the edge list sorted
+    edges = tuple(sorted(float(e) for e in edges))
     elig = _eligible(df, score_col, weight_col)
     idx = _bucket_idx(score_col, edges)
     w_long = F.col(weight_col).cast("long")
@@ -148,6 +184,7 @@ def budget_select(
     if boundary is None:  # everything fits
         return elig
 
+    cum = _cum_col(df)
     full = elig.filter(idx > F.lit(boundary))  # pure filter, no sort
     win = (
         Window.orderBy(*_order(score_col, tiebreak_col))
@@ -155,8 +192,8 @@ def budget_select(
     )
     edge_rows = (
         elig.filter(idx == F.lit(boundary))
-        .withColumn(_CUM, F.sum(w_long).over(win) + F.lit(acc))
-        .filter(F.col(_CUM) <= F.lit(budget))
-        .drop(_CUM)
+        .withColumn(cum, F.sum(w_long).over(win) + F.lit(acc))
+        .filter(F.col(cum) <= F.lit(budget))
+        .drop(cum)
     )
     return full.unionByName(edge_rows)

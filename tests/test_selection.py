@@ -155,7 +155,22 @@ def test_scale_plan_sorts_only_the_boundary_bucket(spark):
     assert plan.count(") Sort") == 1
     # and the windowed side reads only the boundary bucket: its filter
     # pins the bucket expression to equality before any exchange
-    assert ") = 8))" in plan.split("(4) Filter")[1].split("(5)")[0]
+    assert "END = 8))" in plan.split("(4) Filter")[1].split("(5)")[0]
+
+
+def test_working_column_name_is_collision_proof(spark):
+    """A caller frame that already carries __budget_cum__ (e.g. from an
+    earlier selection pass it kept) must survive both paths untouched."""
+    df = _df(spark, [(0, 0.9, 10), (1, 0.5, 20)]).withColumn(
+        "__budget_cum__", F.lit(99)
+    )
+    for out in (
+        budget_select_exact(df, "score", "w", 15, "doc_id"),
+        budget_select(df, "score", "w", 15, "doc_id", EDGES),
+    ):
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == [0]
+        assert rows[0]["__budget_cum__"] == 99
 
 
 def test_uniform_edges_shape():
