@@ -5,46 +5,56 @@ op ("we can afford B tokens; take the best B tokens' worth of docs").
 Semantics (the contract both implementations and the DuckDB oracle
 share): order eligible rows by ``(score DESC, tiebreak ASC)``, keep a
 row iff the running total of ``weight`` *including that row* is
-``<= budget``. Weights are non-negative, so the running total is
-monotone and the kept set is a PREFIX of the quality ordering — this is
-"fill to budget", not skip-and-continue knapsack. Rows with a NULL or
-NaN score, or a NULL weight, are excluded up front (a doc with no score
-cannot be ranked; NaN would otherwise sort above every real score under
-Spark's NaN-greatest rule and silently win the budget).
+``<= budget``. Weights are non-negative (enforced — see below), so the
+running total is monotone and the kept set is a PREFIX of the quality
+ordering — this is "fill to budget", not skip-and-continue knapsack.
+Rows with a NULL or NaN score, or a NULL weight, are excluded up front
+(a doc with no score cannot be ranked; NaN would otherwise sort above
+every real score under Spark's NaN-greatest rule and silently win the
+budget).
 
 Two implementations, pinned equal in tests/test_selection.py:
 
 - ``budget_select_exact`` — the semantic definition verbatim: ONE
   global window cumsum. Correct anywhere, but the window is a total
-  order: at 100 TB that is a full range-partitioned sort of the corpus
-  just to find a cutoff.
+  order: Spark moves every row to a single partition, and at 100 TB
+  that plan simply does not run (measured: 115s at 50M rows where the
+  scale path takes 3.2s — SCALE.md round 9).
 
-- ``budget_select`` — the scale path. Pass 1 histograms ``weight`` by
-  DECLARED score buckets (one scan, map-side partial agg, <= bins+1
-  rows collected — an O(artifact) driver step, same posture as
-  operators/drift.py profiles). The driver walk finds the boundary
-  bucket where the cumulative budget crosses. Buckets strictly above it
-  are kept with a pure FILTER (no sort — at 100 TB this is a
-  predicate-pushed scan); only the boundary bucket (~corpus/bins rows)
-  is window-sorted to place the cutoff row-exactly. Bucket membership
-  is a function of the score alone, and the kept bucket-prefix is
-  contiguous, so the union is bit-identical to the global window.
+- ``budget_select`` — the scale path, ONE lazy query (the
+  quality_trim join-back shape, operators/curation.py): a histogram of
+  ``weight`` by DECLARED score buckets (one scan, map-side partials,
+  <= bins+1 groups) feeds a tiny exclusive-cumsum window that locates
+  the BOUNDARY bucket — the one where the cumulative budget crosses —
+  as a ONE-ROW control frame, broadcast onto the corpus. Buckets
+  strictly above the boundary are kept by pure filter (no sort); only
+  the boundary bucket (~corpus/bins rows) is window-sorted to place
+  the cutoff row-exactly. Bucket membership is a function of the score
+  alone and the kept bucket-prefix is contiguous, so the union is
+  bit-identical to the global window. Everything — histogram, walk,
+  branches — is one consistent query: no driver-side collect, no
+  build-time Spark job, no stale boundary if the source changes
+  between plan construction and action.
 
 Bucket edges are declared by the caller (same philosophy as
 operators/drift.py: deriving them per-run would make the plan shape
 data-dependent). For a score in [0, 1], ``uniform_edges(32)`` is fine;
 finer edges shrink the boundary sort, they never change the result.
+The bucket index is the shared binary-search CASE emission
+(``operators/drift.bucket_index_expr`` — O(log bins)/row; the O(bins)
+boolean-cast chain measurably dominated every scan, SCALE.md).
 
-Cost model caveat (measured, SCALE.md): ``budget_select`` evaluates the
-score expression in each of its passes (histogram + the two filter
-branches). When the score is an expensive derived projection (regex /
-HOF chains), select from a MATERIALIZED scored table — the realistic
-pipeline shape anyway (score once, select many times; see
+Cost model caveats (measured, SCALE.md): (1) ``budget_select``
+evaluates the score expression in each of its passes (histogram + two
+filter branches). When the score is an expensive derived projection
+(regex / HOF chains), select from a MATERIALIZED scored table — the
+realistic pipeline shape anyway (score once, select many times; see
 ``doc_quality_scored_frozen``) — or use ``budget_select_exact`` below
-~1M rows, where a global sort is cheaper than re-scoring. Over a
-materialized scored corpus the scale path wins 36x at 50M rows and the
-exact path's single-partition window stops being runnable long before
-100 TB.
+~1M rows, where a global sort is cheaper than re-scoring. (2) The
+boundary is a joined scalar, not a literal, so the branch predicates
+evaluate post-scan rather than as parquet pushed filters; on a
+score-clustered layout where min/max file skipping matters, run the
+control query first and re-filter by literal yourself.
 
 Reference tie-in: the reference's reports rank and cap by aggregates
 (sql/queries.sql:8,19 ORDER BY .. LIMIT); this is the corpus-curation
@@ -56,14 +66,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .drift import bucket_index_expr
+
 _CUM = "__budget_cum__"
 _BUCKET = "__budget_bucket__"
+_BOUNDARY = "__budget_boundary__"
+_OFFSET = "__budget_offset__"
 
 
-def _cum_col(df: DataFrame) -> str:
+def _work_name(df: DataFrame, base: str) -> str:
     """Collision-proof working-column name (the caller's frame may
-    legitimately carry a ``__budget_cum__`` from an earlier pass)."""
-    name = _CUM
+    legitimately carry e.g. a ``__budget_cum__`` from an earlier pass)."""
+    name = base
     while name in df.columns:
         name += "_"
     return name
@@ -100,7 +114,7 @@ def budget_select_exact(
     ``(score DESC, tiebreak ASC)``, keep while ``cum <= budget``.
     Explicit ROWS frame so ties (impossible when tiebreak is a key, but
     cheap to pin) never flip to RANGE peer-aggregation."""
-    cum = _cum_col(df)
+    cum = _work_name(df, _CUM)
     win = (
         Window.orderBy(*_order(score_col, tiebreak_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -109,31 +123,6 @@ def budget_select_exact(
         cum, F.sum(F.col(weight_col).cast("long")).over(win)
     )
     return out.filter(F.col(cum) <= F.lit(int(budget))).drop(cum)
-
-
-def _bucket_idx(score_col: str, edges: tuple[float, ...]) -> Column:
-    """Bucket i = count(edges <= score), emitted as a BALANCED binary
-    search over the sorted edge list: a nested CASE tree of depth
-    log2(len(edges)). Spark evaluates only the taken CASE branch per
-    row, so this costs O(log bins) comparisons per row where the
-    drift-style boolean-cast chain is O(bins) — a measured 3.3x on the
-    whole selection pass at 64 edges x 5M rows (the chain dominated
-    every scan: 15.2s -> 4.6s end-to-end). Higher bucket id == higher score range, so the quality
-    ordering visits buckets in descending id order. Callers feed
-    non-NaN scores (_eligible filters first): NaN would take every >=
-    branch under Spark's NaN-greatest rule and land in the top bucket."""
-    c = F.col(score_col)
-
-    def go(lo: int, hi: int) -> Column:
-        # the count of edges <= score is known to lie in [lo, hi]
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return F.when(c >= F.lit(float(edges[mid])), go(mid + 1, hi)).otherwise(
-            go(lo, mid)
-        )
-
-    return go(0, len(edges))
 
 
 def budget_select(
@@ -145,55 +134,76 @@ def budget_select(
     edges: tuple[float, ...],
 ) -> DataFrame:
     """Scale-path selection, bit-equal to ``budget_select_exact``:
-    histogram pass -> driver boundary walk -> filter (full buckets) +
-    boundary-bucket-only window. Only ~corpus/len(edges) rows are ever
-    sorted; everything else is scans and one bounded-key aggregation.
+    histogram -> boundary-bucket control row (broadcast) -> pure filter
+    for full buckets + boundary-bucket-only window, all in ONE lazy
+    query. Only ~corpus/len(edges) rows are ever sorted.
 
-    Requires non-negative weights (token counts are); negative weights
-    would break the monotone-prefix argument both paths share.
+    Non-negative weights are a precondition of the monotone-prefix
+    argument; a negative weight raises at action time (the check rides
+    the control row, so it costs one comparison on a bins-sized frame,
+    not a data pass).
     """
     budget = int(budget)
     # bucket id is count(edges <= score) — order-independent — but the
     # binary-search emission needs the edge list sorted
     edges = tuple(sorted(float(e) for e in edges))
     elig = _eligible(df, score_col, weight_col)
-    idx = _bucket_idx(score_col, edges)
+    idx = bucket_index_expr(score_col, edges)
     w_long = F.col(weight_col).cast("long")
 
-    # Pass 1: one scan, <= len(edges)+1 rows back to the driver.
-    hist = (
-        elig.groupBy(idx.alias(_BUCKET))
-        .agg(F.sum(w_long).alias("w"))
-        .collect()
+    # Histogram: <= len(edges)+1 groups, map-side partials, one scan.
+    hist = elig.groupBy(idx.alias(_BUCKET)).agg(
+        F.sum(w_long).alias("w"), F.min(w_long).alias("wmin")
     )
-    bucket_w = {r[_BUCKET]: r["w"] for r in hist}
+    # Exclusive cumsum of the weight ABOVE each bucket (higher score
+    # first) over the tiny histogram frame. Weights >= 0 make `above`
+    # monotone as the bucket id descends, so the boundary bucket — the
+    # unique one where the budget crosses — is `above <= budget <
+    # above + w`; every bucket above it is fully kept, every bucket
+    # below is unreachable.
+    hw = Window.orderBy(F.desc(_BUCKET)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn("above", F.coalesce(F.sum("w").over(hw), F.lit(0)))
+    # `above <= max(budget, 0)` rather than `<= budget`: with a negative
+    # budget no bucket is full and the boundary must be the TOPMOST
+    # bucket (above == 0) so the edge window drops everything — matching
+    # budget_select_exact's empty result. For budget >= 0 the clamp is a
+    # no-op and the crossing bucket is unique (above monotone).
+    crossing = (F.col("above") <= max(budget, 0)) & (
+        F.col("above") + F.col("w") > budget
+    )
+    bnd = _work_name(df, _BOUNDARY)
+    off = _work_name(df, _OFFSET)
+    ctl = cum.agg(
+        F.max(F.when(crossing, F.col(_BUCKET))).alias("b"),
+        F.max(F.when(crossing, F.col("above"))).alias("a"),
+        F.min("wmin").alias("wmin"),
+    ).select(
+        # the negative-weight guard rides the control row: both branch
+        # predicates consume the boundary, so it always evaluates
+        F.when(
+            F.col("wmin") < 0,
+            F.raise_error(
+                F.lit("budget_select requires non-negative weights")
+            ),
+        )
+        .otherwise(F.coalesce(F.col("b"), F.lit(-1)))
+        .alias(bnd),
+        F.coalesce(F.col("a"), F.lit(0)).cast("long").alias(off),
+    )
 
-    # Driver walk, descending score buckets: full buckets while they
-    # fit; the first that does not is the boundary. Because weights are
-    # non-negative the kept prefix ends inside it — everything below is
-    # unreachable (the running total is already past the budget).
-    acc = 0
-    boundary = None
-    for b in sorted(bucket_w, reverse=True):
-        if acc + bucket_w[b] <= budget:
-            acc += bucket_w[b]
-        else:
-            boundary = b
-            break
-
-    if boundary is None:  # everything fits
-        return elig
-
-    cum = _cum_col(df)
-    full = elig.filter(idx > F.lit(boundary))  # pure filter, no sort
+    joined = elig.crossJoin(F.broadcast(ctl))  # ONE-row control frame
+    full = joined.filter(idx > F.col(bnd)).drop(bnd, off)
+    cum_col = _work_name(df, _CUM)
     win = (
         Window.orderBy(*_order(score_col, tiebreak_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     edge_rows = (
-        elig.filter(idx == F.lit(boundary))
-        .withColumn(cum, F.sum(w_long).over(win) + F.lit(acc))
-        .filter(F.col(cum) <= F.lit(budget))
-        .drop(cum)
+        joined.filter(idx == F.col(bnd))
+        .withColumn(cum_col, F.sum(w_long).over(win) + F.col(off))
+        .filter(F.col(cum_col) <= F.lit(budget))
+        .drop(cum_col, bnd, off)
     )
     return full.unionByName(edge_rows)

@@ -66,7 +66,11 @@ def _token_budget_sql() -> str:
         CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS pc
-      FROM documents),
+      -- the Spark side's eligibility filter, restated: a NULL-text doc
+      -- has NULL quality AND NULL n_tokens, so without this filter it
+      -- would sort last yet pass cum <= budget (SUM skips its NULL
+      -- weight) while budget_select excludes it (r9 review finding)
+      FROM documents WHERE text IS NOT NULL),
     scored AS (
       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         least(n / 100.0, 1.0) * 0.4

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -66,7 +67,7 @@ FIXED = [
 
 def test_fixed_case_matches_reference_and_exact(spark):
     df = _df(spark, FIXED)
-    for budget in (0, 5, 50, 79, 80, 81, 105, 110, 10_000):
+    for budget in (-7, 0, 5, 50, 79, 80, 81, 105, 110, 10_000):
         want = _py_reference(FIXED, budget)
         got_exact = _kept(
             budget_select_exact(df, "score", "w", budget, "doc_id")
@@ -136,10 +137,13 @@ def test_scale_path_equals_exact_on_random_inputs(spark, data, budget, bins):
 
 
 def test_scale_plan_sorts_only_the_boundary_bucket(spark):
-    """The point of the scale path: exactly ONE Window in the plan, and
-    it sits above a filter that pins the boundary bucket — the full-keep
-    branch is a pure filter (no Sort/Window). With a budget that lands
-    inside the top bucket, the windowed side is the small slice."""
+    """The point of the scale path, asserted on the plan: exactly TWO
+    Windows — one over the <= bins+1-row histogram frame (the boundary
+    locator) and one over ONLY the boundary bucket's rows — never a
+    window/sort over the full corpus, and the one-row control frame
+    reaches the corpus via a broadcast join. Node text is matched by
+    the condition patterns, not by formatted-plan node numbers (those
+    shift across Spark versions)."""
     rows = [(i, (i % 97) / 97.0, 10) for i in range(300)]
     df = _df(spark, rows)
     out = budget_select(df, "score", "w", 200, "doc_id", EDGES)
@@ -148,14 +152,30 @@ def test_scale_plan_sorts_only_the_boundary_bucket(spark):
             "formatted"
         )
     )
-    # formatted mode names each node twice (tree + detail section)
-    assert plan.count(") Window") == 1
-    # the union's filter-only branch keeps full buckets without sorting:
-    # exactly one Sort (the window's own requirement) in the whole plan
-    assert plan.count(") Sort") == 1
-    # and the windowed side reads only the boundary bucket: its filter
-    # pins the bucket expression to equality before any exchange
-    assert "END = 8))" in plan.split("(4) Filter")[1].split("(5)")[0]
+    # Three windows, none over the corpus total order: the bins-sized
+    # boundary locator appears once under EACH branch (column pruning
+    # specializes the two control subtrees; execution dedupes what
+    # stays identical via ReusedExchange) plus the boundary-bucket
+    # cumsum. Formatted mode names each node twice (tree + detail).
+    assert plan.count(") Window") == 3
+    # full-keep branch: the bucket CASE tree compared > the broadcast
+    # boundary scalar rides the one-row BroadcastNestedLoopJoin; the
+    # boundary-equality branch becomes a BroadcastHashJoin KEYED on the
+    # boundary — Catalyst's own rewrite of crossJoin + equality filter
+    assert "> __budget_boundary__" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the corpus itself never shuffles
+
+
+def test_negative_weight_raises_at_action_time(spark):
+    """Non-negative weights are the precondition of the monotone-prefix
+    argument; a violation must raise, not silently misplace the
+    boundary. The check rides the broadcast control row."""
+    df = _df(spark, [(0, 0.9, 10), (1, 0.5, -3)])
+    out = budget_select(df, "score", "w", 15, "doc_id", EDGES)
+    with pytest.raises(Exception, match="non-negative"):
+        out.collect()
 
 
 def test_working_column_name_is_collision_proof(spark):

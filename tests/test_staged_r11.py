@@ -10,6 +10,7 @@ import pytest
 
 from example_cdk_dynamodb_stream_to_redshift_spark.plans.staged_r11 import (
     _BUDGET_TOKENS,
+    _EDGES,
     STAGED_R11,
 )
 
@@ -48,7 +49,11 @@ def test_selection_is_partial_and_boundary_lands_inside_a_bucket(con):
     """The staged budget must (a) keep a strict, non-empty subset — an
     all-kept or none-kept driver row would not exercise the cutoff —
     and (b) leave the boundary bucket PARTIALLY kept, so the green row
-    proves the windowed boundary branch, not just the filter branch."""
+    proves the windowed boundary branch, not just the filter branch
+    (a cutoff coinciding exactly with a bucket edge would silently stop
+    exercising the window — fence it here, not on registration day)."""
+    from bisect import bisect_right
+
     _, sql = STAGED_R11["token_budget_corpus"]
     kept = con.execute(sql).fetchall()
     total = con.execute("SELECT count(*) FROM documents").fetchall()[0][0]
@@ -57,18 +62,51 @@ def test_selection_is_partial_and_boundary_lands_inside_a_bucket(con):
     assert kept_tokens <= _BUDGET_TOKENS
     # the NEXT doc in quality order did not fit => cutoff is real
     assert kept_tokens > _BUDGET_TOKENS - 100  # budget nearly exhausted
+    # boundary bucket = the lowest bucket among kept rows; it must also
+    # contain UNKEPT eligible rows, or the window branch kept nothing
+    buckets = [bisect_right(list(_EDGES), r[1]) for r in kept]
+    b_min = min(buckets)
+    kept_in_boundary = sum(1 for b in buckets if b == b_min)
+    conds = ["TRUE"]
+    if b_min > 0:
+        conds.append(f"quality >= {_EDGES[b_min - 1]!r}")
+    if b_min < len(_EDGES):
+        conds.append(f"quality < {_EDGES[b_min]!r}")
+    _, full_sql = STAGED_R11["token_budget_corpus"]
+    scored_prefix = full_sql.split("SELECT doc_id, quality, n_tokens FROM (")[0]
+    eligible_in_boundary = con.execute(
+        scored_prefix
+        + f"SELECT count(*) FROM scored WHERE {' AND '.join(conds)}"
+    ).fetchall()[0][0]
+    assert 0 < kept_in_boundary < eligible_in_boundary, (
+        b_min, kept_in_boundary, eligible_in_boundary,
+    )
+
+
+def test_no_null_text_precondition(con):
+    """budget_select excludes NULL-score/weight rows; the oracle
+    restates that as WHERE text IS NOT NULL. Both only coincide while
+    NULL text is the sole source of NULL quality/n_tokens — which holds
+    for this corpus; pin it here, not on registration day."""
+    nulls = con.execute(
+        "SELECT count(*) FROM documents WHERE text IS NULL"
+    ).fetchall()[0][0]
+    assert nulls == 0
 
 
 def test_staged_plan_shape(spark):
-    """What the promotion will fence: one histogram aggregation + the
-    two filter branches = three parquet scans, exactly one Window (the
-    boundary bucket only), no join, no Python eval. The eager histogram
-    pass runs at plan-build time (driver walk), so building the frame
-    here also exercises that collect."""
+    """What the promotion will fence: four parquet scans (the
+    bins-sized histogram control subtree appears under each of the two
+    branches — execution dedupes identical exchanges — plus the two
+    branch scans), three Windows none of which totals the corpus (two
+    bins-sized boundary locators + the boundary-bucket-only cumsum),
+    the one-row control frame broadcast onto the corpus, and no Python
+    eval anywhere — one fully lazy query, no build-time Spark job."""
     fn, _ = STAGED_R11["token_budget_corpus"]
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 2  # filter branch + window branch
-    assert plan.count("Window") == 1
-    for marker in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+    assert plan.count("Scan parquet") == 4
+    assert plan.count("Window") == 3
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row control join
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert marker not in plan, plan
