@@ -125,6 +125,27 @@ def budget_select_exact(
     return out.filter(F.col(cum) <= F.lit(int(budget))).drop(cum)
 
 
+def weight_histogram(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    edges: tuple[float, ...],
+) -> DataFrame:
+    """``(bucket, w, wmin)`` over ``df``'s eligible rows — the public
+    contract of ``budget_select(hist=...)`` and the per-batch unit of
+    the maintained store (streaming/selection_maintenance). One scan,
+    map-side partials, <= len(edges)+1 groups. The algebra is EXACT
+    under union — sums add, mins min — so per-slice histograms summed
+    bucket-wise equal the histogram of the union, regardless of
+    slicing."""
+    edges = tuple(sorted(float(e) for e in edges))
+    elig = _eligible(df, score_col, weight_col)
+    w_long = F.col(weight_col).cast("long")
+    return elig.groupBy(
+        bucket_index_expr(score_col, edges).alias("bucket")
+    ).agg(F.sum(w_long).alias("w"), F.min(w_long).alias("wmin"))
+
+
 def budget_select(
     df: DataFrame,
     score_col: str,
@@ -132,11 +153,22 @@ def budget_select(
     budget: int,
     tiebreak_col: str,
     edges: tuple[float, ...],
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """Scale-path selection, bit-equal to ``budget_select_exact``:
     histogram -> boundary-bucket control row (broadcast) -> pure filter
     for full buckets + boundary-bucket-only window, all in ONE lazy
     query. Only ~corpus/len(edges) rows are ever sorted.
+
+    ``hist`` replaces the internal histogram pass with a PRECOMPUTED
+    ``(bucket, w, wmin)`` frame — ``bucket`` must be
+    ``count(edges <= score)`` under these same ``edges`` over exactly
+    this frame's eligible rows, or the cutoff is silently wrong. The
+    incrementally maintained store
+    (streaming/selection_maintenance.BudgetHistogram) satisfies the
+    contract by construction, which removes the histogram's corpus scan
+    entirely: selection over a streamed-in corpus pays only the two
+    branch scans.
 
     Non-negative weights are a precondition of the monotone-prefix
     argument; a negative weight raises at action time (the check rides
@@ -151,9 +183,13 @@ def budget_select(
     idx = bucket_index_expr(score_col, edges)
     w_long = F.col(weight_col).cast("long")
 
-    # Histogram: <= len(edges)+1 groups, map-side partials, one scan.
-    hist = elig.groupBy(idx.alias(_BUCKET)).agg(
-        F.sum(w_long).alias("w"), F.min(w_long).alias("wmin")
+    if hist is None:
+        # Histogram: <= len(edges)+1 groups, map-side partials, one scan.
+        hist = weight_histogram(df, score_col, weight_col, edges)
+    hist = hist.select(
+        F.col("bucket").cast("int").alias(_BUCKET),
+        F.col("w").cast("long").alias("w"),
+        F.col("wmin").cast("long").alias("wmin"),
     )
     # Exclusive cumsum of the weight ABOVE each bucket (higher score
     # first) over the tiny histogram frame. Weights >= 0 make `above`
