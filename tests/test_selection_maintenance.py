@@ -130,3 +130,62 @@ def test_eligibility_matches_selection(spark, tmp_path):
     assert total == 30  # only docs 0 and 4 count
     got = sorted(r["doc_id"] for r in store.select(df, 30, "doc_id").collect())
     assert got == [0, 4]
+
+
+def test_streams_and_composes_with_quality_gate(spark, tmp_path):
+    """Live readStream drive of gate.wrap(budget_hist.wrap(sink)): the
+    gate quarantines contract violators, the store counts only CLEAN
+    tokens, the sink receives every clean row, and selection from the
+    store over the landed-clean corpus equals the exact definition."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.expectations import (
+        in_range,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.quality_monitor import (
+        QualityGate,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (i, -1.0 if i % 10 == 0 else (i % 97) / 97.0, 10 + i % 7)
+        for i in range(80)
+    ]
+    spark.createDataFrame(rows, SCHEMA).repartition(4).write.parquet(src)
+
+    gate = QualityGate(
+        spark, [in_range("score", 0.0, 1.0)], str(tmp_path / "gate")
+    )
+    store = _store(spark, tmp_path, "stream_store")
+    landed = str(tmp_path / "landed")
+    sink = lambda df, bid: df.write.mode("overwrite").parquet(  # noqa: E731
+        f"{landed}/batch_id={bid}"
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(gate.wrap(store.wrap(sink)))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.read.parquet(landed)
+    n_clean = corpus.count()
+    assert n_clean == sum(1 for _, s, _ in rows if 0.0 <= s <= 1.0)
+    total_w = store.histogram().agg(F.sum("w")).collect()[0][0]
+    assert total_w == sum(w for _, s, w in rows if 0.0 <= s <= 1.0)
+    assert (
+        store.batch_histograms().select("batch_id").distinct().count() >= 2
+    )
+    budget = total_w // 3
+    got = sorted(
+        r["doc_id"] for r in store.select(corpus, budget, "doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in budget_select_exact(
+            corpus, "score", "w", budget, "doc_id"
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < n_clean
