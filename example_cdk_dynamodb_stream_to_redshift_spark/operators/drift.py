@@ -123,7 +123,9 @@ def bucket_index_expr(col: Column | str, edges: tuple[float, ...]) -> Column:
     Shared by drift profiles and token-budget selection
     (operators/selection.py). Callers guard NaN and NULL themselves:
     NaN takes every >= branch under Spark's NaN-greatest rule and lands
-    in the top bucket, NULL propagates."""
+    in the TOP bucket; NULL fails every >= comparison (NULL is false in
+    CASE) and lands in bucket 0 — unlike the boolean-cast chain this
+    replaced, a NULL input does NOT propagate to a NULL index."""
     c = F.col(col) if isinstance(col, str) else col
 
     def go(lo: int, hi: int) -> Column:

@@ -19,7 +19,7 @@ Two implementations, pinned equal in tests/test_selection.py:
   global window cumsum. Correct anywhere, but the window is a total
   order: Spark moves every row to a single partition, and at 100 TB
   that plan simply does not run (measured: 115s at 50M rows where the
-  scale path takes 3.2s — SCALE.md round 9).
+  scale path takes 3.4s, 2.9s warm — SCALE.md round 9).
 
 - ``budget_select`` — the scale path, ONE lazy query (the
   quality_trim join-back shape, operators/curation.py): a histogram of

@@ -158,3 +158,61 @@ def compact_root(
     for d in sources:
         _shutil.rmtree(d, ignore_errors=True)
     return True
+
+
+class MicroBatchStore:
+    """The shared shape of every per-batch artifact store built on this
+    layout (drift profiles, budget histograms): a tiny bounded frame is
+    derived from each micro-batch, collected (the artifact is
+    cols x buckets-sized, never data-sized), and written as a
+    local-relation job into the batch's own ``batch_id=<n>`` directory;
+    readers union the live layout; ``compact`` consolidates it.
+
+    Subclasses define how the per-batch frame is computed (their
+    ``process_batch`` calls ``_write_batch``) and expose their own
+    typed readers over ``_read_store``. Extracted so the store recipe —
+    write path, replay idempotence, compaction guard — has exactly one
+    implementation (r9 review: ProfileMonitor and BudgetHistogram had
+    copied it line-for-line)."""
+
+    def __init__(self, spark: SparkSession, root: str, subdir: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._store_dir = os.path.join(root, subdir)
+
+    def _write_batch(self, frame: DataFrame, batch_id: int) -> None:
+        """Collect the bounded per-batch frame and overwrite the batch's
+        directory — a tiny local-relation write, not a second pass over
+        the batch; overwrite makes at-least-once replay idempotent."""
+        rows = frame.collect()
+        self.spark.createDataFrame(rows, frame.schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._store_dir, f"batch_id={batch_id}"))
+
+    def _read_store(self, fields: list[T.StructField]) -> DataFrame:
+        return read_root(self.spark, self._store_dir, fields)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        raise TypeError(
+            f"{type(self).__name__} must define process_batch"
+        )  # pragma: no cover - subclasses always override
+
+    def wrap(self, sink):
+        """foreachBatch pass-through: record the batch's artifact, then
+        hand the UNCHANGED batch to the inner sink — chainable with the
+        quality gate: ``gate.wrap(store.wrap(sink))``."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            sink(batch_df, batch_id)
+
+        return _fn
+
+    def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
+        if os.path.isdir(self._store_dir):
+            compact_root(
+                self.spark,
+                self._store_dir,
+                target_partitions=target_partitions,
+                keep_last=keep_last,
+            )

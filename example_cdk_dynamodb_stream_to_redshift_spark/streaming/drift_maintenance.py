@@ -30,13 +30,13 @@ them in one foreachBatch: ``gate.wrap(monitor.wrap(sink))``.
 from __future__ import annotations
 
 import os
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.drift import ProfileSpec, profile, psi_report
+from .batch_layout import MicroBatchStore
 
 PROFILE_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
@@ -46,48 +46,29 @@ PROFILE_FIELDS = [
 ]
 
 
-class ProfileMonitor:
+class ProfileMonitor(MicroBatchStore):
+    """Per-batch drift-profile store on the shared MicroBatchStore
+    recipe; the profile frame is bounded at cols x buckets rows."""
+
     def __init__(
         self, spark: SparkSession, specs: list[ProfileSpec], root: str
     ) -> None:
         if not specs:
             raise ValueError("ProfileMonitor needs at least one ProfileSpec")
-        self.spark = spark
+        super().__init__(spark, root, "_drift_profiles")
         self.specs = list(specs)
-        self.root = root
-        self.profile_dir = os.path.join(root, "_drift_profiles")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Profile one batch into its own directory. The profile rows are
-        collected first (bounded: cols x buckets) so the write is a tiny
-        local-relation job, not a second pass over the batch."""
-        prof = profile(batch_df, self.specs)
-        rows = prof.collect()
-        self.spark.createDataFrame(rows, prof.schema).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.profile_dir, f"batch_id={batch_id}"))
-
-    def wrap(
-        self, sink: Callable[[DataFrame, int], None]
-    ) -> Callable[[DataFrame, int], None]:
-        """foreachBatch pass-through: profile, then hand the UNCHANGED
-        batch to the inner sink. Chain under QualityGate to profile only
-        contract-clean rows: ``gate.wrap(monitor.wrap(sink))``."""
-
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df, batch_id)
-            sink(batch_df, batch_id)
-
-        return _fn
+        """Profile one batch into its own directory (the shared
+        collect-then-local-write path: bounded artifact, idempotent
+        replay). Chain under QualityGate to profile only contract-clean
+        rows: ``gate.wrap(monitor.wrap(sink))``."""
+        self._write_batch(profile(batch_df, self.specs), batch_id)
 
     # -- readers (stored profiles only; landed data never rescanned) -------
     def profiles(self) -> DataFrame:
         """(batch_id, column, bucket, cnt) — one profile per batch."""
-        from . import batch_layout
-
-        return batch_layout.read_root(
-            self.spark, self.profile_dir, PROFILE_FIELDS
-        )
+        return self._read_store(PROFILE_FIELDS)
 
     def cumulative_profile(self) -> DataFrame:
         """(column, bucket, cnt) over all landed batches — exactly the
@@ -142,13 +123,3 @@ class ProfileMonitor:
             "batch_id", "column", "psi", "n_current", "n_baseline", "drifted"
         )
 
-    def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
-        from . import batch_layout
-
-        if os.path.isdir(self.profile_dir):
-            batch_layout.compact_root(
-                self.spark,
-                self.profile_dir,
-                target_partitions=target_partitions,
-                keep_last=keep_last,
-            )

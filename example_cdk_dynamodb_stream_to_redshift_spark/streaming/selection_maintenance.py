@@ -27,14 +27,12 @@ over contract-clean rows only.
 
 from __future__ import annotations
 
-import os
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.selection import budget_select, weight_histogram
+from .batch_layout import MicroBatchStore
 
 HIST_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
@@ -44,13 +42,14 @@ HIST_FIELDS = [
 ]
 
 
-class BudgetHistogram:
+class BudgetHistogram(MicroBatchStore):
     """Maintain the ``(bucket, w, wmin)`` weight histogram of a scored
     stream across micro-batches, under FROZEN edges (the drift-module
     contract: deriving edges per batch would make cutoffs
     incomparable). ``score_col``/``weight_col`` must exist on each
     batch — in a CDC pipeline, score in the same foreachBatch
-    projection that feeds the sink."""
+    projection that feeds the sink. Built on the shared MicroBatchStore
+    recipe; the histogram frame is bounded at len(edges)+1 rows."""
 
     def __init__(
         self,
@@ -62,44 +61,27 @@ class BudgetHistogram:
     ) -> None:
         if not edges:
             raise ValueError("BudgetHistogram needs at least one edge")
-        self.spark = spark
+        super().__init__(spark, root, "_budget_hist")
         self.score_col = score_col
         self.weight_col = weight_col
         self.edges = tuple(sorted(float(e) for e in edges))
-        self.root = root
-        self.hist_dir = os.path.join(root, "_budget_hist")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Histogram one batch into its own directory. The rows are
-        collected first (bounded: <= len(edges)+1) so the write is a
-        tiny local-relation job, not a second pass over the batch."""
-        hist = weight_histogram(
-            batch_df, self.score_col, self.weight_col, self.edges
+        """Histogram one batch into its own directory (the shared
+        collect-then-local-write path: bounded artifact, idempotent
+        replay). Chain under QualityGate to count only contract-clean
+        tokens: ``gate.wrap(budget_hist.wrap(sink))``."""
+        self._write_batch(
+            weight_histogram(
+                batch_df, self.score_col, self.weight_col, self.edges
+            ),
+            batch_id,
         )
-        rows = hist.collect()
-        self.spark.createDataFrame(rows, hist.schema).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.hist_dir, f"batch_id={batch_id}"))
-
-    def wrap(
-        self, sink: Callable[[DataFrame, int], None]
-    ) -> Callable[[DataFrame, int], None]:
-        """foreachBatch pass-through: histogram, then hand the UNCHANGED
-        batch to the inner sink. Chain under QualityGate to count only
-        contract-clean tokens: ``gate.wrap(budget_hist.wrap(sink))``."""
-
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df, batch_id)
-            sink(batch_df, batch_id)
-
-        return _fn
 
     # -- readers (stored histograms only; landed data never rescanned) -----
     def batch_histograms(self) -> DataFrame:
         """(batch_id, bucket, w, wmin) — one histogram per batch."""
-        from . import batch_layout
-
-        return batch_layout.read_root(self.spark, self.hist_dir, HIST_FIELDS)
+        return self._read_store(HIST_FIELDS)
 
     def histogram(self) -> DataFrame:
         """(bucket, w, wmin) over all landed batches — exactly the
@@ -133,14 +115,3 @@ class BudgetHistogram:
             self.edges,
             hist=self.histogram(),
         )
-
-    def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
-        from . import batch_layout
-
-        if os.path.isdir(self.hist_dir):
-            batch_layout.compact_root(
-                self.spark,
-                self.hist_dir,
-                target_partitions=target_partitions,
-                keep_last=keep_last,
-            )

@@ -137,13 +137,13 @@ def test_scale_path_equals_exact_on_random_inputs(spark, data, budget, bins):
 
 
 def test_scale_plan_sorts_only_the_boundary_bucket(spark):
-    """The point of the scale path, asserted on the plan: exactly TWO
-    Windows — one over the <= bins+1-row histogram frame (the boundary
-    locator) and one over ONLY the boundary bucket's rows — never a
-    window/sort over the full corpus, and the one-row control frame
-    reaches the corpus via a broadcast join. Node text is matched by
-    the condition patterns, not by formatted-plan node numbers (those
-    shift across Spark versions)."""
+    """The point of the scale path, asserted on the plan: exactly
+    THREE Windows, none over the corpus total order — the bins-sized
+    boundary locator appears once under EACH branch (column pruning
+    specializes the control subtrees) plus the boundary-bucket-only
+    cumsum — and the one-row control frame reaches the corpus via a
+    broadcast join. Node text is matched by condition patterns, not by
+    formatted-plan node numbers (those shift across Spark versions)."""
     rows = [(i, (i % 97) / 97.0, 10) for i in range(300)]
     df = _df(spark, rows)
     out = budget_select(df, "score", "w", 200, "doc_id", EDGES)

@@ -168,7 +168,7 @@ def test_streams_and_composes_with_quality_gate(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
 
     corpus = spark.read.parquet(landed)
     n_clean = corpus.count()
