@@ -1,0 +1,106 @@
+"""Mergeable heavy-hitter summaries with DETERMINISTIC error bounds:
+per-slice exact-count top-k truncation whose merge carries explicit
+[lower, upper] bounds per key — the maintained counterpart to the
+engine's one-shot ``frequent_tokens_sketch`` (freqItems), the way KMV
+is the deterministic counterpart to approx_count_distinct.
+
+Why not Misra-Gries/SpaceSaving state machines: their summaries depend
+on processing ORDER, so a shuffled re-run yields a different (still
+bound-respecting) summary — untestable as equality and irreproducible
+across re-ingestions. This design instead summarizes each slice by its
+EXACT counts truncated to the top-k (ties broken by key, so the kept
+set is a pure function of the slice's multiset), plus the slice's
+truncation threshold (the exact maximum dropped count; 0 when nothing
+was dropped). Merging summaries is then pure arithmetic over tiny
+frames:
+
+- ``lower(key)``  = sum of stored counts — every stored count is exact,
+  so the true total is AT LEAST this;
+- ``upper(key)``  = lower + sum of thresholds of the slices where the
+  key is ABSENT — a key can hide at most ``threshold`` occurrences in a
+  slice that dropped it;
+- any key whose true total exceeds the SUM of all thresholds is
+  guaranteed present in the merged view (no false negatives above the
+  global truncation bound — the classic heavy-hitter guarantee).
+
+Scale shape: the per-slice aggregation is bounded by SLICE vocabulary
+(one groupBy over the batch, the micro-batch analogue of the corpus
+problem it avoids); the stored artifact is k+ rows per slice; every
+merged read touches only stored summaries — landed data is never
+rescanned. Top-k extraction is ``ORDER BY cnt DESC LIMIT k`` =
+TakeOrderedAndProject (bounded per-partition heaps), never a global
+sort.
+
+Reference tie-in: generalizes the reference's GROUP BY count reports
+(sql/queries.sql:22-45) to the unbounded-stream regime where exact
+global counts stop being maintainable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def batch_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """``(key, cnt, thresh)`` — the slice's exact top-k counts (ties
+    broken by key ascending, so the summary is a pure function of the
+    slice) with the exact max dropped count as a constant ``thresh``
+    column (0 when the vocabulary fits within k). NULL keys are
+    excluded (a NULL token is not a countable key)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # two consumers: top-k + residual
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(int(k))
+    dropped = counts.join(top.select("key"), "key", "left_anti").agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("thresh")
+    )
+    return top.crossJoin(F.broadcast(dropped))
+
+
+def merged_bounds(summaries: DataFrame) -> DataFrame:
+    """Merge per-slice summaries (``batch_id, key, cnt, thresh`` rows)
+    into ``(key, lower, upper)`` bounds on each key's true total:
+    ``lower`` sums the stored exact counts; ``upper`` adds the
+    thresholds of every slice that DROPPED the key. Operates entirely
+    on the tiny summary frames."""
+    per_slice = summaries.groupBy("batch_id").agg(
+        F.max("thresh").alias("t")  # thresh is constant within a slice
+    )
+    total = per_slice.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("total_t")
+    )
+    present = (
+        summaries.join(per_slice, "batch_id")
+        .groupBy("key")
+        .agg(
+            F.sum("cnt").alias("lower"),
+            F.sum("t").alias("present_t"),
+        )
+    )
+    return present.crossJoin(F.broadcast(total)).select(
+        "key",
+        F.col("lower").cast("long").alias("lower"),
+        (F.col("lower") + F.col("total_t") - F.col("present_t"))
+        .cast("long")
+        .alias("upper"),
+    )
+
+
+def heavy_hitters(summaries: DataFrame, min_count: int) -> DataFrame:
+    """Keys whose true total MAY reach ``min_count`` (upper bound
+    test): guaranteed to include every key whose true total is >=
+    min_count provided min_count exceeds the sum of slice thresholds
+    (the no-false-negative regime — below that, a key could hide
+    entirely inside the truncations); may include false positives,
+    which ``lower`` lets the caller triage or re-count exactly."""
+    return (
+        merged_bounds(summaries)
+        .filter(F.col("upper") >= F.lit(int(min_count)))
+        .orderBy(F.desc("lower"), F.asc("key"))
+    )

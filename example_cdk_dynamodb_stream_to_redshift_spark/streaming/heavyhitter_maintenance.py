@@ -1,0 +1,74 @@
+"""Micro-batch-maintained heavy-hitter summaries: the streaming form of
+``operators/heavyhitters.py`` on the shared MicroBatchStore recipe.
+
+Each micro-batch is summarized by its exact top-k counts + truncation
+threshold (a pure function of the batch's multiset — reproducible,
+unlike order-dependent Misra-Gries state), written to its own
+``batch_id=<n>`` directory; merged reads (``bounds()``, ``hitters()``)
+answer "which keys are hot, and how hot, over everything landed" from
+the kilobyte store alone with per-key [lower, upper] guarantees —
+landed data is never rescanned. The guarantee degrades gracefully and
+HONESTLY: every per-batch truncation adds its threshold to absent
+keys' upper bounds, so uncertainty is visible in the artifact itself
+rather than silent.
+
+Composes in one foreachBatch with the rest of the observability
+family: ``gate.wrap(hh.wrap(sink))`` tracks hot keys over
+contract-clean rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.heavyhitters import batch_summary, heavy_hitters, merged_bounds
+from .batch_layout import MicroBatchStore
+
+SUMMARY_FIELDS = [
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("thresh", T.LongType()),
+]
+
+
+class HeavyHitterMaintenance(MicroBatchStore):
+    """Maintain per-batch top-``k`` summaries of ``key_col`` across
+    micro-batches. Larger ``k`` tightens the bounds (k >= batch
+    vocabulary makes them exact); the store grows by <= k+ rows per
+    batch regardless of batch size."""
+
+    def __init__(
+        self, spark: SparkSession, key_col: str, k: int, root: str
+    ) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        super().__init__(spark, root, "_heavy_hitters")
+        self.key_col = key_col
+        self.k = int(k)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Summarize one batch into its own directory (the shared
+        collect-then-local-write path: bounded artifact, idempotent
+        replay). Chain under QualityGate to count only contract-clean
+        rows: ``gate.wrap(hh.wrap(sink))``."""
+        self._write_batch(
+            batch_summary(batch_df, self.key_col, self.k), batch_id
+        )
+
+    # -- readers (stored summaries only; landed data never rescanned) ------
+    def summaries(self) -> DataFrame:
+        """(batch_id, key, cnt, thresh) — one summary per batch."""
+        return self._read_store(SUMMARY_FIELDS)
+
+    def bounds(self) -> DataFrame:
+        """(key, lower, upper) bounds on every stored key's true total
+        over all landed batches."""
+        return merged_bounds(self.summaries())
+
+    def hitters(self, min_count: int) -> DataFrame:
+        """Keys whose true total may reach ``min_count`` — complete
+        (no false negatives) whenever min_count exceeds the sum of the
+        stored thresholds; see operators/heavyhitters.heavy_hitters."""
+        return heavy_hitters(self.summaries(), min_count)

@@ -1,0 +1,181 @@
+"""Mergeable heavy-hitter summaries (operators/heavyhitters.py +
+streaming/heavyhitter_maintenance.py): bounds always contain the true
+counts, the no-false-negative guarantee above the global truncation
+threshold, exactness when k covers the vocabulary, determinism of the
+summary under row order and tie-breaks, and the maintained store's
+replay/compaction behavior."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.heavyhitters import (
+    batch_summary,
+    heavy_hitters,
+    merged_bounds,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.heavyhitter_maintenance import (
+    HeavyHitterMaintenance,
+)
+
+SCHEMA = "key string"
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], SCHEMA)
+
+
+def _summarize_slices(spark, slices, k):
+    """Python-side merge input: per-slice summaries unioned with a
+    batch_id column, mirroring what the store's reader yields."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for i, keys in enumerate(slices):
+        s = batch_summary(_df(spark, keys), "key", k).withColumn(
+            "batch_id", F.lit(i)
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def test_exact_when_k_covers_vocabulary(spark):
+    slices = [["a", "b", "a"], ["b", "c"], ["a"]]
+    truth = Counter(k for s in slices for k in s)
+    bounds = {
+        r["key"]: (r["lower"], r["upper"])
+        for r in merged_bounds(_summarize_slices(spark, slices, 10)).collect()
+    }
+    assert bounds == {k: (v, v) for k, v in truth.items()}
+
+
+def test_threshold_is_exact_max_dropped_and_zero_without_truncation(spark):
+    keys = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    s = batch_summary(_df(spark, keys), "key", 2).collect()
+    assert sorted((r["key"], r["cnt"]) for r in s) == [("a", 5), ("b", 3)]
+    assert all(r["thresh"] == 2 for r in s)  # c(2) is the max dropped
+    s2 = batch_summary(_df(spark, keys), "key", 10).collect()
+    assert all(r["thresh"] == 0 for r in s2)
+
+
+def test_tie_at_the_k_boundary_breaks_by_key(spark):
+    keys = ["x"] * 2 + ["a"] * 2 + ["m"] * 2 + ["z"]
+    s = sorted(r["key"] for r in batch_summary(_df(spark, keys), "key", 2).collect())
+    assert s == ["a", "m"]  # ties at cnt=2: key-ascending wins
+
+
+def test_summary_is_order_invariant(spark):
+    keys = ["a", "b", "a", "c", "b", "a", "d"]
+    s1 = sorted(
+        tuple(r) for r in batch_summary(_df(spark, keys), "key", 2).collect()
+    )
+    s2 = sorted(
+        tuple(r)
+        for r in batch_summary(_df(spark, list(reversed(keys))), "key", 2).collect()
+    )
+    assert s1 == s2
+
+
+def test_null_keys_are_excluded(spark):
+    s = batch_summary(_df(spark, ["a", None, "a", None]), "key", 5).collect()
+    assert [(r["key"], r["cnt"]) for r in s] == [("a", 2)]
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=8), max_size=25),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bounds_always_contain_truth(spark, data, k):
+    slices = [[f"k{v}" for v in s] for s in data]
+    truth = Counter(x for s in slices for x in s)
+    summ = _summarize_slices(spark, slices, k)
+    rows = merged_bounds(summ).collect()
+    bounds = {r["key"]: (r["lower"], r["upper"]) for r in rows}
+    total_thresh = sum(
+        max(
+            (r["thresh"] for r in summ.filter(f"batch_id = {i}").collect()),
+            default=0,
+        )
+        for i in range(len(slices))
+    )
+    for key, true_cnt in truth.items():
+        lo, hi = bounds.get(key, (0, total_thresh))
+        assert lo <= true_cnt <= hi, (key, true_cnt, lo, hi)
+    # no-false-negative regime: every key above the global truncation
+    # bound is present in the merged view
+    for key, true_cnt in truth.items():
+        if true_cnt > total_thresh:
+            assert key in bounds, (key, true_cnt, total_thresh)
+
+
+def test_heavy_hitters_completeness_and_ranking(spark):
+    slices = [
+        ["hot"] * 30 + ["warm"] * 6 + ["x", "y", "z"],
+        ["hot"] * 25 + ["warm"] * 5 + ["p", "q"],
+    ]
+    summ = _summarize_slices(spark, slices, 2)
+    hits = heavy_hitters(summ, 10).collect()
+    names = [r["key"] for r in hits]
+    assert names[0] == "hot" and "warm" in names
+    hot = next(r for r in hits if r["key"] == "hot")
+    assert hot["lower"] == 55 == hot["upper"]  # in top-k of every slice
+
+
+def test_store_maintains_replays_and_compacts(spark, tmp_path):
+    store = HeavyHitterMaintenance(spark, "key", 2, str(tmp_path / "hh"))
+    slices = [
+        ["a"] * 9 + ["b"] * 4 + ["c"],
+        [],  # idle batch
+        ["b"] * 6 + ["d"] * 5 + ["e"] * 2,
+    ]
+    for i, s in enumerate(slices):
+        store.process_batch(_df(spark, s), i)
+    truth = Counter(x for s in slices for x in s)
+    before = {r["key"]: (r["lower"], r["upper"]) for r in store.bounds().collect()}
+    for key, cnt in truth.items():
+        lo, hi = before.get(key, (0, 10**9))
+        assert lo <= cnt <= hi
+    # a: 9 exact in batch 0, absent from batch 2 whose thresh is 2
+    # (batch 0's own thresh is 1 — c dropped; the idle batch adds 0)
+    assert before["a"] == (9, 11)
+    # replay idempotence
+    store.process_batch(_df(spark, slices[0]), 0)
+    assert {
+        r["key"]: (r["lower"], r["upper"]) for r in store.bounds().collect()
+    } == before
+    # compaction preserves the merged view
+    store.compact(keep_last=1)
+    assert {
+        r["key"]: (r["lower"], r["upper"]) for r in store.bounds().collect()
+    } == before
+    assert store.hitters(5).filter("key = 'b'").count() == 1
+
+
+def test_k_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="k must be"):
+        batch_summary(_df(spark, ["a"]), "key", 0)
+    with pytest.raises(ValueError, match="k must be"):
+        HeavyHitterMaintenance(spark, "key", 0, str(tmp_path / "x"))
+
+
+def test_topk_extraction_is_bounded_not_a_global_sort(spark):
+    plan = (
+        batch_summary(_df(spark, ["a", "b", "a"]), "key", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
