@@ -20,6 +20,7 @@ contract-clean rows only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.heavyhitters import batch_summary, heavy_hitters, merged_bounds
@@ -37,7 +38,16 @@ class HeavyHitterMaintenance(MicroBatchStore):
     """Maintain per-batch top-``k`` summaries of ``key_col`` across
     micro-batches. Larger ``k`` tightens the bounds (k >= batch
     vocabulary makes them exact); the store grows by <= k+ rows per
-    batch regardless of batch size."""
+    batch regardless of batch size.
+
+    Keys are stored AS STRINGS (cast before summarizing): the store's
+    read schema is fixed, so ``summaries()``/``bounds()`` return the
+    same key type whether the store is empty or populated — a
+    caller-typed column would flip between the declared empty schema
+    and the parquet-inferred one with store state (r9 review finding).
+    Distinct values stay distinct under the cast, so counts are
+    unaffected; consumers joining back to a non-string key cast their
+    side."""
 
     def __init__(
         self, spark: SparkSession, key_col: str, k: int, root: str
@@ -53,9 +63,10 @@ class HeavyHitterMaintenance(MicroBatchStore):
         collect-then-local-write path: bounded artifact, idempotent
         replay). Chain under QualityGate to count only contract-clean
         rows: ``gate.wrap(hh.wrap(sink))``."""
-        self._write_batch(
-            batch_summary(batch_df, self.key_col, self.k), batch_id
+        keyed = batch_df.select(
+            F.col(self.key_col).cast("string").alias(self.key_col)
         )
+        self._write_batch(batch_summary(keyed, self.key_col, self.k), batch_id)
 
     # -- readers (stored summaries only; landed data never rescanned) ------
     def summaries(self) -> DataFrame:

@@ -172,6 +172,10 @@ def test_k_validation(spark, tmp_path):
 
 
 def test_topk_extraction_is_bounded_not_a_global_sort(spark):
+    """Pin the whole summary plan shape, not just the top-k node: the
+    heap-based TakeOrderedAndProject is present AND nothing anywhere in
+    the plan sorts or range-partitions — the bounded-heap property this
+    operator's scale story rests on."""
     plan = (
         batch_summary(_df(spark, ["a", "b", "a"]), "key", 2)
         ._jdf.queryExecution()
@@ -179,3 +183,23 @@ def test_topk_extraction_is_bounded_not_a_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort") == 0  # no Sort node anywhere
+    assert "rangepartitioning" not in plan  # the global-sort signature
+    assert "SortMergeJoin" not in plan  # residual join stays broadcast
+
+
+def test_store_key_schema_is_stable_across_store_state(spark, tmp_path):
+    """An int-keyed store returns string-typed keys BOTH before the
+    first batch lands (declared empty schema) and after (cast at
+    write): the schema must not flip with store state."""
+    store = HeavyHitterMaintenance(spark, "uid", 3, str(tmp_path / "ik"))
+    empty_type = dict(store.bounds().dtypes)["key"]
+    store.process_batch(
+        spark.createDataFrame([(7,), (7,), (9,)], "uid long"), 0
+    )
+    full_type = dict(store.bounds().dtypes)["key"]
+    assert empty_type == full_type == "string"
+    assert {r["key"]: r["lower"] for r in store.bounds().collect()} == {
+        "7": 2,
+        "9": 1,
+    }
