@@ -104,3 +104,33 @@ def heavy_hitters(summaries: DataFrame, min_count: int) -> DataFrame:
         .filter(F.col("upper") >= F.lit(int(min_count)))
         .orderBy(F.desc("lower"), F.asc("key"))
     )
+
+
+def exact_recount(
+    corpus: DataFrame,
+    summaries: DataFrame,
+    key_col: str,
+    min_count: int,
+) -> DataFrame:
+    """The production two-phase heavy-hitter query: candidates from the
+    kilobyte summaries (complete above the truncation bound), then ONE
+    filtered pass over the corpus counting ONLY those keys exactly —
+    ``(key, cnt)`` with no false positives and exact counts, ordered
+    hot-first.
+
+    Scale shape: the candidate set is <= the stored key count, so it
+    broadcasts; the corpus pays one scan with a broadcast semi-join
+    (hash probe per row, no shuffle of non-candidate rows) and the
+    aggregation shuffles only candidate keys. This is the pattern that
+    replaces "exact GROUP BY over everything" at 100 TB: the store
+    prunes the key space, the scan only confirms.
+    """
+    candidates = heavy_hitters(summaries, min_count).select("key")
+    counted = (
+        corpus.select(F.col(key_col).cast("string").alias("key"))
+        .join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )
+    return counted.orderBy(F.desc("cnt"), F.asc("key"))

@@ -83,3 +83,16 @@ class HeavyHitterMaintenance(MicroBatchStore):
         (no false negatives) whenever min_count exceeds the sum of the
         stored thresholds; see operators/heavyhitters.heavy_hitters."""
         return heavy_hitters(self.summaries(), min_count)
+
+    def recount(
+        self, corpus: DataFrame, min_count: int, key_col: str | None = None
+    ) -> DataFrame:
+        """Two-phase exact heavy hitters over the landed ``corpus``:
+        candidates from the store (complete above the summed
+        thresholds), exact counts from ONE broadcast-semi-join scan —
+        no false positives. ``key_col`` defaults to the store's own."""
+        from ..operators.heavyhitters import exact_recount
+
+        return exact_recount(
+            corpus, self.summaries(), key_col or self.key_col, min_count
+        )

@@ -203,3 +203,53 @@ def test_store_key_schema_is_stable_across_store_state(spark, tmp_path):
         "7": 2,
         "9": 1,
     }
+
+
+def test_exact_recount_two_phase(spark, tmp_path):
+    """Candidates from the store + one exact filtered scan: output has
+    no false positives, exact counts, and misses nothing above the
+    threshold bound."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.heavyhitters import (
+        exact_recount,
+    )
+
+    slices = [
+        ["hot"] * 30 + ["warm"] * 6 + ["x", "y", "z"],
+        ["hot"] * 25 + ["warm"] * 5 + ["x"] * 4 + ["p", "q"],
+    ]
+    corpus = _df(spark, [k for s in slices for k in s])
+    summ = _summarize_slices(spark, slices, 2)
+    got = [(r["key"], r["cnt"]) for r in exact_recount(corpus, summ, "key", 5).collect()]
+    # x (true count 5) sits EXACTLY at the summed thresholds (1 + 4):
+    # the completeness guarantee is strict (> total_thresh), so x can
+    # legitimately hide inside both truncations — and does. hot/warm
+    # are recovered with exact counts and no false positives.
+    assert got == [("hot", 55), ("warm", 11)]
+    # a larger k stores x in both slices (slice 0's cnt=1 tie breaks to
+    # x by key; slice 1 keeps x4 outright) and recount recovers it
+    summ3 = _summarize_slices(spark, slices, 3)
+    got3 = [
+        (r["key"], r["cnt"])
+        for r in exact_recount(corpus, summ3, "key", 5).collect()
+    ]
+    assert got3 == [("hot", 55), ("warm", 11), ("x", 5)]
+    # plan: candidate set rides a broadcast semi-join, corpus unshuffled
+    # before the candidate-key aggregation
+    plan = (
+        exact_recount(corpus, summ, "key", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_store_recount_matches_operator(spark, tmp_path):
+    store = HeavyHitterMaintenance(spark, "key", 2, str(tmp_path / "rc"))
+    slices = [["a"] * 9 + ["b"] * 4 + ["c"], ["b"] * 6 + ["d"] * 5]
+    for i, s in enumerate(slices):
+        store.process_batch(_df(spark, s), i)
+    corpus = _df(spark, [k for s in slices for k in s])
+    got = [(r["key"], r["cnt"]) for r in store.recount(corpus, 5).collect()]
+    assert got == [("b", 10), ("a", 9), ("d", 5)]
