@@ -253,3 +253,47 @@ def test_store_recount_matches_operator(spark, tmp_path):
     corpus = _df(spark, [k for s in slices for k in s])
     got = [(r["key"], r["cnt"]) for r in store.recount(corpus, 5).collect()]
     assert got == [("b", 10), ("a", 9), ("d", 5)]
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), max_size=20),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_recount_equals_exact_groupby_above_the_bound(spark, data, k):
+    """Above the summed truncation thresholds, the two-phase recount is
+    EXACTLY the filtered exact GROUP BY it replaces — for any slicing
+    and any k."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.heavyhitters import (
+        exact_recount,
+    )
+
+    slices = [[f"k{v}" for v in s] for s in data]
+    truth = Counter(x for s in slices for x in s)
+    summ = _summarize_slices(spark, slices, k)
+    total_thresh = sum(
+        max(
+            (r["thresh"] for r in summ.filter(f"batch_id = {i}").collect()),
+            default=0,
+        )
+        for i in range(len(slices))
+    )
+    min_count = total_thresh + 1
+    corpus = _df(spark, [x for s in slices for x in s])
+    got = [
+        (r["key"], r["cnt"])
+        for r in exact_recount(corpus, summ, "key", min_count).collect()
+    ]
+    want = sorted(
+        ((x, c) for x, c in truth.items() if c >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want
