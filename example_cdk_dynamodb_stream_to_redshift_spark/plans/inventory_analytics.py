@@ -1203,6 +1203,26 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("check")
 
 
+# ---------------------------------------------------------------------------
+# Round-10 promotion of the staged drift-profile driver row. Implemented and
+# foreign-CWD DuckDB-proven in round 9 (plans/staged_r10.py carries the full
+# rationale and the oracle construction); this wrapper is the only new code
+# in the path.
+# ---------------------------------------------------------------------------
+from . import staged_r10 as _staged_r10  # noqa: E402
+
+events_value_drift_profile = register(
+    "events_value_drift_profile",
+    _staged_r10.STAGED_R10["events_value_drift_profile"][1],
+    "Drift-profile driver row: operators/drift.profile over events — exact "
+    "int64 (column, bucket, cnt) histogram rows with the FULL declared "
+    "support (zero-count buckets materialized, __nan__/__null__/__other__ "
+    "paths exercised), computed as ONE conditional aggregation over one "
+    "scan. Oracle restates every declared bucket as a DuckDB filtered "
+    "count.",
+)(_staged_r10.events_value_drift_profile)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

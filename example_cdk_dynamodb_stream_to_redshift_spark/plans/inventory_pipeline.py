@@ -1823,6 +1823,27 @@ def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 promotion of the staged typed-scrub driver row. Implemented and
+# foreign-CWD DuckDB-proven in round 9 (plans/staged_r10.py carries the full
+# rationale — the seeded corpus restates the scrubbed text by construction,
+# so the oracle value-checks every replacement decision with zero
+# RE2-vs-Java regex divergence risk); this wrapper is the only new code in
+# the path.
+# ---------------------------------------------------------------------------
+from . import staged_r10 as _staged_r10  # noqa: E402
+
+typed_pii_scrub_docs = register(
+    "typed_pii_scrub_docs",
+    _staged_r10.STAGED_R10["typed_pii_scrub_docs"][1],
+    "Typed-PII-scrub driver row: the production operators/redaction.redact "
+    "(six detectors, Luhn-gated cards, sequential-stage counts) over a "
+    "deterministically seeded corpus — doc_id, md5 of the fully scrubbed "
+    "text, six per-kind counts, pii_total. Pure codegen projection, "
+    "shuffle-free; the Luhn-INVALID card-shaped run must survive verbatim.",
+)(_staged_r10.typed_pii_scrub_docs)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

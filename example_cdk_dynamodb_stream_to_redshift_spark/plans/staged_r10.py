@@ -1,10 +1,13 @@
-"""Round-10 oracle candidates, STAGED — implemented and DuckDB-proven
-this round, registered next round.
+"""Round-10 oracle candidates — implemented and DuckDB-proven in round
+9, PROMOTED in round 10 (both are now registered: the drift profile via
+``plans/inventory_analytics``, the typed scrub via
+``plans/inventory_pipeline``; this module stays the implementation home
+so the round-9 provenance and oracle construction remain citable).
 
-Round 9 is a zero-slack driver window (the full 50-entry r6 cohort, no
-spare slots — COVERAGE.md capacity budget), so these two queries are
-deliberately NOT in the registry yet: nothing here imports
-``inventory.register``. Round 10 owes the 48-entry r7 cohort with <=2
+Round 9 was a zero-slack driver window (the full 50-entry r6 cohort, no
+spare slots — COVERAGE.md capacity budget), so these two queries were
+deliberately NOT registered then: nothing HERE imports
+``inventory.register``. Round 10 owed the 48-entry r7 cohort with <=2
 spare slots, earmarked for exactly this pair (r8 verdict item 3):
 
 - ``events_value_drift_profile`` — the drift-monitoring family's first
@@ -24,10 +27,10 @@ spare slots, earmarked for exactly this pair (r8 verdict item 3):
   scrubbed text still value-checks every replacement decision,
   including the invalid-Luhn run surviving verbatim.
 
-Promotion in round 10 is mechanical: wrap each function with
-``@register(name, ORACLE_SQL[name], ...)`` in its home module (drift
-profile -> plans/inventory_analytics, typed scrub ->
-plans/inventory_pipeline) and add the names to the r10 driver window.
+The round-10 promotion was mechanical, as planned: each function is
+wrapped with ``register(name, STAGED_R10[name][1], ...)`` in its home
+module (drift profile -> plans/inventory_analytics, typed scrub ->
+plans/inventory_pipeline) and both names sit in the r10 driver window.
 
 Both were foreign-CWD driven against DuckDB at sf0.01 this round; the
 sf0.001 equivalence is pinned in tests/test_staged_r10.py.

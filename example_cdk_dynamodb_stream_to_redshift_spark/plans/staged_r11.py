@@ -12,8 +12,9 @@ plans/inventory_pipeline.py plus a window add.
 - ``token_budget_corpus`` — the data-constrained-training selector
   (operators/selection.py): keep the highest-quality documents until a
   7,000-token budget is exhausted. The SPARK side runs the scale path
-  (``budget_select``: histogram pass -> driver boundary walk -> pure
-  filter for full buckets + a window over ONLY the boundary bucket);
+  (``budget_select``: ONE lazy query — bounded-key histogram -> one-row
+  broadcast boundary frame -> pure filter for full buckets + a window
+  over ONLY the boundary bucket; no collect, no driver-side walk);
   the DuckDB side restates the semantic definition verbatim (one global
   window cumsum, keep while cum <= budget). A green hash row therefore
   proves the two-pass threshold algorithm IS the naive global sort,
