@@ -47,12 +47,21 @@ def batch_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
     broken by key ascending, so the summary is a pure function of the
     slice) with the exact max dropped count as a constant ``thresh``
     column (0 when the vocabulary fits within k). NULL keys are
-    excluded (a NULL token is not a countable key)."""
+    excluded (a NULL token is not a countable key).
+
+    Keys are stored AS STRINGS, unconditionally: ``exact_recount``
+    joins stored candidates back to a string-cast corpus key, and a
+    numeric summary key would make Spark coerce that comparison via
+    DOUBLE — ids beyond ~2^53 would spuriously match or miss. Casting
+    here (matching HeavyHitterMaintenance) keeps both join sides string
+    on every call path and the output key type stable. Distinct values
+    stay distinct under the cast, so counts are unaffected; tie-break
+    order is the string order of the stored key either way."""
     if k < 1:
         raise ValueError("k must be >= 1")
     counts = (
         df.filter(F.col(key_col).isNotNull())
-        .groupBy(F.col(key_col).alias("key"))
+        .groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)  # two consumers: top-k + residual
     )

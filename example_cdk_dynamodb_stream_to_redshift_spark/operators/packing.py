@@ -41,6 +41,7 @@ def ffd_pack(
     size_col: str,
     budget: int,
     n_shards: int = 32,
+    max_shard_rows: int = 4_000_000,
 ) -> DataFrame:
     """(id, size, shard, pack_id, oversize): every input row assigned to
     exactly one pack; sum(size) per non-oversize pack <= budget.
@@ -50,11 +51,24 @@ def ffd_pack(
     and the worst-case boundary waste (each shard wastes at most its
     own FFD slack); size it like training data shards, not like Spark
     partitions — the two are decoupled on purpose.
+
+    ``max_shard_rows`` is the defensive ceiling on one shard's Arrow
+    batch: each shard packs inside a single in-memory pandas frame, so
+    an under-sharded 100x run would otherwise OOM an executor
+    mid-``applyInPandas`` with no hint of why. The guard raises an
+    actionable error carrying the resize arithmetic instead. The frame
+    is three narrow columns, so the default (~4M rows, roughly a few
+    hundred MB with pandas overhead) is conservative for ordinary
+    executor memory; raise it deliberately if your executors are fat.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if max_shard_rows <= 0:
+        raise ValueError(
+            f"max_shard_rows must be positive, got {max_shard_rows}"
+        )
 
     base = df.select(
         F.col(id_col).alias("id"),
@@ -70,6 +84,19 @@ def ffd_pack(
     def _pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         # input contract enforced where the data is (no extra validation
         # scan): a null/negative size is a caller bug, surfaced loudly
+        if len(pdf) > max_shard_rows:
+            # hash assignment is ~uniform, so this shard estimates the
+            # corpus: total ~ len * n_shards, and the hint solves
+            # total / n_shards' <= max_shard_rows for n_shards'
+            est_total = len(pdf) * n_shards
+            hint = -(-est_total // max_shard_rows)  # ceil
+            raise ValueError(
+                f"ffd_pack: shard holds {len(pdf)} rows > max_shard_rows="
+                f"{max_shard_rows} (one shard = one in-memory Arrow "
+                f"batch). Estimated corpus ~{est_total} rows: raise "
+                f"n_shards from {n_shards} to >= {hint}, or raise "
+                "max_shard_rows if your executors have the memory."
+            )
         if pdf["size"].isnull().any() or (pdf["size"] < 0).any():
             raise ValueError("ffd_pack: sizes must be non-negative and non-null")
         # deterministic within the shard regardless of arrival order:

@@ -5,7 +5,11 @@ op ("we can afford B tokens; take the best B tokens' worth of docs").
 Semantics (the contract both implementations and the DuckDB oracle
 share): order eligible rows by ``(score DESC, tiebreak ASC)``, keep a
 row iff the running total of ``weight`` *including that row* is
-``<= budget``. Weights are non-negative (enforced — see below), so the
+``<= budget``. Weights are non-negative (enforced — see below)
+INTEGERS — token counts, the unit the budget is measured in; a
+fractional weight column is rejected at plan-construction time rather
+than silently truncated (the cumulative sum must be exact and
+order-independent across engines, which floor(double) is not). So the
 running total is monotone and the kept set is a PREFIX of the quality
 ordering — this is "fill to budget", not skip-and-continue knapsack.
 Rows with a NULL or NaN score, or a NULL weight, are excluded up front
@@ -92,6 +96,34 @@ def uniform_edges(bins: int, lo: float = 0.0, hi: float = 1.0) -> tuple[float, .
     return tuple(lo + step * i for i in range(1, bins + 1))
 
 
+def _require_integral_weight(df: DataFrame, weight_col: str) -> None:
+    """Weights are token counts: the budget cumsum must be exact, so a
+    fractional weight type (float/double/decimal-with-scale) is a
+    caller bug — the old behavior silently selected against
+    floor(weight), consistently across both Spark paths but diverging
+    from the documented cum-sum-of-weight semantics, so no test could
+    catch it downstream. Schema-only check, zero data cost."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = df.schema[weight_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return
+    if isinstance(dt, DecimalType) and dt.scale == 0:
+        return
+    raise TypeError(
+        f"weight column {weight_col!r} must be an integral type (token "
+        f"counts — the unit the budget is measured in); got "
+        f"{dt.simpleString()}. Cast explicitly if truncation is really "
+        "intended."
+    )
+
+
 def _eligible(df: DataFrame, score_col: str, weight_col: str) -> DataFrame:
     s, w = F.col(score_col), F.col(weight_col)
     return df.filter(
@@ -114,6 +146,7 @@ def budget_select_exact(
     ``(score DESC, tiebreak ASC)``, keep while ``cum <= budget``.
     Explicit ROWS frame so ties (impossible when tiebreak is a key, but
     cheap to pin) never flip to RANGE peer-aggregation."""
+    _require_integral_weight(df, weight_col)
     cum = _work_name(df, _CUM)
     win = (
         Window.orderBy(*_order(score_col, tiebreak_col))
@@ -138,6 +171,7 @@ def weight_histogram(
     under union — sums add, mins min — so per-slice histograms summed
     bucket-wise equal the histogram of the union, regardless of
     slicing."""
+    _require_integral_weight(df, weight_col)
     edges = tuple(sorted(float(e) for e in edges))
     elig = _eligible(df, score_col, weight_col)
     w_long = F.col(weight_col).cast("long")
@@ -173,8 +207,10 @@ def budget_select(
     Non-negative weights are a precondition of the monotone-prefix
     argument; a negative weight raises at action time (the check rides
     the control row, so it costs one comparison on a bins-sized frame,
-    not a data pass).
+    not a data pass). Integral weights are a precondition of exactness
+    and raise at plan-construction time (module docstring).
     """
+    _require_integral_weight(df, weight_col)
     budget = int(budget)
     # bucket id is count(edges <= score) — order-independent — but the
     # binary-search emission needs the edge list sorted

@@ -15,6 +15,7 @@ from hypothesis import strategies as st
 
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.heavyhitters import (
     batch_summary,
+    exact_recount,
     heavy_hitters,
     merged_bounds,
 )
@@ -83,6 +84,25 @@ def test_summary_is_order_invariant(spark):
 def test_null_keys_are_excluded(spark):
     s = batch_summary(_df(spark, ["a", None, "a", None]), "key", 5).collect()
     assert [(r["key"], r["cnt"]) for r in s] == [("a", 2)]
+
+
+def test_numeric_keys_stored_as_strings_and_recount_stays_exact(spark):
+    """Operator-level numeric keys (no maintenance wrapper): the summary
+    must cast the key to string itself, so exact_recount's semi-join is
+    string-vs-string on every call path. With a numeric summary key the
+    join coerces via DOUBLE, and ids beyond ~2^53 collide — 2^60 and
+    2^60+1 share a double, so the non-candidate id would spuriously
+    survive the recount (a false positive the docstring forbids)."""
+    from pyspark.sql import functions as F
+
+    hot, shadow = 2**60 + 1, 2**60  # double(hot) == double(shadow)
+    corpus = spark.createDataFrame(
+        [(hot,)] * 5 + [(shadow,)], "key long"
+    )
+    summ = batch_summary(corpus, "key", 1).withColumn("batch_id", F.lit(0))
+    assert dict(summ.dtypes)["key"] == "string"
+    hits = exact_recount(corpus, summ, "key", 1).collect()
+    assert [(r["key"], r["cnt"]) for r in hits] == [(str(hot), 5)]
 
 
 @given(

@@ -145,6 +145,25 @@ def test_invalid_inputs_are_loud(spark):
         ffd_pack(_df(spark, [1]), "doc_id", "n_tokens", 10, n_shards=0)
     with pytest.raises(Exception, match="non-negative"):
         ffd_pack(_df(spark, [-5]), "doc_id", "n_tokens", 10).collect()
+    with pytest.raises(ValueError, match="max_shard_rows"):
+        ffd_pack(_df(spark, [1]), "doc_id", "n_tokens", 10, max_shard_rows=0)
+
+
+def test_undersharded_run_fails_with_resize_hint(spark):
+    """One shard = one in-memory Arrow batch, so an under-sharded run
+    must fail actionably (r9 verdict item 6) — with the resize
+    arithmetic in the message — instead of OOMing an executor
+    mid-applyInPandas. Tiny threshold stands in for a 100x corpus."""
+    df = _df(spark, [10] * 6)
+    with pytest.raises(Exception, match="raise.*n_shards"):
+        ffd_pack(
+            df, "doc_id", "n_tokens", BUDGET, n_shards=1, max_shard_rows=2
+        ).collect()
+    # at or under the ceiling the same corpus packs fine
+    ok = ffd_pack(
+        df, "doc_id", "n_tokens", BUDGET, n_shards=1, max_shard_rows=6
+    )
+    assert ok.count() == 6
 
 
 def test_plan_one_shuffle_one_arrow_stage(spark):

@@ -178,6 +178,30 @@ def test_negative_weight_raises_at_action_time(spark):
         out.collect()
 
 
+def test_fractional_weight_type_raises_at_plan_time(spark):
+    """ADVICE r9: a double weight column used to be silently cast to
+    long, selecting against floor(weight) — consistently across both
+    Spark paths, so no equality test could catch the divergence from
+    the documented cum-sum-of-weight semantics. All three entry points
+    now reject non-integral weight types before any job runs."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.selection import (
+        weight_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0.9, 1.5), (1, 0.5, 2.5)], "doc_id long, score double, w double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        budget_select(df, "score", "w", 15, "doc_id", EDGES)
+    with pytest.raises(TypeError, match="integral"):
+        budget_select_exact(df, "score", "w", 15, "doc_id")
+    with pytest.raises(TypeError, match="integral"):
+        weight_histogram(df, "score", "w", EDGES)
+    # decimal with scale 0 is integral and stays accepted
+    dec = df.withColumn("w", F.col("w").cast("decimal(10,0)"))
+    assert budget_select(dec, "score", "w", 15, "doc_id", EDGES).count() == 2
+
+
 def test_working_column_name_is_collision_proof(spark):
     """A caller frame that already carries __budget_cum__ (e.g. from an
     earlier selection pass it kept) must survive both paths untouched."""
