@@ -133,6 +133,19 @@ def exact_recount(
     aggregation shuffles only candidate keys. This is the pattern that
     replaces "exact GROUP BY over everything" at 100 TB: the store
     prunes the key space, the scan only confirms.
+
+    Oracle restatement (for a future driver slot — COVERAGE.md slot
+    plan): given the candidate keys as literals ``(k1, .., kn)``, the
+    output is exactly::
+
+        SELECT CAST(key AS VARCHAR) AS key, COUNT(*) AS cnt
+        FROM corpus WHERE CAST(key AS VARCHAR) IN (k1, .., kn)
+        GROUP BY 1 HAVING COUNT(*) >= min_count
+        ORDER BY cnt DESC, key
+
+    — candidate selection is deterministic (summaries are pure
+    functions of slice multisets), so the whole two-phase query is
+    batch-restatable end to end.
     """
     candidates = heavy_hitters(summaries, min_count).select("key")
     counted = (
