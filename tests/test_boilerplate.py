@@ -187,6 +187,64 @@ def test_matches_reference_on_random_inputs(spark, data, ratio, min_docs):
     assert got == _ref(rows, min_docs, ratio)
 
 
+def _store(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.boilerplate_maintenance import (
+        SegmentDocFreqStore,
+    )
+
+    return SegmentDocFreqStore(spark, str(tmp_path / "bp"))
+
+
+def test_maintained_docfreq_equals_direct_over_ragged_batches(spark, tmp_path):
+    """Sum of per-batch distinct-doc counts == the global docfreq when
+    docs are batch-unique — the store's never-rescan guarantee."""
+    store = _store(spark, tmp_path)
+    cuts = [(0, 3), (3, 4), (4, 10)]
+    for i, (lo, hi) in enumerate(cuts):
+        store.process_batch(_df(spark, ROWS[lo:hi]), i)
+    direct = {
+        (r["source"], r["h"]): r["df_docs"]
+        for r in segment_docfreq(_df(spark, ROWS)).collect()
+    }
+    maintained = {
+        (r["source"], r["h"]): r["df_docs"] for r in store.docfreq().collect()
+    }
+    assert maintained == direct
+    # crash replay: a batch overwrites its own directories, nothing moves
+    store.process_batch(_df(spark, ROWS[3:4]), 1)
+    assert {
+        (r["source"], r["h"]): r["df_docs"] for r in store.docfreq().collect()
+    } == direct
+
+
+def test_store_prune_equals_the_batch_operator(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for i, chunk in enumerate([ROWS[:5], ROWS[5:]]):
+        store.process_batch(_df(spark, chunk), i)
+    got = _got(store.prune(_df(spark, ROWS)))
+    assert got == _got(prune_frequent_segments(_df(spark, ROWS)))
+    assert got == _ref(ROWS)
+    # the drop set itself is inspectable from store state alone
+    drops = {
+        (r["source"], r["segment"]) for r in store.drop_set().collect()
+    }
+    # b's "plain" is in 2 of its 3 docs: genuinely over both thresholds
+    assert drops == {("a", HEADER), ("a", FOOTER), ("b", "plain")}
+
+
+def test_store_compaction_preserves_the_answer(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for i, (lo, hi) in enumerate([(0, 2), (2, 5), (5, 8), (8, 10)]):
+        store.process_batch(_df(spark, ROWS[lo:hi]), i)
+    before = {
+        (r["source"], r["h"]): r["df_docs"] for r in store.docfreq().collect()
+    }
+    store.compact(keep_last=0)
+    assert {
+        (r["source"], r["h"]): r["df_docs"] for r in store.docfreq().collect()
+    } == before
+
+
 def test_real_documents_word_level_pruning_matches_reference(spark):
     """delimiter=' ' turns the operator into corpus-adaptive frequent-
     word pruning per source — runs against the real table and the same
