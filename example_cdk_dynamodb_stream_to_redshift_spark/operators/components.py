@@ -167,6 +167,128 @@ def connected_components(
     return child.union(roots)
 
 
+def incremental_step(
+    edges: DataFrame,
+    mapping: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One incremental connected-components step: fold a batch of new
+    near-dup ``edges`` into an existing ``(node, component)`` assignment
+    WITHOUT recomputing the closure over everything seen — the batch
+    analogue of re-running :func:`connected_components` from scratch,
+    with per-batch cost bounded by the BATCH, not the corpus.
+
+    ``mapping`` is the current resolved assignment (``node``,
+    ``component`` — component = min reachable id, the same canonical
+    convention as ``connected_components``); it is only ever PROBED with
+    a broadcast semi-join on the batch's endpoints, never scanned into
+    the driver or shuffled. Returns one row per batch endpoint::
+
+        (node, prev_root, root)
+
+    where ``prev_root`` is NULL for nodes not in ``mapping`` (first
+    sighting) and ``root`` is the node's component AFTER the batch's
+    edges are applied. The caller derives its two increments from this
+    single frame: new assignments (``prev_root IS NULL``) and root
+    remaps (``prev_root != root`` — every superseded root appears as
+    some endpoint's ``prev_root``, because resolution maps endpoints to
+    their CURRENT roots before contraction). Roots only ever decrease
+    (the new root is the min over a merged set containing the old one),
+    so recorded remaps form acyclic, driver-resolvable chains — see
+    :func:`resolve_remaps`.
+
+    Why this is the 100 TB shape: the contracted graph (batch edges
+    re-written onto current roots) has at most ``2|E_batch|`` nodes, so
+    the closure runs on a batch-sized graph — usually finishing in the
+    size-adaptive driver path of ``connected_components`` — while the
+    corpus-sized state is touched exactly once, by one broadcast
+    semi-join probe (bucket the store on ``node`` on a real cluster and
+    the probe is also shuffle-free). Landed assignments are never
+    rewritten; merges are carried as a remap log applied at read time
+    (streaming/cluster_maintenance.ClusterMaintenance).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # probe the corpus-sized mapping ONCE: broadcast the batch's node set
+    # into a semi-join (one mapping scan, zero mapping shuffle), which
+    # leaves a batch-bounded lookup that is itself broadcastable into the
+    # left join. Materialize: `cur` feeds three joins below and must not
+    # re-run the probe (or the mapping subtree) per consumer.
+    lookup = mapping.join(F.broadcast(nodes), "node", "left_semi")
+    cur = (
+        nodes.join(F.broadcast(lookup), "node", "left")
+        .select(
+            "node",
+            F.col("component").alias("prev_root"),
+            F.coalesce(F.col("component"), F.col("node")).alias("cur"),
+        )
+        .transform(truncate_lineage)
+    )
+    cu = cur.select(F.col("node").alias("u"), F.col("cur").alias("cu"))
+    cv = cur.select(F.col("node").alias("v"), F.col("cur").alias("cv"))
+    contracted = e.join(cu, "u").join(cv, "v").select(
+        F.col("cu").alias("src"), F.col("cv").alias("dst")
+    )
+    comp = connected_components(contracted, "src", "dst")
+    return cur.join(
+        F.broadcast(comp), cur["cur"] == comp["node"], "left"
+    ).select(
+        cur["node"],
+        "prev_root",
+        F.coalesce(F.col("component"), F.col("cur")).alias("root"),
+    )
+
+
+def resolve_remaps(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Collapse a root-remap log to its transitive closure: each
+    ``(old_root, new_root)`` entry records one cluster merge (new < old
+    always — the min-id convention), so chains like ``5→4, 4→3`` resolve
+    to ``{5: 3, 4: 3}``. Strictly-decreasing targets make the log
+    acyclic, and each old root appears at most once as a source (once
+    superseded, a root is never current again, so no later merge records
+    it), so plain memoized pointer-chasing is exact. Driver-side by
+    design: the log is one row per merge EVENT, kilobytes against any
+    corpus, and the resolved dict is broadcast back into the read path.
+    """
+    nxt = {}
+    for old, new in pairs:
+        if old == new:
+            continue
+        if old < new:
+            raise ValueError(
+                f"remap {old}->{new} increases the root; the min-id "
+                "convention requires strictly decreasing targets"
+            )
+        nxt[old] = new
+    resolved: dict[int, int] = {}
+
+    def final(r: int) -> int:
+        seen = []
+        while r in nxt and r not in resolved:
+            seen.append(r)
+            r = nxt[r]
+        r = resolved.get(r, r)
+        for s in seen:
+            resolved[s] = r
+        return r
+
+    for old in nxt:
+        final(old)
+    return resolved
+
+
 def _driver_finish(e: DataFrame, selfmap: DataFrame, n_e: int, stats: dict | None) -> DataFrame:
     """Finish the closure locally: one bounded collect + min-rooted
     union-find (union always parents the larger root under the smaller,

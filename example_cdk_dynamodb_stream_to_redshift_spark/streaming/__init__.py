@@ -1,3 +1,5 @@
+from .boilerplate_maintenance import SegmentDocFreqStore  # noqa: F401
+from .cluster_maintenance import ClusterMaintenance  # noqa: F401
 from .corpus import CorpusIngestPipeline  # noqa: F401
 from .drift_maintenance import ProfileMonitor  # noqa: F401
 from .heavyhitter_maintenance import HeavyHitterMaintenance  # noqa: F401

@@ -139,11 +139,33 @@ def compact_root(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    write_compact(df, root, sources, target_partitions=target_partitions)
+    return True
+
+
+def write_compact(
+    df: DataFrame,
+    root: str,
+    sources: list[str],
+    target_partitions: int = 8,
+) -> str:
+    """Write ``df`` as the next ``compact=<k>`` directory under ``root``
+    with a marker superseding ``sources``, following the module's
+    crash-safety protocol (temp write + marker, atomic rename, then
+    source deletion). ``df`` must already carry ``batch_id`` as a DATA
+    column. ``k`` is one past the highest compact id ON DISK (superseded
+    dirs pending deletion included), so a k collision is impossible even
+    mid-cleanup. Returns the new directory path.
+
+    This is the shared tail of ``compact_root``, public so stores whose
+    consolidation TRANSFORMS rows (ClusterMaintenance.checkpoint applies
+    the root-remap log while rewriting) reuse the exact same protocol
+    instead of copying it."""
     next_k = (
         max(
             (
                 int(os.path.basename(d).split("=", 1)[1])
-                for d in compact_dirs
+                for d in _glob.glob(os.path.join(root, "compact=*"))
             ),
             default=-1,
         )
@@ -154,10 +176,11 @@ def compact_root(
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_compacted_from.json"), "w") as fh:
         _json.dump({"superseded": [os.path.basename(d) for d in sources]}, fh)
-    os.replace(tmp, os.path.join(root, f"compact={next_k}"))
+    dest = os.path.join(root, f"compact={next_k}")
+    os.replace(tmp, dest)
     for d in sources:
         _shutil.rmtree(d, ignore_errors=True)
-    return True
+    return dest
 
 
 class MicroBatchStore:

@@ -1,0 +1,267 @@
+"""Micro-batch-maintained dedup clusters: incremental connected
+components over a stream of near-dup edges, on the batch-id store
+layout (streaming/batch_layout).
+
+The batch form (operators/components.connected_components) recomputes
+the transitive closure over EVERY edge ever seen; at 100 TB with a
+steady trickle of new documents that is a full-history recompute per
+micro-batch. This store instead keeps the closure MAINTAINED:
+
+- ``nodes`` store — append-only ``(node, root)`` assignments, one row
+  per node EVER, written once at first sighting and never rewritten
+  (the heavy-hitter "landed data is never rescanned" posture, applied
+  to cluster state);
+- ``remaps`` store — the merge log: one ``(old_root, new_root)`` row
+  per cluster-merge EVENT. Roots only ever decrease (min-id canonical
+  convention), so the log is acyclic and each superseded root appears
+  at most once as a source; the driver resolves chains
+  (``5→4, 4→3 ⇒ 5→3``) with operators/components.resolve_remaps and
+  the read path applies the resolved map with one broadcast join.
+
+Per-batch cost is bounded by the BATCH, not the corpus: one broadcast
+semi-join probe of the nodes store (the only corpus-sized touch — scan
+yes, shuffle no; bucket the store by ``node`` on a real cluster and
+the probe prunes too), a closure over the batch-contracted root graph
+(≤ 2|E_batch| nodes, normally finishing in connected_components'
+size-adaptive driver path), and batch-bounded artifact writes. Reads
+(``clusters()``) are one nodes-store scan + one broadcast remap join —
+no closure recomputation, ever.
+
+Replay safety follows the shared recipe: each batch overwrites its own
+``batch_id=<n>`` directories in BOTH stores, and the probe/remap reads
+exclude the in-flight batch id (by directory, or by VALUE after
+compaction), so an at-least-once retry recomputes against exactly the
+pre-batch state. ``checkpoint()`` folds the remap log into the stored
+assignments (crash-safe via batch_layout.write_compact), protecting
+the newest ``keep_last`` batch directories the way ``compact_root``
+does — a replayed batch that had already been folded would otherwise
+land its node rows twice — and shrinks the log to the entries those
+kept directories can still need.
+
+Growth bounds, stated honestly: the nodes store is one row per
+distinct endpoint ever (corpus-scale, distributed, append-only — the
+artifact IS the answer, so this is the floor); the remap log is one
+row per merge event, ≤ the number of roots ever superseded, kilobytes
+in practice — and ``checkpoint()`` trims it back whenever it grows
+past comfort.
+
+Reference scope: the reference app (damc-dev/example-cdk-dynamodb-
+stream-to-redshift) has no dedup surface; this extends the engine's
+dedup family (minhash/simhash pair generators + batch CC) to the
+streaming regime per the build brief.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.components import incremental_step, resolve_remaps
+from .batch_layout import live_dirs, read_root, write_compact
+
+NODE_FIELDS = [
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("node", T.LongType()),
+    T.StructField("root", T.LongType()),
+]
+REMAP_FIELDS = [
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("old_root", T.LongType()),
+    T.StructField("new_root", T.LongType()),
+]
+
+
+class ClusterMaintenance:
+    """Maintain dedup-cluster assignments across micro-batches of
+    near-dup edges (``src_col``/``dst_col`` node ids, castable to
+    long). Components are canonicalized to their minimum node id, the
+    same survivor convention as the batch operator, so the maintained
+    result is comparable row-for-row with
+    ``connected_components(all_edges_so_far)`` — the invariant
+    tests/test_cluster_maintenance.py pins on random batch slicings."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ) -> None:
+        self.spark = spark
+        self.src_col = src_col
+        self.dst_col = dst_col
+        self._nodes_dir = os.path.join(root, "_cluster_nodes")
+        self._remaps_dir = os.path.join(root, "_cluster_remaps")
+
+    # -- write path ---------------------------------------------------------
+    def process_batch(self, edges_df: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch of edges into the maintained state:
+        probe current assignments for the batch's endpoints, close over
+        the contracted batch graph, then write the two increments —
+        first-sighting assignments (distributed write; batch-bounded)
+        and merge events (collected; merge-event-bounded) — each into
+        its own ``batch_id=<n>`` directory (overwrite = idempotent
+        replay)."""
+        step = incremental_step(
+            edges_df, self._mapping(exclude_batch=batch_id),
+            self.src_col, self.dst_col,
+        ).localCheckpoint()  # two consumers below; one step computation
+        new_nodes = step.filter(F.col("prev_root").isNull()).select(
+            "node", "root"
+        )
+        remaps = (
+            step.filter(
+                F.col("prev_root").isNotNull()
+                & (F.col("prev_root") != F.col("root"))
+            )
+            .select(
+                F.col("prev_root").alias("old_root"),
+                F.col("root").alias("new_root"),
+            )
+            .distinct()
+        )
+        new_nodes.write.mode("overwrite").parquet(
+            os.path.join(self._nodes_dir, f"batch_id={batch_id}")
+        )
+        # merge log rows are event-bounded — the tiny-frame local write
+        rows = remaps.collect()
+        self.spark.createDataFrame(rows, remaps.schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._remaps_dir, f"batch_id={batch_id}"))
+
+    def wrap(self, sink):
+        """foreachBatch pass-through (the shared chaining shape):
+        maintain clusters from the batch's edges, then hand the
+        UNCHANGED batch to the inner sink."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            sink(batch_df, batch_id)
+
+        return _fn
+
+    # -- read path ----------------------------------------------------------
+    def _remap_pairs(self, exclude_batch: int | None = None) -> list:
+        df = read_root(
+            self.spark, self._remaps_dir, REMAP_FIELDS, exclude_batch
+        )
+        return [(r["old_root"], r["new_root"]) for r in df.collect()]
+
+    def _remap_frame(self, exclude_batch: int | None = None) -> DataFrame:
+        resolved = resolve_remaps(self._remap_pairs(exclude_batch))
+        return self.spark.createDataFrame(
+            list(resolved.items()) or [(None, None)],
+            "old_root long, new_root long",
+        ).filter(F.col("old_root").isNotNull())
+
+    def _mapping(self, exclude_batch: int | None = None) -> DataFrame:
+        nodes = read_root(
+            self.spark, self._nodes_dir, NODE_FIELDS, exclude_batch
+        )
+        rm = self._remap_frame(exclude_batch)
+        return nodes.join(
+            F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
+        ).select(
+            "node", F.coalesce("new_root", "root").alias("component")
+        )
+
+    def clusters(self) -> DataFrame:
+        """Current ``(node, component)`` over everything landed —
+        component = minimum reachable node id. One nodes-store scan plus
+        one broadcast remap join; the closure is never recomputed."""
+        return self._mapping()
+
+    def assignments(self) -> DataFrame:
+        """``(batch_id, node, component)`` — ``clusters()`` plus the
+        batch each node first landed in, for lineage-style questions
+        ("which ingest introduced this cluster member")."""
+        nodes = read_root(self.spark, self._nodes_dir, NODE_FIELDS)
+        rm = self._remap_frame()
+        return nodes.join(
+            F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
+        ).select(
+            "batch_id", "node", F.coalesce("new_root", "root").alias("component")
+        )
+
+    def remap_log_size(self) -> int:
+        """Merge events currently in the log — the checkpoint() trigger
+        metric (driver memory during reads is O(this))."""
+        return len(self._remap_pairs())
+
+    # -- maintenance --------------------------------------------------------
+    def checkpoint(
+        self, target_partitions: int = 8, keep_last: int = 2
+    ) -> bool:
+        """Fold the remap log into the stored assignments: rewrite the
+        consolidatable node directories as one compact directory with
+        every root resolved (batch_id preserved as a data column, so
+        the replay guard keeps working by value), then shrink the remap
+        log to the entries the surviving directories can still need.
+        Both rewrites use batch_layout.write_compact's crash-safety
+        protocol (marker + atomic rename), and a batch landing
+        mid-checkpoint is neither absorbed nor deleted.
+
+        ``keep_last`` protects the newest N batch directories from
+        consolidation — the same replay guard as ``compact_root``: a
+        replayed batch whose rows were ALREADY folded into a compact
+        directory would land its rows a second time (exclude-by-value
+        only shields the batch's own processing, not later reads).
+        Keeping the replayable dirs out keeps every node row landed
+        exactly once. A kept directory from batch N can only be stale
+        through merges recorded AFTER N (its own batch wrote
+        fully-resolved roots), so the log keeps exactly the rows with
+        ``batch_id >= min(kept ids)`` and drops the rest — folded rows
+        carry current roots, which are never remap sources, so the
+        retained entries are no-ops for them. Returns True if a
+        rewrite ran."""
+        nb, nc = live_dirs(self._nodes_dir)
+        nb = sorted(
+            nb, key=lambda d: int(os.path.basename(d).split("=", 1)[1])
+        )
+        kept = nb[len(nb) - keep_last:] if keep_last else []
+        fold_batches = nb[: len(nb) - len(kept)]
+        fold = fold_batches + nc
+        if len(fold) <= 1 and not self._remap_pairs():
+            return False
+        parts = []
+        if fold_batches:
+            parts.append(
+                self.spark.read.option("basePath", self._nodes_dir)
+                .parquet(*fold_batches)
+            )
+        if nc:
+            parts.append(self.spark.read.parquet(*nc))
+        if not parts:
+            return False
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+        rm = self._remap_frame()
+        resolved = nodes.join(
+            F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
+        ).select(
+            "batch_id", "node", F.coalesce("new_root", "root").alias("root")
+        ).localCheckpoint()  # materialize BEFORE superseding its inputs
+        write_compact(
+            resolved, self._nodes_dir, fold,
+            target_partitions=target_partitions,
+        )
+        rb, rc = live_dirs(self._remaps_dir)
+        if rb or rc:
+            thresh = min(
+                (int(os.path.basename(d).split("=", 1)[1]) for d in kept),
+                default=None,
+            )
+            survivors = read_root(self.spark, self._remaps_dir, REMAP_FIELDS)
+            survivors = (
+                survivors.filter(F.col("batch_id") >= F.lit(thresh))
+                if thresh is not None
+                else survivors.limit(0)
+            ).localCheckpoint()
+            write_compact(
+                survivors, self._remaps_dir, rb + rc, target_partitions=1
+            )
+        return True

@@ -1,0 +1,239 @@
+"""Maintained dedup clusters (streaming/cluster_maintenance) — the
+incremental closure equals connected_components over everything landed,
+under fixed adversarial batchings (cross-batch chain merges, a new node
+becoming the root of an old cluster, idle batches, self-loops), under
+random hypothesis slicings, across replay, and across checkpoint()
+(fold + log trim) — plus the pure resolve_remaps contract and the
+plan-shape guarantee that reads never shuffle the nodes store."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.components import (
+    connected_components,
+    incremental_step,
+    resolve_remaps,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.cluster_maintenance import (
+    ClusterMaintenance,
+)
+
+SCHEMA = "src long, dst long"
+
+# Adversarial fixed batching:
+#  b0: two separate pairs                       -> {10,11}@10, {20,21}@20
+#  b1: bridge the pairs (merge 20-root into 10) -> remap 20->10
+#  b2: idle batch (must not disturb anything)
+#  b3: NEW smaller id joins: 5 becomes the root -> remap 10->5 (chain 20->10->5)
+#  b4: self-loop only node + a fresh pair
+#  b5: duplicate + reversed edges of b0 (all no-ops)
+BATCHES = [
+    [(10, 11), (20, 21)],
+    [(11, 20)],
+    [],
+    [(5, 21)],
+    [(30, 30), (40, 41)],
+    [(11, 10), (21, 20)],
+]
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges or [], SCHEMA)
+
+
+def _batch_truth(spark, edges):
+    if not edges:
+        return []
+    got = connected_components(_edges_df(spark, edges)).collect()
+    return sorted((r["node"], r["component"]) for r in got)
+
+
+def _store(spark, tmp_path, name="cm"):
+    return ClusterMaintenance(spark, str(tmp_path / name))
+
+
+def _feed(spark, store, batches, start=0):
+    for i, b in enumerate(batches, start=start):
+        store.process_batch(_edges_df(spark, b), i)
+
+
+def _clusters(store):
+    return sorted((r["node"], r["component"]) for r in store.clusters().collect())
+
+
+def test_incremental_equals_batch_after_every_batch(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    seen: list[tuple[int, int]] = []
+    for i, b in enumerate(BATCHES):
+        store.process_batch(_edges_df(spark, b), i)
+        seen.extend(b)
+        assert _clusters(store) == _batch_truth(spark, seen), f"batch {i}"
+    # the final state exercises a 20->10->5 remap chain
+    assert dict(_clusters(store))[20] == 5
+    assert dict(_clusters(store))[30] == 30  # self-loop-only node kept
+
+
+def test_one_big_batch_agrees_with_many_small(spark, tmp_path):
+    many = _store(spark, tmp_path, "many")
+    _feed(spark, many, BATCHES)
+    one = _store(spark, tmp_path, "one")
+    one.process_batch(_edges_df(spark, [e for b in BATCHES for e in b]), 0)
+    assert _clusters(many) == _clusters(one)
+
+
+def test_each_node_lands_exactly_once(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    rows = store.assignments().collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    # first sighting wins: node 21 arrived in batch 0, re-seen later
+    by_node = {r["node"]: r["batch_id"] for r in rows}
+    assert by_node[21] == 0 and by_node[5] == 3
+
+
+def test_replay_overwrites_itself(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    before = _clusters(store)
+    last = len(BATCHES) - 1
+    store.process_batch(_edges_df(spark, BATCHES[last]), last)  # retry
+    assert _clusters(store) == before
+    rows = store.assignments().collect()
+    assert len(rows) == len({r["node"] for r in rows})
+
+
+def test_checkpoint_preserves_state_and_trims_log(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    before = _clusters(store)
+    assert store.remap_log_size() == 2  # 20->10 and 10->5
+    assert store.checkpoint() is True
+    assert _clusters(store) == before
+    # both merges happened before the kept tail (batches 4,5) -> trimmed
+    assert store.remap_log_size() == 0
+    # continue streaming after the fold: merge a folded cluster again
+    store.process_batch(_edges_df(spark, [(1, 40)]), len(BATCHES))
+    seen = [e for b in BATCHES for e in b] + [(1, 40)]
+    assert _clusters(store) == _batch_truth(spark, seen)
+    # idempotent second checkpoint over a quiet store
+    store.checkpoint()
+    assert _clusters(store) == _batch_truth(spark, seen)
+
+
+def test_replay_after_checkpoint_no_double_landing(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    store.checkpoint(keep_last=2)
+    before = _clusters(store)
+    last = len(BATCHES) - 1
+    store.process_batch(_edges_df(spark, BATCHES[last]), last)  # retry
+    assert _clusters(store) == before
+    rows = store.clusters().collect()
+    assert len(rows) == len({r["node"] for r in rows})
+
+
+def test_checkpoint_keeps_remaps_the_kept_dirs_need(spark, tmp_path):
+    # merges recorded in the KEPT tail must survive the log trim: batch 2
+    # merges clusters born in batches 0 and 1, then checkpoint keeps
+    # batches 1,2 — batch 1's dir stores root 30 for node 31, resolved
+    # only through batch 2's (30 -> 10) entry.
+    store = _store(spark, tmp_path)
+    _feed(spark, store, [[(10, 11)], [(30, 31)], [(31, 11)]])
+    truth = _batch_truth(spark, [(10, 11), (30, 31), (31, 11)])
+    assert _clusters(store) == truth
+    store.checkpoint(keep_last=2)
+    assert store.remap_log_size() == 1
+    assert _clusters(store) == truth
+
+
+def test_checkpoint_keep_last_zero_quiescent(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    before = _clusters(store)
+    store.checkpoint(keep_last=0)
+    assert store.remap_log_size() == 0
+    assert _clusters(store) == before
+
+
+def test_wrap_passes_batch_through_unchanged(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    got = []
+    fn = store.wrap(lambda df, bid: got.append((bid, df.count())))
+    fn(_edges_df(spark, BATCHES[0]), 0)
+    assert got == [(0, 2)]
+    assert _clusters(store) == _batch_truth(spark, BATCHES[0])
+
+
+def test_empty_store_reads(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.clusters().count() == 0
+    assert store.remap_log_size() == 0
+    assert store.checkpoint() is False
+
+
+def test_clusters_plan_never_shuffles_the_store(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    plan = store.clusters()._sc._jvm.PythonSQLUtils.explainString(
+        store.clusters()._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_step_contract(spark):
+    mapping = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20)], "node long, component long"
+    )
+    out = incremental_step(
+        spark.createDataFrame([(11, 20), (7, 99)], SCHEMA), mapping
+    ).collect()
+    got = {r["node"]: (r["prev_root"], r["root"]) for r in out}
+    assert got[11] == (10, 10)
+    assert got[20] == (20, 10)  # merged into the smaller root
+    assert got[7] == (None, 7)  # fresh pair, min id is the root
+    assert got[99] == (None, 7)
+
+
+def test_resolve_remaps_pure():
+    assert resolve_remaps([(5, 4), (4, 3)]) == {5: 3, 4: 3}
+    assert resolve_remaps([(9, 2), (7, 5), (5, 2)]) == {9: 2, 7: 2, 5: 2}
+    assert resolve_remaps([]) == {}
+    assert resolve_remaps([(4, 4)]) == {}  # self no-op dropped
+    with pytest.raises(ValueError):
+        resolve_remaps([(3, 8)])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_slicings_match_batch_closure(
+    spark, tmp_path_factory, edges, cuts
+):
+    bounds = sorted({min(c, len(edges)) for c in cuts})
+    slices, prev = [], 0
+    for c in bounds + [len(edges)]:
+        slices.append(edges[prev:c])
+        prev = c
+    root = tmp_path_factory.mktemp("cm-hyp")
+    store = ClusterMaintenance(spark, str(root))
+    _feed(spark, store, slices)
+    assert _clusters(store) == _batch_truth(spark, edges)
