@@ -1,0 +1,135 @@
+"""Shingle rarity analysis: corpus document frequencies of word
+n-grams, their spectrum, and a per-document uniqueness profile.
+
+The dedup family answers "which documents repeat each other"
+(minhash/simhash/winnowing) and the boilerplate family answers "which
+SEGMENTS repeat within a source"; this module answers the inverse
+diagnostic a curation pipeline reads before setting either family's
+thresholds: how duplicated is the corpus at the n-gram level
+(``docfreq_spectrum`` — the df histogram whose head is boilerplate and
+whose tail is unique content), and how much of EACH document is its
+own (``uniqueness_profile`` — the fraction of a doc's distinct
+shingles found nowhere else; near-dups and template pages score low,
+fresh content scores high). The per-doc profile is the standard
+triage signal for ordering dedup candidates and for estimating how
+much a corpus shrinks under span-level dedup (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+Scale shape (100 TB posture):
+- ONE shingle pass per corpus scan (operators/dedup.shingle_rows — the
+  codegen'd lead-window form), immediately reduced to ``(id, md5)``
+  DISTINCT rows: every downstream shuffle carries 32-byte hashes,
+  never text.
+- document frequency is one groupBy over the hash — uniform 128-bit
+  key, map-side partials; the hot-shingle skew lives in the JOIN back
+  to doc rows, where AQE skew-join splits it (same posture as
+  ngram_decontamination).
+- the profile's two aggregations consume one shingle index built as
+  canonically IDENTICAL subtrees (the NULL-id filter in
+  ``_doc_shingles`` aligns them with the join's pushed predicate), so
+  AQE reuses the tokenize/explode exchange at runtime — the corpus is
+  scanned and split ONCE; only the cheap post-shuffle window + hash
+  aggregations run per consumer. No manual caching, no checkpoint of
+  a token-scale index.
+- outputs are bounded: the spectrum by distinct df values, the profile
+  by document count. Nothing collects.
+
+Maintained-store note: per-batch document frequencies are additive
+when each document lands in exactly one batch, which is the
+SegmentDocFreqStore recipe (streaming/boilerplate_maintenance) with
+shingles in place of segments — reuse that store rather than a
+parallel implementation here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct ``(id, g)`` — each document's shingle SET as md5 keys.
+
+    The explicit NULL-id filter is load-bearing for the plan, not just
+    the convention (a NULL id is not a countable document): the
+    profile's totals branch gets ``isnotnull(id)`` pushed into it by
+    its join anyway, and applying the SAME filter here keeps both
+    consumers' subtrees canonically identical, so Spark reuses the
+    tokenize/explode exchange instead of scanning the corpus twice
+    (pinned in tests/test_rarity.py)."""
+    return (
+        shingle_rows(
+            df.filter(F.col(id_col).isNotNull()), text_col, id_col, n
+        )
+        .select("id", F.md5("s").alias("g"))
+        .distinct()
+    )
+
+
+def shingle_docfreq(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(g, df)`` — md5 of every distinct word-``n``-gram in the corpus
+    with the number of DISTINCT documents containing it (set semantics:
+    repeats inside one document count once, matching the boilerplate
+    family's document-frequency convention)."""
+    return _doc_shingles(df, text_col, id_col, n).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def docfreq_spectrum(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(df, n_shingles)`` ordered by ``df`` — how many distinct
+    n-grams appear in exactly ``df`` documents. ``df = 1`` is the
+    unique tail (the corpus's own content); the high-df head is
+    boilerplate — the two ends this histogram exists to size before
+    picking dedup/boilerplate thresholds. Output is bounded by the
+    number of distinct df values (<= max df, heavily concentrated in
+    practice); bucketing further is a projection the caller owns."""
+    return (
+        shingle_docfreq(df, text_col, id_col, n)
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .orderBy("df")
+    )
+
+
+def uniqueness_profile(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Per-document uniqueness: ``(id, n_shingles, n_unique)`` where
+    ``n_shingles`` counts the doc's DISTINCT word-n-grams and
+    ``n_unique`` those appearing in NO other document (corpus df = 1).
+    Documents shorter than ``n`` tokens have no shingles and report
+    ``(0, 0)`` — every input document gets a row. Integer-only on
+    purpose: the ratio ``n_unique / n_shingles`` is one projection
+    away, and keeping the public frame exact keeps it oracle-stable."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # a df = 1 shingle has exactly ONE (id, g) row, so min(id) IS its
+    # owning document — n_unique needs no join back onto the (skewed)
+    # shingle key at all, just a second aggregation over the same
+    # distinct index
+    uniq = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("id").alias("id"))
+        .filter(F.col("df") == 1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(uniq, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        )
+    )

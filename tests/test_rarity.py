@@ -1,0 +1,147 @@
+"""Shingle rarity (operators/rarity.py) vs a pure-Python reference:
+document frequencies, the df spectrum, and the per-doc uniqueness
+profile — on fixed corpora (shared shingles, within-doc repeats,
+short docs, empty text), hypothesis-random corpora, and the real
+documents table; plus the plan-shape pin that the profile's two uses
+of the shingle index share one exchange."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+    docfreq_spectrum,
+    shingle_docfreq,
+    uniqueness_profile,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.sources.tables import (
+    load_table,
+)
+
+SCHEMA = "doc_id long, text string"
+
+CORPUS = [
+    (0, "a b c d e"),          # shares "a b c" with doc 1
+    (1, "a b c x y"),
+    (2, "p q r p q r p q"),    # within-doc repeat: "p q r" twice, once as set
+    (3, "one two"),            # shorter than n=3 -> no shingles
+    (4, ""),                   # empty text
+    (5, "u v w z z z"),
+]
+N = 3
+
+
+def _py_doc_sets(corpus, n):
+    out = {}
+    for i, text in corpus:
+        toks = text.split(" ")
+        out[i] = {
+            " ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)
+        }
+    return out
+
+
+def _py_profile(corpus, n):
+    sets = _py_doc_sets(corpus, n)
+    df = Counter(s for v in sets.values() for s in v)
+    return {
+        i: (len(v), sum(1 for s in v if df[s] == 1)) for i, v in sets.items()
+    }
+
+
+def _df(spark, corpus=CORPUS):
+    return spark.createDataFrame(corpus, SCHEMA)
+
+
+def test_docfreq_matches_reference(spark):
+    got = {
+        r["g"]: r["df"]
+        for r in shingle_docfreq(_df(spark), "text", "doc_id", N).collect()
+    }
+    sets = _py_doc_sets(CORPUS, N)
+    want = Counter(s for v in sets.values() for s in v)
+    # compare via counts only (Spark keys are md5'd)
+    assert sorted(got.values()) == sorted(want.values())
+    assert len(got) == len(want)
+
+
+def test_spectrum_matches_reference(spark):
+    got = {
+        r["df"]: r["n_shingles"]
+        for r in docfreq_spectrum(_df(spark), "text", "doc_id", N).collect()
+    }
+    sets = _py_doc_sets(CORPUS, N)
+    df = Counter(s for v in sets.values() for s in v)
+    want = Counter(df.values())
+    assert got == dict(want)
+
+
+def test_profile_matches_reference_and_covers_every_doc(spark):
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"])
+        for r in uniqueness_profile(_df(spark), "text", "doc_id", N).collect()
+    }
+    assert got == _py_profile(CORPUS, N)
+    assert got[3] == (0, 0) and got[4] == (0, 0)  # short/empty docs kept
+    # "p q r p q r p q" has 6 shingle POSITIONS but only 3 distinct
+    # values — within-doc repeats count once (set semantics)
+    assert got[2] == (3, 3)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e".split()), min_size=0, max_size=9
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_corpora_match_reference(spark, texts, n):
+    corpus = list(enumerate(texts))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"])
+        for r in uniqueness_profile(
+            _df(spark, corpus), "text", "doc_id", n
+        ).collect()
+    }
+    assert got == _py_profile(corpus, n)
+
+
+def test_real_documents_sanity(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prof = uniqueness_profile(docs, "text", "doc_id", 8)
+    rows = prof.collect()
+    assert len(rows) == docs.count()  # every doc keeps a row
+    assert all(0 <= r["n_unique"] <= r["n_shingles"] for r in rows)
+    # the synthetic corpus has both shared and unique content
+    assert any(r["n_unique"] < r["n_shingles"] for r in rows)
+    assert any(r["n_unique"] > 0 for r in rows)
+
+
+def test_profile_plan_reuses_the_tokenize_exchange(spark):
+    """The profile's two aggregations consume one shingle index; the
+    aligned NULL-id filter keeps their subtrees canonically identical,
+    so AQE's FINAL plan (file sources, post-execution) reuses the
+    tokenize/explode exchange — the corpus is scanned and split ONCE."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = uniqueness_profile(docs, "text", "doc_id", 8)
+    out.collect()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoop" not in final
