@@ -31,6 +31,15 @@ history probe per batch to one bitset lookup per doc. The bitset decides
 only WHAT gets verified, never the answer, so the kept set is IDENTICAL
 to the scan mode (tests/test_corpus_ingest.py proves equivalence on a
 multi-refresh fixture).
+
+``near_dedup="cluster"`` composes the same incremental LSH pair stream
+with the maintained closure (streaming/cluster_maintenance) instead of
+dropping: every exact-unique doc lands, and the near-dup CLUSTER
+assignment is kept current batch-by-batch — the reversible dedup policy
+(survivor choice and near-dup-aware weights stay downstream decisions).
+tests/test_corpus_cluster_mode.py pins the maintained assignment equal
+to the batch pipeline (full-corpus LSH pairs -> connected components)
+after every refresh.
 """
 
 from __future__ import annotations
@@ -70,7 +79,7 @@ class CorpusIngestPipeline:
         spark: SparkSession,
         input_path: str,
         warehouse: str,
-        near_dedup: bool = False,
+        near_dedup: bool | str = False,
         num_hashes: int = 16,
         bands: int = 4,
         jaccard_threshold: float = 0.5,
@@ -88,9 +97,27 @@ class CorpusIngestPipeline:
         exact history verify for bloom-positive batch docs (identical
         kept set — the bitset has no false negatives and its false
         positives are re-checked exactly). Size ``bloom_bits`` at ~10
-        bits per expected corpus doc for ε ≈ 1%."""
+        bits per expected corpus doc for ε ≈ 1%.
+
+        ``near_dedup`` picks the near-duplicate POLICY:
+
+        - ``False`` — exact (fingerprint) dedup only;
+        - ``True`` / ``"drop"`` — near-dup batch docs are DROPPED at
+          ingest (greedy keep-first), the corpus stays near-dup-free;
+        - ``"cluster"`` — near-dup docs are KEPT and their cluster
+          assignments MAINTAINED (ClusterMaintenance over the same LSH
+          pair stream): the reversible policy for when dedup decisions
+          are revisited downstream (per-cluster survivor choice,
+          near-dup-aware sampling weights). ``clusters()`` reads the
+          assignment; ``canonical_corpus()`` applies the min-id
+          survivor convention."""
         if history_probe not in ("scan", "bloom"):
             raise ValueError(f"history_probe must be scan|bloom, got {history_probe!r}")
+        modes = {False: None, True: "drop", "drop": "drop", "cluster": "cluster"}
+        if near_dedup not in modes:
+            raise ValueError(
+                f"near_dedup must be False|True|'drop'|'cluster', got {near_dedup!r}"
+            )
         # trained quality gate (operators/quality_classifier.py weights):
         # scored per micro-batch, docs below threshold never reach the
         # dedup machinery — the learned complement of the Gopher rules
@@ -103,7 +130,13 @@ class CorpusIngestPipeline:
         self.index_path = os.path.join(warehouse, "band_index")
         self.checkpoint = os.path.join(warehouse, "_checkpoint")
         self.bloom_path = os.path.join(warehouse, "fp_bloom.bin")
-        self.near_dedup = near_dedup
+        self.dedup_mode = modes[near_dedup]
+        # truthy for BOTH near-dup modes (index maintenance, compaction)
+        self.near_dedup = self.dedup_mode is not None
+        if self.dedup_mode == "cluster":
+            from .cluster_maintenance import ClusterMaintenance
+
+            self._clusters = ClusterMaintenance(spark, warehouse)
         self.num_hashes = num_hashes
         self.bands = bands
         self.jaccard_threshold = jaccard_threshold
@@ -186,7 +219,7 @@ class CorpusIngestPipeline:
         history = self.corpus(exclude_batch=batch_id)
         seen = self._seen_fingerprints(firsts, history, batch_id)
         novel = firsts.join(F.broadcast(seen), "fp", "left_anti")
-        if self.near_dedup:
+        if self.dedup_mode == "drop":
             novel = self._near_dedup_batch(novel, history, batch_id)
         # batch-scoped overwrite => replay-idempotent append
         novel.write.mode("overwrite").parquet(
@@ -215,6 +248,71 @@ class CorpusIngestPipeline:
             ).write.mode("overwrite").parquet(
                 os.path.join(self.index_path, f"batch_id={batch_id}")
             )
+            if self.dedup_mode == "cluster":
+                self._cluster_batch(landed, batch_id)
+
+    def _cluster_batch(self, landed: DataFrame, batch_id: int) -> None:
+        """Fold the batch's verified near-dup pairs into the maintained
+        cluster assignment: cross-batch pairs from ONE probe of the
+        persisted band index (the landed history is never re-shingled),
+        within-batch pairs from an LSH self-join over the (small) batch
+        reusing its just-written band rows — then one
+        ClusterMaintenance.process_batch, whose own exclude-batch replay
+        guard composes with this store's."""
+        batch_index = self.spark.read.parquet(
+            os.path.join(self.index_path, f"batch_id={batch_id}")
+        ).select("id", "band", "key")
+        cross = _dedup.incremental_near_dup_pairs(
+            self.band_index(exclude_batch=batch_id).select("id", "band", "key"),
+            self.corpus(exclude_batch=batch_id),
+            landed,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=self.jaccard_threshold,
+            batch_index=batch_index,
+        )
+        within = _dedup.minhash_lsh_near_dup_pairs(
+            landed,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=self.jaccard_threshold,
+            band_index=batch_index,
+        )
+        edges = cross.select(
+            F.col("batch_id").alias("src"), F.col("corpus_id").alias("dst")
+        ).union(
+            within.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        self._clusters.process_batch(edges, batch_id)
+
+    # -- cluster-mode reads -------------------------------------------------
+    def clusters(self) -> DataFrame:
+        """Current ``(node, component)`` near-dup cluster assignment
+        (cluster mode only) — docs with no near-dup edge are absent;
+        they are their own singleton component by convention."""
+        if self.dedup_mode != "cluster":
+            raise ValueError("clusters() requires near_dedup='cluster'")
+        return self._clusters.clusters()
+
+    def canonical_corpus(self) -> DataFrame:
+        """The corpus reduced to one survivor per near-dup cluster
+        (minimum doc_id — the same canonical convention as the batch
+        dedup_clusters query), computed from the MAINTAINED assignment:
+        no pair regeneration, no closure recomputation at read time."""
+        if self.dedup_mode != "cluster":
+            raise ValueError("canonical_corpus() requires near_dedup='cluster'")
+        comp = self._clusters.clusters().select(
+            F.col("node").alias("doc_id"), "component"
+        )
+        corpus = self.corpus()
+        return (
+            corpus.join(comp, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("component"), F.col("doc_id"))
+                == F.col("doc_id")
+            )
+            .drop("component")
+        )
 
     def _seen_fingerprints(
         self, firsts: DataFrame, history: DataFrame, batch_id: int
@@ -362,3 +460,7 @@ class CorpusIngestPipeline:
             batch_layout.compact_root(
                 self.spark, root, target_partitions=target_partitions
             )
+        if self.dedup_mode == "cluster":
+            # fold the cluster store's remap log too (its own keep_last
+            # guard protects the replayable tail)
+            self._clusters.checkpoint(target_partitions=target_partitions)
