@@ -208,6 +208,15 @@ def incremental_step(
     rewritten; merges are carried as a remap log applied at read time
     (streaming/cluster_maintenance.ClusterMaintenance).
     """
+    dtypes = dict(edges.dtypes)
+    for c in (src, dst):
+        if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"edge column {c!r} must be an integral node id (got "
+                f"{dtypes.get(c)}); a lossy cast would silently DROP "
+                "rows as NULL — hash string ids to int64 upstream "
+                "(xxhash64) instead."
+            )
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")

@@ -35,10 +35,12 @@ Scale shape (100 TB posture):
   by document count. Nothing collects.
 
 Maintained-store note: per-batch document frequencies are additive
-when each document lands in exactly one batch, which is the
-SegmentDocFreqStore recipe (streaming/boilerplate_maintenance) with
-shingles in place of segments — reuse that store rather than a
-parallel implementation here.
+when each document lands in exactly one batch — the same algebra
+SegmentDocFreqStore (streaming/boilerplate_maintenance) maintains for
+delimiter segments. A maintained shingle-df store would be that
+store's recipe with ``shingle_rows`` as the segmenter (its current
+implementation is delimiter-split only); build it there if the
+streaming form is ever needed rather than duplicating the store here.
 """
 
 from __future__ import annotations

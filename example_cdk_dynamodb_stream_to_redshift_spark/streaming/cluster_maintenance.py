@@ -186,6 +186,31 @@ class ClusterMaintenance:
             "batch_id", "node", F.coalesce("new_root", "root").alias("component")
         )
 
+    def cluster_sizes(self) -> DataFrame:
+        """``(component, n_nodes)`` over the maintained assignment —
+        the per-cluster duplication factor. Covers nodes that appeared
+        in some edge (the store's population); edge-free singletons are
+        size-1 clusters the caller's corpus join supplies by the usual
+        coalesce convention."""
+        return (
+            self.clusters()
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+
+    def size_spectrum(self) -> DataFrame:
+        """``(n_nodes, n_clusters)`` ordered by size — the dedup-payoff
+        histogram ("how many 2-dup, 10-dup, 1000-dup clusters"), the
+        number a curation pass reads to estimate corpus shrinkage
+        before choosing a survivor policy. Bounded by distinct cluster
+        sizes; answered from store state alone."""
+        return (
+            self.cluster_sizes()
+            .groupBy("n_nodes")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("n_nodes")
+        )
+
     def remap_log_size(self) -> int:
         """Merge events currently in the log — the checkpoint() trigger
         metric (driver memory during reads is O(this))."""

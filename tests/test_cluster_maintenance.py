@@ -160,6 +160,20 @@ def test_checkpoint_keep_last_zero_quiescent(spark, tmp_path):
     assert _clusters(store) == before
 
 
+def test_cluster_sizes_and_spectrum(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    # final components: {5,10,11,20,21} (size 5), {30} and {40,41}
+    sizes = {
+        r["component"]: r["n_nodes"] for r in store.cluster_sizes().collect()
+    }
+    assert sizes == {5: 5, 30: 1, 40: 2}
+    spectrum = {
+        r["n_nodes"]: r["n_clusters"] for r in store.size_spectrum().collect()
+    }
+    assert spectrum == {1: 1, 2: 1, 5: 1}
+
+
 def test_wrap_passes_batch_through_unchanged(spark, tmp_path):
     store = _store(spark, tmp_path)
     got = []
@@ -198,6 +212,13 @@ def test_incremental_step_contract(spark):
     assert got[20] == (20, 10)  # merged into the smaller root
     assert got[7] == (None, 7)  # fresh pair, min id is the root
     assert got[99] == (None, 7)
+
+
+def test_incremental_step_rejects_non_integral_ids(spark):
+    mapping = spark.createDataFrame([], "node long, component long")
+    bad = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="integral"):
+        incremental_step(bad, mapping)
 
 
 def test_resolve_remaps_pure():
