@@ -1,0 +1,111 @@
+"""Deterministic epoch shuffling (operators/ordering.py): the
+permutation is a seed-keyed bijection reproducible across runs and
+engines (DuckDB md5 parity), seeds genuinely re-permute, shards are
+uniform, epoch_order is shuffle-free, and the written layout is one
+in-order directory per shard."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.ordering import (
+    epoch_order,
+    epoch_order_write,
+)
+
+N_DOCS = 500
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+
+
+def _order(spark, docs, seed):
+    rows = epoch_order(docs, "doc_id", seed, N_SHARDS).collect()
+    return {r["doc_id"]: (r["shard"], r["h"]) for r in rows}
+
+
+def test_same_seed_reproduces_bit_identically(spark, docs):
+    assert _order(spark, docs, 7) == _order(spark, docs, 7)
+
+
+def test_new_seed_is_a_new_permutation(spark, docs):
+    a, b = _order(spark, docs, 1), _order(spark, docs, 2)
+    assert set(a) == set(b)  # same docs
+    # the h-orders genuinely differ (a fixed order would make every
+    # epoch identical)
+    rank_a = sorted(a, key=lambda d: a[d][1])
+    rank_b = sorted(b, key=lambda d: b[d][1])
+    assert rank_a != rank_b
+    moved = sum(1 for d in a if a[d][0] != b[d][0])
+    assert moved > N_DOCS // 4  # most docs change shard too
+
+
+def test_keys_are_a_bijection_and_shards_uniform(spark, docs):
+    got = _order(spark, docs, 3)
+    assert len({h for _, h in got.values()}) == N_DOCS  # distinct keys
+    counts = [0] * N_SHARDS
+    for s, _ in got.values():
+        counts[s] += 1
+    mean = N_DOCS / N_SHARDS
+    assert all(0.5 * mean <= c <= 1.5 * mean for c in counts), counts
+
+
+def test_duckdb_reproduces_the_permutation(spark, docs):
+    """The key is engine-portable: DuckDB's md5 over the same string
+    yields the identical permutation (the md5-parity footing every
+    hash-ordered oracle in the registry rests on)."""
+    got = sorted(
+        (r["h"], r["doc_id"])
+        for r in epoch_order(docs, "doc_id", 11, N_SHARDS).collect()
+    )
+    want = duckdb.connect().execute(
+        f"""
+        SELECT md5('11:' || CAST(i AS VARCHAR)) AS h, i
+        FROM range({N_DOCS}) t(i) ORDER BY 1
+        """
+    ).fetchall()
+    assert got == [(h, i) for h, i in want]
+
+
+def test_epoch_order_is_shuffle_free(spark, docs):
+    plan = epoch_order(docs, "doc_id", 5, N_SHARDS)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan  # pure projection
+    assert "Sort" not in plan
+
+
+def test_null_ids_rejected(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    out = epoch_order(df, "doc_id", 1, 4)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    with pytest.raises(ValueError):
+        epoch_order(df, "doc_id", 1, 0)
+
+
+def test_written_layout_is_sharded_and_in_order(spark, docs, tmp_path):
+    path = str(tmp_path / "epoch0")
+    epoch_order_write(docs, path, "doc_id", seed=0, n_shards=N_SHARDS)
+    back = spark.read.parquet(path)
+    assert back.count() == N_DOCS
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == set(
+        range(N_SHARDS)
+    )
+    # every shard directory reads back already in training order
+    for k in (0, 3, N_SHARDS - 1):
+        hs = [
+            r["h"]
+            for r in spark.read.parquet(f"{path}/shard={k}").select("h").collect()
+        ]
+        assert hs == sorted(hs) and hs
+    # the union is exactly the corpus, each doc exactly once
+    ids = [r["doc_id"] for r in back.select("doc_id").collect()]
+    assert sorted(ids) == list(range(N_DOCS))
