@@ -240,6 +240,7 @@ def test_resolve_remaps_pure():
         max_size=24,
     ),
     cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=3),
+    ckpt_after=st.integers(min_value=-1, max_value=3),
 )
 @settings(
     max_examples=10,
@@ -247,8 +248,12 @@ def test_resolve_remaps_pure():
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_random_slicings_match_batch_closure(
-    spark, tmp_path_factory, edges, cuts
+    spark, tmp_path_factory, edges, cuts, ckpt_after
 ):
+    """Random edge streams under random batchings, with a checkpoint()
+    interleaved at a random position (-1 = never): the maintained
+    closure equals connected_components over everything seen, and the
+    fold/trim never perturbs subsequent batches."""
     bounds = sorted({min(c, len(edges)) for c in cuts})
     slices, prev = [], 0
     for c in bounds + [len(edges)]:
@@ -256,5 +261,8 @@ def test_random_slicings_match_batch_closure(
         prev = c
     root = tmp_path_factory.mktemp("cm-hyp")
     store = ClusterMaintenance(spark, str(root))
-    _feed(spark, store, slices)
+    for i, b in enumerate(slices):
+        store.process_batch(_edges_df(spark, b), i)
+        if i == ckpt_after:
+            store.checkpoint()
     assert _clusters(store) == _batch_truth(spark, edges)
