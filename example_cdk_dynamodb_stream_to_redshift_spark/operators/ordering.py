@@ -58,8 +58,9 @@ def epoch_order(
     the consumer (``epoch_order_write``, or an ORDER BY h LIMIT k
     peek). Training order within a shard is ascending ``h``; the
     global epoch order is (shard, h), though loaders normally consume
-    shards independently. NULL ids are rejected loudly — a NULL would
-    hash to a constant shard and silently skew it."""
+    shards independently. NULL ids are dropped (a NULL key has no
+    identity to permute; its ``h`` is NULL and the row is filtered) —
+    pinned in tests/test_ordering.py."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     h = epoch_key(id_col, seed)
