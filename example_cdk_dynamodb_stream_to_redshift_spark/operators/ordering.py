@@ -74,6 +74,64 @@ def epoch_order(
     return out.filter(F.col(id_col).isNotNull())
 
 
+def repeated_epoch_order(
+    df: DataFrame, id_col: str, repeat_col: str, seed: int, n_shards: int
+) -> DataFrame:
+    """Repetition-aware epoch order: each row appears ``repeat_col``
+    times (an INTEGRAL per-doc repeat factor — "4 epochs of wiki, 1 of
+    crawl", the output shape of mixture planning), each occurrence
+    with its own key ``md5(seed || ':' || id || '#' || k)`` so repeats
+    of one document scatter across the whole epoch instead of
+    clumping. Rows with repeat <= 0 (or NULL) drop out — that IS the
+    zero-weight semantics. Still a pure projection + explode: no
+    shuffle, no state; a non-integral repeat column raises rather than
+    silently truncating (the selection.py weight contract)."""
+    dt = dict(df.dtypes).get(repeat_col)
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"repeat column {repeat_col!r} must be an integral repeat "
+            f"factor; got {dt}. Round explicitly if truncation is "
+            "really intended."
+        )
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    # sequence(1, n) with n < 1 would generate a DESCENDING sequence
+    # (the shingles() pitfall), so non-positive/NULL repeats must become
+    # an empty array — explode then drops the row, which IS the
+    # zero-weight semantics
+    n = F.col(repeat_col).cast("long")
+    k = "_rep_k"
+    while k in df.columns:  # collision-safe internal name
+        k = "_" + k
+    rep = F.explode(
+        F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+            F.array().cast("array<long>")
+        )
+    ).alias(k)
+    c = F.col(id_col)
+    out = df.filter(c.isNotNull()).select("*", rep)
+    h = F.md5(
+        F.concat(
+            F.lit(str(int(seed))),
+            F.lit(":"),
+            c.cast("string"),
+            F.lit("#"),
+            F.col(k).cast("string"),
+        )
+    )
+    return (
+        out.withColumn("h", h)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
+                F.lit(int(n_shards)),
+            ).cast("int"),
+        )
+        .drop(k)
+    )
+
+
 def epoch_order_write(
     df: DataFrame, path: str, id_col: str, seed: int, n_shards: int
 ) -> None:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.ordering import (
     epoch_order,
     epoch_order_write,
+    repeated_epoch_order,
 )
 
 N_DOCS = 500
@@ -89,6 +90,57 @@ def test_null_ids_rejected(spark):
     assert [r["doc_id"] for r in out.collect()] == [1]
     with pytest.raises(ValueError):
         epoch_order(df, "doc_id", 1, 0)
+
+
+def test_repeated_order_scatters_each_copy(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 0), (4, None)], "doc_id long, rep int"
+    )
+    out = repeated_epoch_order(df, "doc_id", "rep", seed=5, n_shards=4)
+    rows = out.collect()
+    # 3 copies of doc 1, 1 of doc 2; zero/NULL repeats drop out
+    from collections import Counter
+
+    assert Counter(r["doc_id"] for r in rows) == {1: 3, 2: 1}
+    assert len({r["h"] for r in rows}) == 4  # every copy has its own key
+    # reproducible bit-identically
+    again = repeated_epoch_order(df, "doc_id", "rep", seed=5, n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_repeated_order_duckdb_parity(spark):
+    df = spark.createDataFrame([(7, 2), (8, 3)], "doc_id long, rep int")
+    got = sorted(
+        (r["h"], r["doc_id"])
+        for r in repeated_epoch_order(df, "doc_id", "rep", 9, 4).collect()
+    )
+    want = duckdb.connect().execute(
+        """
+        SELECT md5('9:' || CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)) AS h,
+               doc_id
+        FROM (VALUES (7, 2), (8, 3)) t(doc_id, rep),
+             LATERAL (SELECT unnest(generate_series(1, rep)) AS k)
+        ORDER BY 1
+        """
+    ).fetchall()
+    assert got == [(h, i) for h, i in want]
+
+
+def test_repeated_order_rejects_float_repeats(spark):
+    df = spark.createDataFrame([(1, 1.5)], "doc_id long, rep double")
+    with pytest.raises(ValueError, match="integral"):
+        repeated_epoch_order(df, "doc_id", "rep", 0, 4)
+
+
+def test_repeated_order_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, rep int")
+    plan = repeated_epoch_order(df, "doc_id", "rep", 0, 4)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
 
 
 def test_written_layout_is_sharded_and_in_order(spark, docs, tmp_path):
