@@ -61,17 +61,34 @@ def epoch_order(
     shards independently. NULL ids are dropped (a NULL key has no
     identity to permute; its ``h`` is NULL and the row is filtered) —
     pinned in tests/test_ordering.py."""
+    _check_output_names(df, n_shards)
+    return _with_order_columns(
+        df.filter(F.col(id_col).isNotNull()), epoch_key(id_col, seed), n_shards
+    )
+
+
+def _check_output_names(df: DataFrame, n_shards: int) -> None:
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    h = epoch_key(id_col, seed)
-    out = df.withColumn("h", h).withColumn(
+    taken = [c for c in ("h", "shard") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"input already has column(s) {taken}; epoch ordering would "
+            "silently overwrite them — rename or drop them first."
+        )
+
+
+def _with_order_columns(df: DataFrame, key: Column, n_shards: int) -> DataFrame:
+    """Append the permutation key and its uniform shard: the single
+    definition both order flavors (and their DuckDB parity oracles in
+    tests/test_ordering.py) share."""
+    return df.withColumn("h", key).withColumn(
         "shard",
         F.pmod(
             F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
             F.lit(int(n_shards)),
         ).cast("int"),
     )
-    return out.filter(F.col(id_col).isNotNull())
 
 
 def repeated_epoch_order(
@@ -93,8 +110,7 @@ def repeated_epoch_order(
             f"factor; got {dt}. Round explicitly if truncation is "
             "really intended."
         )
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
+    _check_output_names(df, n_shards)
     # sequence(1, n) with n < 1 would generate a DESCENDING sequence
     # (the shingles() pitfall), so non-positive/NULL repeats must become
     # an empty array — explode then drops the row, which IS the
@@ -110,26 +126,10 @@ def repeated_epoch_order(
     ).alias(k)
     c = F.col(id_col)
     out = df.filter(c.isNotNull()).select("*", rep)
-    h = F.md5(
-        F.concat(
-            F.lit(str(int(seed))),
-            F.lit(":"),
-            c.cast("string"),
-            F.lit("#"),
-            F.col(k).cast("string"),
-        )
-    )
-    return (
-        out.withColumn("h", h)
-        .withColumn(
-            "shard",
-            F.pmod(
-                F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
-                F.lit(int(n_shards)),
-            ).cast("int"),
-        )
-        .drop(k)
-    )
+    # per-copy identity "id#k" through the SAME key/shard definition as
+    # the plain epoch order
+    copy_id = F.concat(c.cast("string"), F.lit("#"), F.col(k).cast("string"))
+    return _with_order_columns(out, epoch_key(copy_id, seed), n_shards).drop(k)
 
 
 def epoch_order_write(

@@ -54,13 +54,14 @@ streaming regime per the build brief.
 from __future__ import annotations
 
 import os
+import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.components import incremental_step, resolve_remaps
-from .batch_layout import live_dirs, read_root, write_compact
+from .batch_layout import live_dirs, read_root, superseded, write_compact
 
 NODE_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
@@ -151,7 +152,10 @@ class ClusterMaintenance:
         return [(r["old_root"], r["new_root"]) for r in df.collect()]
 
     def _remap_frame(self, exclude_batch: int | None = None) -> DataFrame:
-        resolved = resolve_remaps(self._remap_pairs(exclude_batch))
+        return self._resolved_frame(self._remap_pairs(exclude_batch))
+
+    def _resolved_frame(self, pairs: list) -> DataFrame:
+        resolved = resolve_remaps(pairs)
         return self.spark.createDataFrame(
             list(resolved.items()) or [(None, None)],
             "old_root long, new_root long",
@@ -242,6 +246,13 @@ class ClusterMaintenance:
         carry current roots, which are never remap sources, so the
         retained entries are no-ops for them. Returns True if a
         rewrite ran."""
+        # finish any prior crashed compaction's pending cleanup first
+        # (the compact_root pass: superseded dirs are already excluded
+        # from every read by their marker, but only deletion reclaims
+        # the disk — nothing else ever compacts these two roots)
+        for root in (self._nodes_dir, self._remaps_dir):
+            for base in superseded(root):
+                _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
         nb, nc = live_dirs(self._nodes_dir)
         nb = sorted(
             nb, key=lambda d: int(os.path.basename(d).split("=", 1)[1])
@@ -249,7 +260,8 @@ class ClusterMaintenance:
         kept = nb[len(nb) - keep_last:] if keep_last else []
         fold_batches = nb[: len(nb) - len(kept)]
         fold = fold_batches + nc
-        if len(fold) <= 1 and not self._remap_pairs():
+        pairs = self._remap_pairs()
+        if len(fold) <= 1 and not pairs:
             return False
         parts = []
         if fold_batches:
@@ -262,14 +274,17 @@ class ClusterMaintenance:
         if not parts:
             return False
         nodes = parts[0]
-        for p in parts[1:]:
-            nodes = nodes.unionByName(p)
-        rm = self._remap_frame()
+        for part in parts[1:]:
+            nodes = nodes.unionByName(part)
+        # no materialization needed: write_compact fully writes the
+        # frame to its temp dir BEFORE deleting the source dirs the
+        # plan reads from
+        rm = self._resolved_frame(pairs)
         resolved = nodes.join(
             F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
         ).select(
             "batch_id", "node", F.coalesce("new_root", "root").alias("root")
-        ).localCheckpoint()  # materialize BEFORE superseding its inputs
+        )
         write_compact(
             resolved, self._nodes_dir, fold,
             target_partitions=target_partitions,
@@ -285,7 +300,7 @@ class ClusterMaintenance:
                 survivors.filter(F.col("batch_id") >= F.lit(thresh))
                 if thresh is not None
                 else survivors.limit(0)
-            ).localCheckpoint()
+            )
             write_compact(
                 survivors, self._remaps_dir, rb + rc, target_partitions=1
             )

@@ -457,8 +457,12 @@ class CorpusIngestPipeline:
         if self.near_dedup:
             roots.append(self.index_path)
         for root in roots:
+            # keep_last=2 protects the replayable tail (same guard as
+            # CdcPipeline.compact): a replayed batch whose rows were
+            # already folded would land them a second time
             batch_layout.compact_root(
-                self.spark, root, target_partitions=target_partitions
+                self.spark, root, target_partitions=target_partitions,
+                keep_last=2,
             )
         if self.dedup_mode == "cluster":
             # fold the cluster store's remap log too (its own keep_last

@@ -151,6 +151,35 @@ def test_checkpoint_keeps_remaps_the_kept_dirs_need(spark, tmp_path):
     assert _clusters(store) == truth
 
 
+def test_checkpoint_finishes_pending_cleanup(spark, tmp_path):
+    """A crash between write_compact's atomic rename and its source
+    deletion leaves superseded dirs behind (marker-excluded from reads
+    but still on disk); the next checkpoint must reclaim them."""
+    import glob
+    import json
+    import os as _os
+
+    store = _store(spark, tmp_path)
+    _feed(spark, store, BATCHES)
+    store.checkpoint(keep_last=0)
+    marker = glob.glob(
+        str(tmp_path / "cm" / "_cluster_nodes" / "compact=*" /
+            "_compacted_from.json")
+    )[0]
+    gone = json.load(open(marker))["superseded"][0]
+    leftover = _os.path.join(
+        _os.path.dirname(_os.path.dirname(marker)), gone
+    )
+    _os.makedirs(leftover, exist_ok=True)  # simulate the crash residue
+    before = _clusters(store)
+    assert _clusters(store) == before  # marker keeps it out of reads
+    store.process_batch(_edges_df(spark, [(100, 101)]), 99)
+    store.checkpoint(keep_last=0)
+    assert not _os.path.isdir(leftover)
+    seen = [e for b in BATCHES for e in b] + [(100, 101)]
+    assert _clusters(store) == _batch_truth(spark, seen)
+
+
 def test_checkpoint_keep_last_zero_quiescent(spark, tmp_path):
     store = _store(spark, tmp_path)
     _feed(spark, store, BATCHES)
@@ -197,7 +226,12 @@ def test_clusters_plan_never_shuffles_the_store(spark, tmp_path):
         store.clusters()._jdf.queryExecution(), "formatted"
     )
     assert "SortMergeJoin" not in plan
-    assert "Exchange" not in plan or "BroadcastExchange" in plan
+    # every exchange must be a broadcast: a bare shuffle Exchange node
+    # would mean the corpus-scale nodes store is being repartitioned
+    import re
+
+    shuffle_exchanges = re.findall(r"\)\s+Exchange\b", plan)
+    assert not shuffle_exchanges, plan
 
 
 def test_incremental_step_contract(spark):

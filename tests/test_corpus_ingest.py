@@ -80,6 +80,25 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert _ids(pipe) == {1, 2, 3}
 
 
+def test_replay_after_compaction_never_double_lands(spark, tmp_path):
+    """compact() must keep the replayable tail OUT of the fold
+    (keep_last=2, the CdcPipeline guard): a replayed batch whose rows
+    were already folded would land them a second time."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(spark, inp, wh)
+    for i, doc in enumerate([(1, "alpha"), (2, "beta"), (3, "gamma")]):
+        _write_docs(os.path.join(inp, f"b{i}.json"), [doc])
+        pipe.refresh()
+    pipe.compact()
+    last = spark.createDataFrame(
+        [(3, "gamma", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(last, 2)  # at-least-once retry of the last batch
+    rows = pipe.corpus().collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+
+
 def test_empty_corpus_reader_has_full_schema(spark, tmp_path):
     pipe = CorpusIngestPipeline(spark, str(tmp_path / "in"), str(tmp_path / "wh"))
     df = pipe.corpus()

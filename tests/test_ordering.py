@@ -84,6 +84,16 @@ def test_epoch_order_is_shuffle_free(spark, docs):
     assert "Sort" not in plan
 
 
+def test_existing_output_columns_rejected(spark):
+    """A pre-sharded input must not have its columns silently clobbered."""
+    df = spark.createDataFrame([(1, 0)], "doc_id long, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        epoch_order(df, "doc_id", 1, 4)
+    df2 = spark.createDataFrame([(1, "x", 2)], "doc_id long, h string, rep int")
+    with pytest.raises(ValueError, match="'h'"):
+        repeated_epoch_order(df2, "doc_id", "rep", 1, 4)
+
+
 def test_null_ids_rejected(spark):
     df = spark.createDataFrame([(1,), (None,)], "doc_id long")
     out = epoch_order(df, "doc_id", 1, 4)
