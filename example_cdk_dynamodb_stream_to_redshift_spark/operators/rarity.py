@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import fingerprint, min_shingle_fingerprint
 from .dedup import shingle_rows
 
 
@@ -134,4 +135,59 @@ def uniqueness_profile(
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
             F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Cross-source content overlap: ``(source_a, source_b, n_shared)``
+    for every unordered source pair sharing at least one fingerprint —
+    the acquisition-time question "how much of corpus B is already
+    inside A", asked BEFORE paying for ingestion + dedup of B.
+
+    ``shingle_n=None`` fingerprints whole documents
+    (functions.text.fingerprint: md5 of lowercased trimmed text —
+    exact-dup overlap, the corpus ingester's own key);
+    ``shingle_n=k`` uses the min-shingle fingerprint (1-hash MinHash —
+    a cheap near-dup-leaning overlap estimate with the same output
+    shape). Counts are DISTINCT shared fingerprints, symmetric, with
+    ``source_a < source_b``.
+
+    Scale shape: one scan reduces the corpus to distinct
+    (fingerprint, source) rows; pair generation happens INSIDE each
+    fingerprint group via collect_set (bounded by the source count —
+    dozens, never corpus-sized) and a self-product of that tiny array,
+    so no corpus self-join ever materializes; the final count shuffles
+    (source_a, source_b) pairs — at most sources^2 groups. NULL groups
+    are excluded (an unattributed doc has no side in the question)."""
+    fp = (
+        fingerprint(text_col)
+        if shingle_n is None
+        else min_shingle_fingerprint(text_col, shingle_n)
+    )
+    pairs_per_fp = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(fp.alias("fp"), F.col(group_col).cast("string").alias("g"))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("g")).alias("gs"))
+        .filter(F.size("gs") >= 2)
+    )
+    return (
+        pairs_per_fp.select(
+            F.explode("gs").alias("source_a"), F.col("gs").alias("gs")
+        )
+        .select(
+            "source_a",
+            F.explode(
+                F.filter("gs", lambda x: x > F.col("source_a"))
+            ).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
     )

@@ -128,6 +128,81 @@ def test_real_documents_sanity(spark):
     assert any(r["n_unique"] > 0 for r in rows)
 
 
+OVERLAP_CORPUS = [
+    # (doc_id, text, source) — "alpha beta" is in A, B, C; "gamma d"
+    # in A+B (case/trim-normalized); "zeta y" only in C; NULL source
+    # excluded
+    (1, "alpha beta", "A"),
+    (2, "alpha beta", "B"),
+    (3, "  ALPHA BETA ", "C"),
+    (4, "gamma d", "A"),
+    (5, "gamma d", "B"),
+    (6, "zeta y", "C"),
+    (7, "alpha beta", None),
+    (8, "gamma d", "A"),  # within-source repeat: still ONE fingerprint
+]
+
+
+def test_source_overlap_exact(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+        source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        OVERLAP_CORPUS, "doc_id long, text string, source string"
+    )
+    got = [tuple(r) for r in source_overlap(df, "text", "source").collect()]
+    assert got == [("A", "B", 2), ("A", "C", 1), ("B", "C", 1)]
+
+
+def test_source_overlap_matches_duckdb(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+        source_overlap,
+    )
+    import duckdb
+
+    df = spark.createDataFrame(
+        OVERLAP_CORPUS, "doc_id long, text string, source string"
+    )
+    got = [tuple(r) for r in source_overlap(df, "text", "source").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", OVERLAP_CORPUS)
+    want = con.execute(
+        """
+        WITH fps AS (
+          SELECT DISTINCT md5(lower(trim(text))) AS fp, source
+          FROM t WHERE source IS NOT NULL)
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_source_overlap_min_shingle_mode(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+        source_overlap,
+    )
+
+    # near-identical docs in different sources share the min-shingle
+    # fingerprint even though the exact fingerprint differs (fixture
+    # chosen so the md5-minimal shingle is among the SHARED ones —
+    # verified offline with hashlib; a 1-hash MinHash only matches with
+    # probability J in general)
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base, "A"), (2, base.replace("twelve", "zzz"), "B")],
+        "doc_id long, text string, source string",
+    )
+    assert source_overlap(df, "text", "source").count() == 0  # exact: none
+    near = source_overlap(df, "text", "source", shingle_n=3).collect()
+    assert [tuple(r) for r in near] == [("A", "B", 1)]
+
+
 def test_profile_plan_reuses_the_tokenize_exchange(spark):
     """The profile's two aggregations consume one shingle index; the
     aligned NULL-id filter keeps their subtrees canonically identical,
