@@ -34,13 +34,11 @@ Scale shape (100 TB posture):
 - outputs are bounded: the spectrum by distinct df values, the profile
   by document count. Nothing collects.
 
-Maintained-store note: per-batch document frequencies are additive
-when each document lands in exactly one batch — the same algebra
-SegmentDocFreqStore (streaming/boilerplate_maintenance) maintains for
-delimiter segments. A maintained shingle-df store would be that
-store's recipe with ``shingle_rows`` as the segmenter (its current
-implementation is delimiter-split only); build it there if the
-streaming form is ever needed rather than duplicating the store here.
+Maintained form: streaming/rarity_maintenance.ShingleDocFreqStore —
+per-batch (g, df, min-owner) partials plus per-doc totals, additive
+under the batch-unique-docs contract, reproduce all three readers
+over everything landed without rescanning text (equality pinned in
+tests/test_rarity_maintenance.py under arbitrary slicings).
 """
 
 from __future__ import annotations
