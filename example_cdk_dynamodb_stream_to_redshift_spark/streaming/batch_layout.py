@@ -148,6 +148,7 @@ def write_compact(
     root: str,
     sources: list[str],
     target_partitions: int = 8,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """Write ``df`` as the next ``compact=<k>`` directory under ``root``
     with a marker superseding ``sources``, following the module's
@@ -173,7 +174,17 @@ def write_compact(
     )
     tmp = os.path.join(root, f".compact_tmp_{next_k}")
     _shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    # cluster_by: co-locate and sort rows on these columns so parquet
+    # row-group min/max stats make later IN-filters on them selective
+    # (the ClusterMaintenance bucketed-probe path)
+    out = (
+        df.repartition(target_partitions, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+        if cluster_by
+        else df.repartition(target_partitions)
+    )
+    out.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_compacted_from.json"), "w") as fh:
         _json.dump({"superseded": [os.path.basename(d) for d in sources]}, fh)
     dest = os.path.join(root, f"compact={next_k}")

@@ -90,12 +90,34 @@ class ClusterMaintenance:
         root: str,
         src_col: str = "src",
         dst_col: str = "dst",
+        n_buckets: int | None = None,
     ) -> None:
+        """``n_buckets``: opt-in probe pruning. When set, node rows
+        carry ``b = pmod(node, n_buckets)``, files are clustered on it
+        (batch writes sort within partitions; checkpoint's compact
+        rewrite repartitions+sorts by it), and the per-batch probe adds
+        ``b IN (<batch's buckets>)`` — a static filter parquet row-group
+        stats can skip on, so a small batch reads only the store slices
+        that can contain its endpoints instead of scanning everything.
+        Size it well above the expected batch endpoint count (e.g. 4096
+        for 1-2k-edge batches); equality with the unbucketed store is
+        pinned in tests/test_cluster_maintenance.py."""
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.spark = spark
         self.src_col = src_col
         self.dst_col = dst_col
+        self.n_buckets = n_buckets
         self._nodes_dir = os.path.join(root, "_cluster_nodes")
         self._remaps_dir = os.path.join(root, "_cluster_remaps")
+
+    def _node_fields(self) -> list[T.StructField]:
+        if self.n_buckets is None:
+            return NODE_FIELDS
+        return NODE_FIELDS + [T.StructField("b", T.IntegerType())]
+
+    def _bucket(self, col):
+        return F.pmod(col, F.lit(int(self.n_buckets))).cast("int")
 
     # -- write path ---------------------------------------------------------
     def process_batch(self, edges_df: DataFrame, batch_id: int) -> None:
@@ -106,13 +128,19 @@ class ClusterMaintenance:
         and merge events (collected; merge-event-bounded) — each into
         its own ``batch_id=<n>`` directory (overwrite = idempotent
         replay)."""
+        mapping = self._mapping(
+            exclude_batch=batch_id, probe_edges=edges_df
+        )
         step = incremental_step(
-            edges_df, self._mapping(exclude_batch=batch_id),
-            self.src_col, self.dst_col,
+            edges_df, mapping, self.src_col, self.dst_col,
         ).localCheckpoint()  # two consumers below; one step computation
         new_nodes = step.filter(F.col("prev_root").isNull()).select(
             "node", "root"
         )
+        if self.n_buckets is not None:
+            new_nodes = new_nodes.withColumn(
+                "b", self._bucket(F.col("node"))
+            ).sortWithinPartitions("b")
         remaps = (
             step.filter(
                 F.col("prev_root").isNotNull()
@@ -161,10 +189,33 @@ class ClusterMaintenance:
             "old_root long, new_root long",
         ).filter(F.col("old_root").isNotNull())
 
-    def _mapping(self, exclude_batch: int | None = None) -> DataFrame:
+    def _mapping(
+        self,
+        exclude_batch: int | None = None,
+        probe_edges: DataFrame | None = None,
+    ) -> DataFrame:
         nodes = read_root(
-            self.spark, self._nodes_dir, NODE_FIELDS, exclude_batch
+            self.spark, self._nodes_dir, self._node_fields(), exclude_batch
         )
+        if self.n_buckets is not None and probe_edges is not None:
+            # the batch touches at most |endpoints| buckets; collecting
+            # the bucket VALUES (<= n_buckets ints) turns the probe into
+            # a static IN-filter parquet row-group stats can skip on
+            ends = (
+                probe_edges.select(
+                    F.col(self.src_col).cast("long").alias("n")
+                )
+                .union(
+                    probe_edges.select(
+                        F.col(self.dst_col).cast("long").alias("n")
+                    )
+                )
+                .filter(F.col("n").isNotNull())
+                .select(self._bucket(F.col("n")).alias("b"))
+                .distinct()
+            )
+            buckets = [r["b"] for r in ends.collect()]
+            nodes = nodes.filter(F.col("b").isin(buckets))
         rm = self._remap_frame(exclude_batch)
         return nodes.join(
             F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
@@ -182,7 +233,7 @@ class ClusterMaintenance:
         """``(batch_id, node, component)`` — ``clusters()`` plus the
         batch each node first landed in, for lineage-style questions
         ("which ingest introduced this cluster member")."""
-        nodes = read_root(self.spark, self._nodes_dir, NODE_FIELDS)
+        nodes = read_root(self.spark, self._nodes_dir, self._node_fields())
         rm = self._remap_frame()
         return nodes.join(
             F.broadcast(rm), nodes["root"] == rm["old_root"], "left"
@@ -285,9 +336,12 @@ class ClusterMaintenance:
         ).select(
             "batch_id", "node", F.coalesce("new_root", "root").alias("root")
         )
+        if self.n_buckets is not None:
+            resolved = resolved.withColumn("b", self._bucket(F.col("node")))
         write_compact(
             resolved, self._nodes_dir, fold,
             target_partitions=target_partitions,
+            cluster_by=["b"] if self.n_buckets is not None else None,
         )
         rb, rc = live_dirs(self._remaps_dir)
         if rb or rc:

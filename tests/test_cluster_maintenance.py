@@ -248,6 +248,47 @@ def test_incremental_step_contract(spark):
     assert got[99] == (None, 7)
 
 
+def test_bucketed_store_equals_unbucketed(spark, tmp_path):
+    """n_buckets changes layout and probe pruning, never results:
+    equality with the plain store across feed, replay, checkpoint,
+    and post-checkpoint batches."""
+    plain = _store(spark, tmp_path, "plain")
+    bucketed = ClusterMaintenance(
+        spark, str(tmp_path / "bucketed"), n_buckets=7
+    )
+    for i, b in enumerate(BATCHES):
+        plain.process_batch(_edges_df(spark, b), i)
+        bucketed.process_batch(_edges_df(spark, b), i)
+        assert _clusters(bucketed) == _clusters(plain), f"batch {i}"
+    last = len(BATCHES) - 1
+    bucketed.process_batch(_edges_df(spark, BATCHES[last]), last)  # replay
+    assert _clusters(bucketed) == _clusters(plain)
+    assert bucketed.checkpoint() is True
+    assert _clusters(bucketed) == _clusters(plain)
+    extra = [(1, 40)]
+    plain.process_batch(_edges_df(spark, extra), len(BATCHES))
+    bucketed.process_batch(_edges_df(spark, extra), len(BATCHES))
+    assert _clusters(bucketed) == _clusters(plain)
+    assert sorted(
+        tuple(r) for r in bucketed.cluster_sizes().collect()
+    ) == sorted(tuple(r) for r in plain.cluster_sizes().collect())
+
+
+def test_bucketed_probe_pushes_the_bucket_filter(spark, tmp_path):
+    store = ClusterMaintenance(spark, str(tmp_path / "bp"), n_buckets=7)
+    _feed(spark, store, BATCHES)
+    probe = _edges_df(spark, [(10, 11)])
+    plan = store._mapping(probe_edges=probe)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the bucket IN-filter must reach the parquet scan so row-group
+    # stats can skip non-matching slices
+    assert "PushedFilters" in plan and "In(b, [" in plan, plan
+
+
 def test_incremental_step_rejects_non_integral_ids(spark):
     mapping = spark.createDataFrame([], "node long, component long")
     bad = spark.createDataFrame([("a", "b")], "src string, dst string")
