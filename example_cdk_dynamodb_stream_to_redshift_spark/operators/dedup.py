@@ -44,6 +44,8 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     tok = df.select(
         F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
     )
+    if n == 1:  # 1-grams ARE the tokens: no window needed
+        return tok.select("id", F.col("t").alias("s"))
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("t", k).over(w) for k in range(1, n)]
     return (

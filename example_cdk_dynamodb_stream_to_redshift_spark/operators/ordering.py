@@ -70,7 +70,9 @@ def epoch_order(
 def _check_output_names(df: DataFrame, n_shards: int) -> None:
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    taken = [c for c in ("h", "shard") if c in df.columns]
+    # case-insensitive: Spark's default resolution is case-insensitive,
+    # so withColumn("h", ...) would clobber an existing "H" too
+    taken = [c for c in df.columns if c.lower() in ("h", "shard")]
     if taken:
         raise ValueError(
             f"input already has column(s) {taken}; epoch ordering would "

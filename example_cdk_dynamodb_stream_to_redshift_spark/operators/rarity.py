@@ -108,9 +108,12 @@ def uniqueness_profile(
     ``n_shingles`` counts the doc's DISTINCT word-n-grams and
     ``n_unique`` those appearing in NO other document (corpus df = 1).
     Documents shorter than ``n`` tokens have no shingles and report
-    ``(0, 0)`` — every input document gets a row. Integer-only on
-    purpose: the ratio ``n_unique / n_shingles`` is one projection
-    away, and keeping the public frame exact keeps it oracle-stable."""
+    ``(0, 0)`` — every DISTINCT non-NULL document id gets exactly one
+    row (ids are entities here, so input row multiplicity and NULL ids
+    do not leak into the output — matching the maintained store's
+    totals contract). Integer-only on purpose: the ratio
+    ``n_unique / n_shingles`` is one projection away, and keeping the
+    public frame exact keeps it oracle-stable."""
     sh = _doc_shingles(df, text_col, id_col, n)
     totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # a df = 1 shingle has exactly ONE (id, g) row, so min(id) IS its
@@ -126,6 +129,8 @@ def uniqueness_profile(
     )
     return (
         df.select(F.col(id_col).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
         .join(totals, "id", "left")
         .join(uniq, "id", "left")
         .select(
@@ -162,6 +167,12 @@ def source_overlap(
     so no corpus self-join ever materializes; the final count shuffles
     (source_a, source_b) pairs — at most sources^2 groups. NULL groups
     are excluded (an unattributed doc has no side in the question)."""
+    if shingle_n is not None and shingle_n < 1:
+        raise ValueError(
+            f"shingle_n must be >= 1 (got {shingle_n}); n=0 would "
+            "fingerprint every document to md5('') and report every "
+            "source pair as overlapping"
+        )
     fp = (
         fingerprint(text_col)
         if shingle_n is None

@@ -58,7 +58,8 @@ UNIQUENESS_ORACLE_SQL = f"""
     SELECT d.doc_id,
            COALESCE(n_shingles, 0) AS n_shingles,
            COALESCE(n_unique, 0) AS n_unique
-    FROM documents d LEFT JOIN prof ON d.doc_id = prof.doc_id
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+    LEFT JOIN prof ON d.doc_id = prof.doc_id
     ORDER BY 1
 """
 

@@ -106,6 +106,14 @@ def read_root(
     return out
 
 
+def cleanup_superseded(root: str) -> None:
+    """Finish a prior crashed compaction's pending cleanup (idempotent):
+    superseded dirs are already excluded from every read by their
+    marker, but only deletion reclaims the disk."""
+    for base in superseded(root):
+        _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
+
+
 def compact_root(
     spark: SparkSession,
     root: str,
@@ -117,9 +125,7 @@ def compact_root(
     if a compaction ran, False if there was nothing to do."""
     if not os.path.isdir(root):
         return False
-    # finish any prior compaction's pending cleanup (idempotent)
-    for base in superseded(root):
-        _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
+    cleanup_superseded(root)
     batch_dirs, compact_dirs = live_dirs(root)
     if keep_last:
         # protect the newest batch ids (numeric order, not lexicographic)
@@ -194,7 +200,51 @@ def write_compact(
     return dest
 
 
-class MicroBatchStore:
+class ForeachBatchStore:
+    """The chaining + compaction shape shared by EVERY foreachBatch
+    store on this layout, single- or multi-root: ``wrap`` threads the
+    unchanged batch to an inner sink after recording, ``compact``
+    consolidates each root. Subclasses define ``process_batch`` and
+    ``_store_roots``. Extracted so the recipe has exactly one
+    implementation (r10 review: ClusterMaintenance and
+    ShingleDocFreqStore had grown line-for-line copies — the same
+    finding the r9 extraction fixed for the collect-path stores)."""
+
+    spark: SparkSession
+
+    def _store_roots(self) -> list[str]:
+        raise TypeError(
+            f"{type(self).__name__} must define _store_roots"
+        )  # pragma: no cover - subclasses always override
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        raise TypeError(
+            f"{type(self).__name__} must define process_batch"
+        )  # pragma: no cover - subclasses always override
+
+    def wrap(self, sink):
+        """foreachBatch pass-through: record the batch's artifact, then
+        hand the UNCHANGED batch to the inner sink — chainable with the
+        quality gate: ``gate.wrap(store.wrap(sink))``."""
+
+        def _fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            sink(batch_df, batch_id)
+
+        return _fn
+
+    def compact(self, target_partitions: int = 8, keep_last: int = 2) -> None:
+        for root in self._store_roots():
+            if os.path.isdir(root):
+                compact_root(
+                    self.spark,
+                    root,
+                    target_partitions=target_partitions,
+                    keep_last=keep_last,
+                )
+
+
+class MicroBatchStore(ForeachBatchStore):
     """The shared shape of every per-batch artifact store built on this
     layout (drift profiles, budget histograms): a tiny bounded frame is
     derived from each micro-batch, collected (the artifact is
@@ -214,6 +264,9 @@ class MicroBatchStore:
         self.root = root
         self._store_dir = os.path.join(root, subdir)
 
+    def _store_roots(self) -> list[str]:
+        return [self._store_dir]
+
     def _write_batch(self, frame: DataFrame, batch_id: int) -> None:
         """Collect the bounded per-batch frame and overwrite the batch's
         directory — a tiny local-relation write, not a second pass over
@@ -226,27 +279,8 @@ class MicroBatchStore:
     def _read_store(self, fields: list[T.StructField]) -> DataFrame:
         return read_root(self.spark, self._store_dir, fields)
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        raise TypeError(
-            f"{type(self).__name__} must define process_batch"
-        )  # pragma: no cover - subclasses always override
-
-    def wrap(self, sink):
-        """foreachBatch pass-through: record the batch's artifact, then
-        hand the UNCHANGED batch to the inner sink — chainable with the
-        quality gate: ``gate.wrap(store.wrap(sink))``."""
-
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df, batch_id)
-            sink(batch_df, batch_id)
-
-        return _fn
-
     def compact(self, target_partitions: int = 1, keep_last: int = 2) -> None:
-        if os.path.isdir(self._store_dir):
-            compact_root(
-                self.spark,
-                self._store_dir,
-                target_partitions=target_partitions,
-                keep_last=keep_last,
-            )
+        # kilobyte artifacts: one output file per store by default
+        super().compact(
+            target_partitions=target_partitions, keep_last=keep_last
+        )

@@ -53,15 +53,21 @@ streaming regime per the build brief.
 
 from __future__ import annotations
 
+import json as _json
 import os
-import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.components import incremental_step, resolve_remaps
-from .batch_layout import live_dirs, read_root, superseded, write_compact
+from .batch_layout import (
+    ForeachBatchStore,
+    cleanup_superseded,
+    live_dirs,
+    read_root,
+    write_compact,
+)
 
 NODE_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
@@ -75,7 +81,7 @@ REMAP_FIELDS = [
 ]
 
 
-class ClusterMaintenance:
+class ClusterMaintenance(ForeachBatchStore):
     """Maintain dedup-cluster assignments across micro-batches of
     near-dup edges (``src_col``/``dst_col`` node ids, castable to
     long). Components are canonicalized to their minimum node id, the
@@ -108,8 +114,41 @@ class ClusterMaintenance:
         self.src_col = src_col
         self.dst_col = dst_col
         self.n_buckets = n_buckets
+        self._root = root
+        self._meta_path = os.path.join(root, "_cluster_meta.json")
         self._nodes_dir = os.path.join(root, "_cluster_nodes")
         self._remaps_dir = os.path.join(root, "_cluster_remaps")
+        self._check_meta()  # reopening with a different layout fails NOW
+
+    def _check_meta(self, create: bool = False) -> None:
+        """The bucket layout is part of the persisted state: reopening a
+        store with a different ``n_buckets`` would mis-bucket the probe
+        filter and silently re-land existing nodes as new (conflicting
+        duplicate assignments), so the value is pinned in a marker file
+        at creation and every open/write validates against it."""
+        if os.path.isfile(self._meta_path):
+            with open(self._meta_path) as fh:
+                stored = _json.load(fh).get("n_buckets")
+            if stored != self.n_buckets:
+                raise ValueError(
+                    f"cluster store at {self._root} was created with "
+                    f"n_buckets={stored}; reopening with "
+                    f"{self.n_buckets} would corrupt the maintained "
+                    "state — match the original value or rebuild."
+                )
+        elif create:
+            os.makedirs(self._root, exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"n_buckets": self.n_buckets}, fh)
+            os.replace(tmp, self._meta_path)
+
+    def _store_roots(self) -> list[str]:
+        # plain compact() (inherited) consolidates small files WITHOUT
+        # folding the remap log — safe, since stale roots in compacted
+        # rows still resolve through the untouched log; checkpoint()
+        # below is the fold-and-trim form
+        return [self._nodes_dir, self._remaps_dir]
 
     def _node_fields(self) -> list[T.StructField]:
         if self.n_buckets is None:
@@ -128,6 +167,7 @@ class ClusterMaintenance:
         and merge events (collected; merge-event-bounded) — each into
         its own ``batch_id=<n>`` directory (overwrite = idempotent
         replay)."""
+        self._check_meta(create=True)
         mapping = self._mapping(
             exclude_batch=batch_id, probe_edges=edges_df
         )
@@ -160,17 +200,6 @@ class ClusterMaintenance:
         self.spark.createDataFrame(rows, remaps.schema).write.mode(
             "overwrite"
         ).parquet(os.path.join(self._remaps_dir, f"batch_id={batch_id}"))
-
-    def wrap(self, sink):
-        """foreachBatch pass-through (the shared chaining shape):
-        maintain clusters from the batch's edges, then hand the
-        UNCHANGED batch to the inner sink."""
-
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df, batch_id)
-            sink(batch_df, batch_id)
-
-        return _fn
 
     # -- read path ----------------------------------------------------------
     def _remap_pairs(self, exclude_batch: int | None = None) -> list:
@@ -297,13 +326,9 @@ class ClusterMaintenance:
         carry current roots, which are never remap sources, so the
         retained entries are no-ops for them. Returns True if a
         rewrite ran."""
-        # finish any prior crashed compaction's pending cleanup first
-        # (the compact_root pass: superseded dirs are already excluded
-        # from every read by their marker, but only deletion reclaims
-        # the disk — nothing else ever compacts these two roots)
-        for root in (self._nodes_dir, self._remaps_dir):
-            for base in superseded(root):
-                _shutil.rmtree(os.path.join(root, base), ignore_errors=True)
+        self._check_meta(create=True)
+        for root in self._store_roots():
+            cleanup_superseded(root)
         nb, nc = live_dirs(self._nodes_dir)
         nb = sorted(
             nb, key=lambda d: int(os.path.basename(d).split("=", 1)[1])

@@ -443,7 +443,9 @@ class CorpusIngestPipeline:
         )
 
     # -- maintenance ------------------------------------------------------
-    def compact(self, target_partitions: int = 8) -> None:
+    def compact(
+        self, target_partitions: int = 8, keep_last: int = 2
+    ) -> None:
         """Consolidate the per-micro-batch directory layout into one
         ``compact=<k>`` directory per store (corpus and, in near-dedup
         mode, the band index) — the streaming small-files fix. Protocol,
@@ -457,12 +459,13 @@ class CorpusIngestPipeline:
         if self.near_dedup:
             roots.append(self.index_path)
         for root in roots:
-            # keep_last=2 protects the replayable tail (same guard as
-            # CdcPipeline.compact): a replayed batch whose rows were
-            # already folded would land them a second time
+            # keep_last (default 2) protects the replayable tail (same
+            # guard as CdcPipeline.compact): a replayed batch whose rows
+            # were already folded would land them a second time. Pass 0
+            # only when the stream is provably quiescent and committed.
             batch_layout.compact_root(
                 self.spark, root, target_partitions=target_partitions,
-                keep_last=2,
+                keep_last=keep_last,
             )
         if self.dedup_mode == "cluster":
             # fold the cluster store's remap log too (its own keep_last

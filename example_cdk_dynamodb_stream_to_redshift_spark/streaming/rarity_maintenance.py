@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.rarity import _doc_shingles
-from .batch_layout import compact_root, read_root
+from .batch_layout import ForeachBatchStore, read_root
 
 SHINGLE_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
@@ -49,7 +49,7 @@ TOTAL_FIELDS = [
 ]
 
 
-class ShingleDocFreqStore:
+class ShingleDocFreqStore(ForeachBatchStore):
     """Maintain word-``n``-gram document frequencies and per-doc
     distinct-shingle totals across micro-batches of documents;
     ``docfreq()``/``spectrum()``/``uniqueness()`` reproduce the batch
@@ -72,6 +72,9 @@ class ShingleDocFreqStore:
         self.n = int(n)
         self._shingle_dir = os.path.join(root, "_shingle_docfreq")
         self._totals_dir = os.path.join(root, "_doc_shingle_totals")
+
+    def _store_roots(self) -> list[str]:
+        return [self._shingle_dir, self._totals_dir]
 
     # -- write path ---------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -104,15 +107,6 @@ class ShingleDocFreqStore:
         totals.write.mode("overwrite").parquet(
             os.path.join(self._totals_dir, f"batch_id={batch_id}")
         )
-
-    def wrap(self, sink):
-        """foreachBatch pass-through (the shared chaining shape)."""
-
-        def _fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df, batch_id)
-            sink(batch_df, batch_id)
-
-        return _fn
 
     # -- readers (stored partials only; landed text never rescanned) -------
     def _global_df(self) -> DataFrame:
@@ -155,13 +149,3 @@ class ShingleDocFreqStore:
             F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         )
 
-    # -- maintenance --------------------------------------------------------
-    def compact(self, target_partitions: int = 8, keep_last: int = 2) -> None:
-        for root in (self._shingle_dir, self._totals_dir):
-            if os.path.isdir(root):
-                compact_root(
-                    self.spark,
-                    root,
-                    target_partitions=target_partitions,
-                    keep_last=keep_last,
-                )

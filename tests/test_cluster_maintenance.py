@@ -274,6 +274,26 @@ def test_bucketed_store_equals_unbucketed(spark, tmp_path):
     ) == sorted(tuple(r) for r in plain.cluster_sizes().collect())
 
 
+def test_reopening_with_different_buckets_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "meta")
+    store = ClusterMaintenance(spark, root, n_buckets=7)
+    store.process_batch(_edges_df(spark, BATCHES[0]), 0)
+    # matching reopen works and reads the same state
+    again = ClusterMaintenance(spark, root, n_buckets=7)
+    assert _clusters(again) == _clusters(store)
+    # mismatched modulus / toggled bucketing both fail at OPEN time
+    with pytest.raises(ValueError, match="n_buckets=7"):
+        ClusterMaintenance(spark, root, n_buckets=1024)
+    with pytest.raises(ValueError, match="n_buckets=7"):
+        ClusterMaintenance(spark, root)
+    # and an unbucketed store refuses a bucketed reopen
+    root2 = str(tmp_path / "meta2")
+    plain = ClusterMaintenance(spark, root2)
+    plain.process_batch(_edges_df(spark, BATCHES[0]), 0)
+    with pytest.raises(ValueError, match="n_buckets=None"):
+        ClusterMaintenance(spark, root2, n_buckets=7)
+
+
 def test_bucketed_probe_pushes_the_bucket_filter(spark, tmp_path):
     store = ClusterMaintenance(spark, str(tmp_path / "bp"), n_buckets=7)
     _feed(spark, store, BATCHES)

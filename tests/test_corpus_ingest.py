@@ -86,17 +86,28 @@ def test_replay_after_compaction_never_double_lands(spark, tmp_path):
     were already folded would land them a second time."""
     inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
     pipe = CorpusIngestPipeline(spark, inp, wh)
-    for i, doc in enumerate([(1, "alpha"), (2, "beta"), (3, "gamma")]):
+    docs = [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")]
+    for i, doc in enumerate(docs):
         _write_docs(os.path.join(inp, f"b{i}.json"), [doc])
         pipe.refresh()
+    # 4 batch dirs - keep_last=2 leaves 2 to fold: the compaction must
+    # actually RUN for the guard to be exercised
+    import glob
+
     pipe.compact()
+    assert glob.glob(os.path.join(wh, "corpus", "compact=*"))
     last = spark.createDataFrame(
-        [(3, "gamma", "en", "s")],
+        [(4, "delta", "en", "s")],
         "doc_id long, text string, lang string, source string",
     )
-    pipe._ingest_batch(last, 2)  # at-least-once retry of the last batch
+    pipe._ingest_batch(last, 3)  # at-least-once retry of the last batch
     rows = pipe.corpus().collect()
-    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4]
+    # and a replay of a FOLDED batch would be the dangerous case; the
+    # stream never replays committed batches, but document the guard:
+    # batch 0/1 rows live only in the compact dir now
+    b01 = [d for d in glob.glob(os.path.join(wh, "corpus", "batch_id=*"))]
+    assert all(int(d.rsplit("=", 1)[1]) >= 2 for d in b01)
 
 
 def test_empty_corpus_reader_has_full_schema(spark, tmp_path):
@@ -338,7 +349,7 @@ def test_compact_preserves_rows_and_dedup(spark, tmp_path):
     pipe.refresh()
     before = _full_rows(pipe)
 
-    pipe.compact(target_partitions=2)
+    pipe.compact(target_partitions=2, keep_last=0)
     assert glob.glob(os.path.join(wh, "corpus", "batch_id=*")) == []
     assert len(glob.glob(os.path.join(wh, "corpus", "compact=*"))) == 1
     assert _full_rows(pipe) == before  # lineage batch_id preserved
@@ -349,7 +360,7 @@ def test_compact_preserves_rows_and_dedup(spark, tmp_path):
     assert _ids(pipe) == {1, 2, 3, 5, 7}
 
     # second compact folds the compacted dir + the new batch dir into one
-    pipe.compact(target_partitions=2)
+    pipe.compact(target_partitions=2, keep_last=0)
     assert len(glob.glob(os.path.join(wh, "corpus", "compact=*"))) == 1
     assert _ids(pipe) == {1, 2, 3, 5, 7}
 
@@ -388,10 +399,10 @@ def test_compact_marker_hides_undeleted_sources(spark, tmp_path):
     src = os.path.join(wh, "corpus", "batch_id=0")
     saved = str(tmp_path / "saved")
     shutil.copytree(src, saved)
-    pipe.compact()
+    pipe.compact(keep_last=0)
     shutil.copytree(saved, src)
     assert _full_rows(pipe) == before  # marker hides the stale dir
-    pipe.compact()  # cleanup pass
+    pipe.compact(keep_last=0)  # cleanup pass
     assert not os.path.exists(src)
     assert _full_rows(pipe) == before
 
@@ -410,7 +421,7 @@ def test_compact_near_dedup_index_keeps_probing(spark, tmp_path):
     pipe.refresh()
     _write_docs(os.path.join(inp, "b2.json"), [(4, NOVEL)])
     pipe.refresh()
-    pipe.compact()
+    pipe.compact(keep_last=0)
     assert glob.glob(os.path.join(wh, "band_index", "batch_id=*")) == []
     assert len(glob.glob(os.path.join(wh, "band_index", "compact=*"))) == 1
     _write_docs(os.path.join(inp, "b3.json"), [(3, VAR), (5, NOVEL_VAR)])
