@@ -162,6 +162,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     guard, ``sequence(0, size-n)`` would generate a descending sequence for
     short docs and ``slice`` would throw, crashing the whole job on one bad
     row."""
+    if n < 1:
+        raise ValueError(
+            f"shingle n must be >= 1 (got {n}); n=0 degenerates every "
+            "document to the empty shingle"
+        )
     toks = tokens(col)
     return F.when(
         F.size(toks) >= n,

@@ -41,6 +41,8 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     never enter whole-stage codegen. The window shuffle it costs is keyed
     by doc id (uniform) and every downstream consumer shuffles by id
     anyway. Docs with < n tokens emit no rows."""
+    if n < 1:
+        raise ValueError(f"shingle n must be >= 1 (got {n})")
     tok = df.select(
         F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
     )

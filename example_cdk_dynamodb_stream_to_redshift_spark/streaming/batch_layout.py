@@ -119,6 +119,7 @@ def compact_root(
     root: str,
     target_partitions: int = 8,
     keep_last: int = 0,
+    cluster_by: list[str] | None = None,
 ) -> bool:
     """Consolidate ``root``'s live layout into one ``compact=<k>`` dir
     (see module docstring for the crash-safety protocol). Returns True
@@ -145,7 +146,10 @@ def compact_root(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    write_compact(df, root, sources, target_partitions=target_partitions)
+    write_compact(
+        df, root, sources,
+        target_partitions=target_partitions, cluster_by=cluster_by,
+    )
     return True
 
 

@@ -136,7 +136,28 @@ class ClusterMaintenance(ForeachBatchStore):
                     f"{self.n_buckets} would corrupt the maintained "
                     "state — match the original value or rebuild."
                 )
-        elif create:
+            return
+        # no meta file: a PRE-meta store must be validated structurally,
+        # not trusted — stamping the caller's value over unknown landed
+        # state would make a corrupted layout look validated forever
+        nb, nc = live_dirs(self._nodes_dir)
+        if nb or nc:
+            cols = self.spark.read.parquet((nb + nc)[0]).columns
+            if "b" in cols:
+                raise ValueError(
+                    f"cluster store at {self._root} predates the layout "
+                    "marker and is BUCKETED with an unknown modulus; "
+                    "rebuild it (or restore its _cluster_meta.json) "
+                    "before reopening."
+                )
+            if self.n_buckets is not None:
+                raise ValueError(
+                    f"cluster store at {self._root} is unbucketed; "
+                    f"reopening with n_buckets={self.n_buckets} would "
+                    "corrupt the maintained state — open unbucketed or "
+                    "rebuild."
+                )
+        if create or nb or nc:
             os.makedirs(self._root, exist_ok=True)
             tmp = self._meta_path + ".tmp"
             with open(tmp, "w") as fh:
@@ -144,11 +165,29 @@ class ClusterMaintenance(ForeachBatchStore):
             os.replace(tmp, self._meta_path)
 
     def _store_roots(self) -> list[str]:
-        # plain compact() (inherited) consolidates small files WITHOUT
-        # folding the remap log — safe, since stale roots in compacted
-        # rows still resolve through the untouched log; checkpoint()
-        # below is the fold-and-trim form
         return [self._nodes_dir, self._remaps_dir]
+
+    def compact(self, target_partitions: int = 8, keep_last: int = 2) -> None:
+        """Small-files consolidation WITHOUT folding the remap log —
+        safe, since stale roots in compacted rows still resolve through
+        the untouched log; ``checkpoint()`` is the fold-and-trim form.
+        Overridden (not inherited) so a bucketed store's rewrite keeps
+        its files clustered on ``b`` (else every probe scans the whole
+        store until the next checkpoint) and the kilobyte remap log
+        stays one file."""
+        from .batch_layout import compact_root
+
+        compact_root(
+            self.spark,
+            self._nodes_dir,
+            target_partitions=target_partitions,
+            keep_last=keep_last,
+            cluster_by=["b"] if self.n_buckets is not None else None,
+        )
+        compact_root(
+            self.spark, self._remaps_dir,
+            target_partitions=1, keep_last=keep_last,
+        )
 
     def _node_fields(self) -> list[T.StructField]:
         if self.n_buckets is None:

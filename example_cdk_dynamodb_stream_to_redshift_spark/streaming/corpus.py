@@ -468,6 +468,9 @@ class CorpusIngestPipeline:
                 keep_last=keep_last,
             )
         if self.dedup_mode == "cluster":
-            # fold the cluster store's remap log too (its own keep_last
-            # guard protects the replayable tail)
-            self._clusters.checkpoint(target_partitions=target_partitions)
+            # fold the cluster store's remap log too, with the SAME
+            # replay-tail depth — a shallower guard there would re-land
+            # folded nodes on a deep replay
+            self._clusters.checkpoint(
+                target_partitions=target_partitions, keep_last=keep_last
+            )

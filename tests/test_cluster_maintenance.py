@@ -294,6 +294,51 @@ def test_reopening_with_different_buckets_fails_loudly(spark, tmp_path):
         ClusterMaintenance(spark, root2, n_buckets=7)
 
 
+def test_premarker_stores_validated_structurally(spark, tmp_path):
+    """A store created before the layout marker existed must not be
+    trusted blindly: bucketed-without-meta is unopenable (unknown
+    modulus), unbucketed-without-meta opens only unbucketed."""
+    import os as _os
+
+    root = str(tmp_path / "legacy_b")
+    store = ClusterMaintenance(spark, root, n_buckets=7)
+    store.process_batch(_edges_df(spark, BATCHES[0]), 0)
+    _os.remove(_os.path.join(root, "_cluster_meta.json"))
+    with pytest.raises(ValueError, match="unknown modulus"):
+        ClusterMaintenance(spark, root, n_buckets=7)  # even the right one
+    with pytest.raises(ValueError, match="unknown modulus"):
+        ClusterMaintenance(spark, root)
+
+    root2 = str(tmp_path / "legacy_p")
+    plain = ClusterMaintenance(spark, root2)
+    plain.process_batch(_edges_df(spark, BATCHES[0]), 0)
+    _os.remove(_os.path.join(root2, "_cluster_meta.json"))
+    with pytest.raises(ValueError, match="unbucketed"):
+        ClusterMaintenance(spark, root2, n_buckets=7)
+    reopened = ClusterMaintenance(spark, root2)  # re-stamps the marker
+    assert _clusters(reopened) == _clusters(plain)
+    assert _os.path.isfile(_os.path.join(root2, "_cluster_meta.json"))
+
+
+def test_bucketed_compact_keeps_the_probe_pushdown(spark, tmp_path):
+    """plain compact() on a bucketed store must keep files clustered on
+    b — else every probe scans the whole store until the next
+    checkpoint."""
+    store = ClusterMaintenance(spark, str(tmp_path / "bc"), n_buckets=7)
+    _feed(spark, store, BATCHES)
+    before = _clusters(store)
+    store.compact(keep_last=0)
+    assert _clusters(store) == before
+    plan = store._mapping(
+        probe_edges=_edges_df(spark, [(10, 11)])
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "In(b, [" in plan, plan
+
+
 def test_bucketed_probe_pushes_the_bucket_filter(spark, tmp_path):
     store = ClusterMaintenance(spark, str(tmp_path / "bp"), n_buckets=7)
     _feed(spark, store, BATCHES)
