@@ -492,68 +492,68 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round 10 window: the 48-entry r7 cohort (every oracle-bearing
-    # entry whose latest green hash row is CORRECTNESS_r07 — re-derived
-    # from the artifacts by set arithmetic and pre-driven foreign-CWD at
-    # sf0.01 BEFORE this rotation) plus the two STAGED_R10 promotions
-    # (events_value_drift_profile, typed_pii_scrub_docs — implemented and
-    # DuckDB-proven in round 9, registered this round). Oracle-bearing
-    # count lands at 149 of the 150 ceiling; round 11 owes the 49-entry
-    # r8 cohort + exactly one spare slot (earmarked: token_budget_corpus,
-    # plans/staged_r11.py — COVERAGE.md slot plan).
-    "bpe_pair_candidates",
-    "cluster_balanced_sample",
-    "contrastive_negatives",
-    "corpus_pipeline_summary",
-    "customer_order_trailing_30d",
-    "doc_bigram_logprob",
-    "doc_link_pagerank_exact",
-    "doc_lm_quality_buckets",
-    "doc_quality_scored_frozen",
-    "doc_unigram_logprob",
-    "domain_mixture_weights",
-    "dsir_select_docs",
-    "embedding_contamination_audit",
-    "embedding_dup_clusters",
-    "embedding_norm_quantize",
-    "event_type_grouping_sets",
-    "event_type_salted_join",
-    "events_hourly_anomalies",
-    "events_hourly_gapfill",
-    "events_value_drift_profile",
-    "funnel_conversion",
-    "gopher_filter_docs",
-    "ivfpq_ann_exact_topk",
-    "knn_join_topk",
-    "late_ship_priority",
-    "lone_late_supplier",
-    "media_frame_sample",
-    "media_phash_near_dups",
-    "media_resize_batch",
-    "minhash_incremental_dedup",
-    "mixture_sampled_corpus",
-    "nation_revenue_q5",
-    "near_dedup_corpus_keep_first",
-    "orders_zorder_keys",
-    "part_revenue_share",
-    "pq_ann_exact_topk",
-    "purchase_attribution_asof",
-    "quantized_ann_topk",
-    "retention_cohorts",
-    "sequence_packing",
-    "simhash_exact_near_dups",
-    "small_quantity_part_revenue",
-    "substring_dup_stats",
-    "sync_run_log",
-    "tfidf_similar_docs",
-    "token_length_histogram",
-    "training_shard_manifest",
-    "typed_pii_scrub_docs",
-    "udtf_word_ngrams_topk",
-    "winnowing_overlap_pairs",
+    # ---- round 11 window: the 49-entry r8 cohort (every oracle-bearing
+    # entry whose latest green hash row is CORRECTNESS_r08 — re-derived
+    # from the artifacts by set arithmetic via scripts/predrive.py
+    # --cohort 8 and pre-driven foreign-CWD at sf0.01 BEFORE this
+    # rotation: 49/49 oracle-equal) plus the ONE STAGED_R11 promotion
+    # (token_budget_corpus — implemented and DuckDB-proven in round 9,
+    # registered this round). Oracle-bearing count lands at the exact
+    # 150 ceiling; round 12 owes the 50-entry r9 cohort and frees slack
+    # by retiring order_price_quartiles (COVERAGE.md slot plan).
+    "ann_bruteforce_topk",
+    "cdc_merge_latest_state",
+    "corpus_clean_keep",
+    "customers_with_orders",
+    "date_trunc_filter",
+    "dedup_corpus_keep_first",
+    "disjunctive_part_revenue_q19",
+    "distinct_users_per_type",
+    "doc_binary_features",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
+    "embedding_near_dup_pairs",
+    "event_stream_union_all",
+    "event_type_stats",
+    "events_hourly_tumbling",
+    "events_sliding_window",
+    "frequent_tokens_exact",
+    "high_watermark_filter",
+    "incremental_mv_user_value",
+    "ivf_knn_join_fullprobe",
+    "large_volume_customers_q18",
+    "latest_event_argmax",
+    "latest_event_per_user",
+    "lineitem_pricing_summary",
+    "media_feature_extract",
+    "ngram_jaccard_pairs",
+    "order_rank_in_priority",
+    "orders_quality_report",
+    "prefix_like_filter",
+    "purchases_in_error_windows",
+    "region_customer_counts",
+    "returned_item_customers_q10",
+    "rewards_by_member",
+    "rewards_by_quest",
+    "rollup_event_daily",
+    "shipping_priority_q3",
+    "span_dedup_docs",
+    "srp_bucket_near_dups",
+    "token_budget_corpus",
+    "top_orders_by_revenue",
+    "user_reach_kmv_sketch",
+    "user_running_spend",
+    "user_sessions",
+    "users_click_and_purchase",
+    "users_view_not_signup",
+    "volume_shipping_q7",
+    "weighted_sample_per_source",
+    "weighted_sample_topk",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

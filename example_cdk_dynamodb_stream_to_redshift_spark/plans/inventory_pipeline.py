@@ -1844,6 +1844,27 @@ typed_pii_scrub_docs = register(
 )(_staged_r10.typed_pii_scrub_docs)
 
 
+# ---------------------------------------------------------------------------
+# Round-11 promotion of the staged token-budget driver row. Implemented and
+# foreign-CWD DuckDB-proven in round 9 (plans/staged_r11.py carries the full
+# rationale — the Spark side runs the two-pass scale path, the oracle
+# restates the semantic global-window-cumsum definition, so a green hash
+# row proves the threshold algorithm IS the naive global sort row-exactly);
+# this wrapper is the only new code in the path.
+# ---------------------------------------------------------------------------
+from . import staged_r11 as _staged_r11  # noqa: E402
+
+token_budget_corpus = register(
+    "token_budget_corpus",
+    _staged_r11.STAGED_R11["token_budget_corpus"][1],
+    "Token-budget selection driver row: operators/selection.budget_select "
+    "keeps the highest-quality docs until a 7k-token budget is exhausted "
+    "via ONE lazy query (bounded-key histogram -> one-row broadcast "
+    "boundary frame -> pure filter + window over ONLY the boundary "
+    "bucket); the oracle is the semantic global window cumsum.",
+)(_staged_r11.token_budget_corpus)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

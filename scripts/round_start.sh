@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Round-open bookkeeping (the chore the judge flagged six rounds running):
+# the per-round driver overwrites the builder's committed idle
+# BENCH_LOCAL_r{N}.json with its loaded-machine rerun and leaves the round's
+# BENCH/CORRECTNESS artifacts untracked. This snapshots the driver rerun
+# under a distinct *_driver.json name, restores the committed idle snapshot
+# from git history, and stages everything.
+#
+# Usage: scripts/round_start.sh <prev_round_number>   e.g. scripts/round_start.sh 11
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:?usage: round_start.sh <prev_round_number>}"
+LOCAL="BENCH_LOCAL_r${N}.json"
+
+if [ -f "$LOCAL" ] && ! git diff --quiet -- "$LOCAL" 2>/dev/null; then
+    cp "$LOCAL" "BENCH_LOCAL_r${N}_driver.json"
+    git show "HEAD:$LOCAL" > "$LOCAL" 2>/dev/null || git checkout -- "$LOCAL"
+    echo "preserved driver rerun as BENCH_LOCAL_r${N}_driver.json; restored idle snapshot"
+fi
+
+for f in "BENCH_r${N}.json" "CORRECTNESS_r${N}.json" "BENCH_LOCAL_r${N}.json" \
+         "BENCH_LOCAL_r${N}_driver.json" VERDICT.md ADVICE.md; do
+    [ -f "$f" ] && git add "$f"
+done
+git status --short
