@@ -280,6 +280,14 @@ def resolve_remaps(pairs: list[tuple[int, int]]) -> dict[int, int]:
                 f"remap {old}->{new} increases the root; the min-id "
                 "convention requires strictly decreasing targets"
             )
+        if old in nxt and nxt[old] != new:
+            # A root is superseded at most once, so a second entry with a
+            # DIFFERENT target means the log is corrupted (or two merge
+            # histories were mixed); last-wins here would resolve
+            # nondeterministically with parquet read order.
+            raise ValueError(
+                f"conflicting remap log: {old}->{nxt[old]} and {old}->{new}"
+            )
         nxt[old] = new
     resolved: dict[int, int] = {}
 

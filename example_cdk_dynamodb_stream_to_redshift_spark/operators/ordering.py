@@ -119,7 +119,9 @@ def repeated_epoch_order(
     # zero-weight semantics
     n = F.col(repeat_col).cast("long")
     k = "_rep_k"
-    while k in df.columns:  # collision-safe internal name
+    # Spark name resolution is case-insensitive (the _check_output_names
+    # rule), so compare lowercased: an input column `_REP_K` collides too.
+    while k in (c.lower() for c in df.columns):
         k = "_" + k
     rep = F.explode(
         F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(

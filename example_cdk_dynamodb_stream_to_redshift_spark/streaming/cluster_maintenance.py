@@ -283,7 +283,10 @@ class ClusterMaintenance(ForeachBatchStore):
                 .distinct()
             )
             buckets = [r["b"] for r in ends.collect()]
-            nodes = nodes.filter(F.col("b").isin(buckets))
+            # a batch touching most buckets gets no pruning from the
+            # IN-filter — just a huge predicate; probe the full store then
+            if len(buckets) <= self.n_buckets // 2:
+                nodes = nodes.filter(F.col("b").isin(buckets))
         rm = self._remap_frame(exclude_batch)
         return nodes.join(
             F.broadcast(rm), nodes["root"] == rm["old_root"], "left"

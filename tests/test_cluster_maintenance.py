@@ -274,6 +274,21 @@ def test_bucketed_store_equals_unbucketed(spark, tmp_path):
     ) == sorted(tuple(r) for r in plain.cluster_sizes().collect())
 
 
+def test_wide_batch_skips_bucket_filter_same_results(spark, tmp_path):
+    """A batch touching more than half the buckets gets no pruning from
+    the IN-filter (just a huge predicate), so the probe falls back to
+    the full store scan — results must be identical either way. With
+    n_buckets=2 every multi-node batch takes the fallback branch."""
+    plain = _store(spark, tmp_path, "wide_plain")
+    bucketed = ClusterMaintenance(
+        spark, str(tmp_path / "wide_bucketed"), n_buckets=2
+    )
+    for i, b in enumerate(BATCHES):
+        plain.process_batch(_edges_df(spark, b), i)
+        bucketed.process_batch(_edges_df(spark, b), i)
+        assert _clusters(bucketed) == _clusters(plain), f"batch {i}"
+
+
 def test_reopening_with_different_buckets_fails_loudly(spark, tmp_path):
     root = str(tmp_path / "meta")
     store = ClusterMaintenance(spark, root, n_buckets=7)
@@ -368,6 +383,12 @@ def test_resolve_remaps_pure():
     assert resolve_remaps([(4, 4)]) == {}  # self no-op dropped
     with pytest.raises(ValueError):
         resolve_remaps([(3, 8)])
+    # duplicate entries with the SAME target are tolerated (idempotent
+    # replay); a CONFLICTING target means a corrupted/mixed log — raise
+    # instead of last-wins-by-read-order nondeterminism
+    assert resolve_remaps([(5, 4), (5, 4)]) == {5: 4}
+    with pytest.raises(ValueError, match="conflicting"):
+        resolve_remaps([(5, 4), (5, 3)])
 
 
 @given(

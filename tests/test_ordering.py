@@ -94,6 +94,19 @@ def test_existing_output_columns_rejected(spark):
         repeated_epoch_order(df2, "doc_id", "rep", 1, 4)
 
 
+def test_repeat_working_column_collision_case_insensitive(spark):
+    """Spark resolves names case-insensitively, so an input `_REP_K`
+    must push the internal repeat counter to a fresh name instead of
+    colliding with the generated `_rep_k`."""
+    df = spark.createDataFrame(
+        [(1, 2, "keepme")], "doc_id long, rep int, _REP_K string"
+    )
+    out = repeated_epoch_order(df, "doc_id", "rep", seed=1, n_shards=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["_REP_K"] == "keepme" for r in rows)
+
+
 def test_null_ids_rejected(spark):
     df = spark.createDataFrame([(1,), (None,)], "doc_id long")
     out = epoch_order(df, "doc_id", 1, 4)

@@ -220,3 +220,26 @@ def test_profile_plan_reuses_the_tokenize_exchange(spark):
     assert "ReusedExchange" in final
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoop" not in final
+
+
+def test_source_overlap_high_cardinality_group_rejected(spark):
+    """A doc-level column passed as group_col would make the
+    per-fingerprint source sets (and their quadratic self-product)
+    explode — validated up front against max_sources."""
+    import pytest
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+        source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same text", f"doc{i}") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        source_overlap(df, "text", "source", max_sources=4).collect()
+    with pytest.raises(ValueError, match="max_sources"):
+        source_overlap(df, "text", "source", max_sources=1)
+    # at-or-under the cap still works
+    out = source_overlap(df, "text", "source", max_sources=10)
+    assert out.count() == 45  # all pairs share the one fingerprint

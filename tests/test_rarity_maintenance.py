@@ -114,3 +114,18 @@ def test_cross_batch_uniqueness_flip(spark, tmp_path):
     )
     u1 = {r["doc_id"]: r["n_unique"] for r in store.uniqueness().collect()}
     assert u1[1] == 2 and u1[2] == 2  # "c d e" now shared
+
+
+def test_doc_id_spanning_batches_fails_loudly(spark, tmp_path):
+    """The store's correctness rests on 'a doc id never spans batches';
+    a violating feed must surface as an error from uniqueness(), not
+    double-counted df and duplicate per-doc rows."""
+    import pytest
+
+    store = ShingleDocFreqStore(spark, str(tmp_path / "span"), n=3)
+    store.process_batch(spark.createDataFrame([(1, "a b c d")], SCHEMA), 0)
+    store.process_batch(spark.createDataFrame([(1, "a b c e")], SCHEMA), 1)
+    with pytest.raises(ValueError, match="span"):
+        store.uniqueness().collect()
+    # docfreq/spectrum stay readable (partials are still well-formed sums)
+    assert store.docfreq().count() > 0
