@@ -146,7 +146,7 @@ def source_overlap(
     text_col: str,
     group_col: str,
     shingle_n: int | None = None,
-    max_sources: int = 256,
+    max_sources: int | None = 256,
 ) -> DataFrame:
     """Cross-source content overlap: ``(source_a, source_b, n_shared)``
     for every unordered source pair sharing at least one fingerprint —
@@ -173,30 +173,36 @@ def source_overlap(
     ``group_col`` (e.g. a doc-level column passed by mistake) would make
     the per-fingerprint set — and its quadratic self-product — explode,
     so distinct cardinality is validated up front against ``max_sources``
-    (one cheap column-distinct scan; raise, don't OOM an executor)."""
+    (one cheap column-distinct scan; raise, don't OOM an executor;
+    ``max_sources=None`` skips the scan when the contract is enforced
+    upstream)."""
     if shingle_n is not None and shingle_n < 1:
         raise ValueError(
             f"shingle_n must be >= 1 (got {shingle_n}); n=0 would "
             "fingerprint every document to md5('') and report every "
             "source pair as overlapping"
         )
-    if max_sources < 2:
-        raise ValueError(f"max_sources must be >= 2 (got {max_sources})")
-    n_sources = (
-        df.filter(F.col(group_col).isNotNull())
-        .select(group_col)
-        .distinct()
-        .limit(max_sources + 1)
-        .count()
-    )
-    if n_sources > max_sources:
-        raise ValueError(
-            f"group column {group_col!r} has more than {max_sources} "
-            "distinct values — source_overlap builds per-fingerprint "
-            "source sets whose self-product is quadratic in that "
-            "cardinality; pass a true source/corpus column (or raise "
-            "max_sources deliberately)"
+    if max_sources is not None:
+        # one eager column-pruned scan (map-side partial agg on a
+        # low-cardinality key); pass max_sources=None to skip it when the
+        # source contract is already enforced upstream
+        if max_sources < 2:
+            raise ValueError(f"max_sources must be >= 2 (got {max_sources})")
+        n_sources = (
+            df.filter(F.col(group_col).isNotNull())
+            .select(group_col)
+            .distinct()
+            .limit(max_sources + 1)
+            .count()
         )
+        if n_sources > max_sources:
+            raise ValueError(
+                f"group column {group_col!r} has more than {max_sources} "
+                "distinct values — source_overlap builds per-fingerprint "
+                "source sets whose self-product is quadratic in that "
+                "cardinality; pass a true source/corpus column (or raise "
+                "max_sources deliberately)"
+            )
     fp = (
         fingerprint(text_col)
         if shingle_n is None

@@ -243,3 +243,6 @@ def test_source_overlap_high_cardinality_group_rejected(spark):
     # at-or-under the cap still works
     out = source_overlap(df, "text", "source", max_sources=10)
     assert out.count() == 45  # all pairs share the one fingerprint
+    # None opts out of the eager validation scan entirely
+    out2 = source_overlap(df, "text", "source", max_sources=None)
+    assert out2.count() == 45
