@@ -114,6 +114,8 @@ HEADLINE = [
     "user_reach_kmv_sketch",
     "purchases_in_error_windows",
     "orders_quality_report",
+    # round 11: the token-budget selection promotion (two-pass scale path)
+    "token_budget_corpus",
 ]
 
 

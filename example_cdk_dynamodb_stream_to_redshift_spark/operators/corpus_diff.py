@@ -1,0 +1,129 @@
+"""Corpus snapshot diff: membership + content accounting between two
+versions of a document corpus.
+
+Iterative 100 TB corpus builds re-crawl, re-filter, and re-dedup between
+training runs; the first question about a new snapshot is "what actually
+changed vs the one we trained on" — how many documents were added,
+removed, or rewritten, before re-paying dedup/quality/mixture over the
+whole thing. This module answers it with one narrow aggregation per side
+plus one id-keyed full-outer join:
+
+- :func:`corpus_diff` — per-document status (``added`` / ``removed`` /
+  ``changed`` / ``unchanged``) with per-side multiplicities, content
+  compared by the same fingerprint as the corpus ingester's exact-dedup
+  key (functions.text.fingerprint: md5 of lowercased trimmed text).
+- :func:`diff_summary` — the bounded (status, n_docs) rollup.
+
+Scale shape: each side reduces to (id, n, fp_min, fp_max) — a groupBy on
+the id the join shuffles on anyway, so Catalyst reuses one hash
+partitioning per side for both the aggregation and the join; the full
+outer join is an equi-join on unique keys (no skew, never broadcast-
+nested-loop); nothing collects to the driver. Snapshots stored bucketed
+by id diff shuffle-free. Duplicate ids within a snapshot (a violated
+ingest contract) stay VISIBLE instead of multiplying join rows: the
+aggregation collapses them into one row with ``n > 1``, and content
+equality compares the (min, max) fingerprint envelope, which detects any
+difference between duplicate sets' contents except the pathological case
+of equal envelopes with different interiors.
+
+Semantics pinned by tests/test_corpus_diff.py: DuckDB FULL OUTER JOIN
+parity on deterministic mutations of the real documents table, a pure-
+Python reference under hypothesis-random corpora (including duplicate
+ids and NULL text), and NULL handling — NULL ids carry no identity and
+are dropped; NULL text fingerprints to NULL and compares null-safely, so
+NULL -> NULL is unchanged and NULL -> 'x' is changed.
+
+Reference parity note: the reference system (a DynamoDB-CDC-to-Redshift
+sync, /root/reference/sql/queries.sql) has no corpus-versioning surface;
+this operator is part of the training-data-pipeline extension the engine
+provides beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def _side(df: DataFrame, id_col: str, text_col: str, tag: str) -> DataFrame:
+    """Reduce a snapshot to one row per id: multiplicity + the content-
+    fingerprint envelope (min/max over duplicates — equal iff all
+    duplicate rows agree, up to envelope collisions)."""
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.min("fp").alias(f"fp_min_{tag}"),
+            F.max("fp").alias(f"fp_max_{tag}"),
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document diff between two corpus snapshots.
+
+    Returns ``(id_col, status, n_old, n_new)`` — one row per distinct
+    non-NULL id on either side; ``n_old`` / ``n_new`` are the id's row
+    multiplicities (0 when absent from that side, > 1 exposing a
+    duplicate-id contract violation rather than silently multiplying).
+    ``changed`` vs ``unchanged`` compares the min/max fingerprint
+    envelope null-safely, so a NULL-text document equals another
+    NULL-text document and differs from any real text.
+    """
+    o = _side(old, id_col, text_col, "old")
+    n = _side(new, id_col, text_col, "new")
+    j = o.join(n, "id", "full_outer")
+    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
+        "fp_max_old"
+    ).eqNullSafe(F.col("fp_max_new"))
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        status.alias("status"),
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded rollup of :func:`corpus_diff`: ``(status, n_docs)`` with
+    every status materialized (zero-count rows included, the drift-
+    profile convention — a diff where nothing changed should SAY
+    ``changed: 0``, not omit the row)."""
+    spark = old.sparkSession
+    counts = (
+        corpus_diff(old, new, id_col, text_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    all_statuses = spark.createDataFrame(
+        [(s,) for s in STATUSES], "status string"
+    )
+    return (
+        all_statuses.join(F.broadcast(counts), "status", "left")
+        .select(
+            "status", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs")
+        )
+        .orderBy("status")
+    )
