@@ -49,19 +49,43 @@ from ..functions.text import fingerprint
 STATUSES = ("added", "removed", "changed", "unchanged")
 
 
-def _side(df: DataFrame, id_col: str, text_col: str, tag: str) -> DataFrame:
-    """Reduce a snapshot to one row per id: multiplicity + the content-
-    fingerprint envelope (min/max over duplicates — equal iff all
-    duplicate rows agree, up to envelope collisions)."""
+def _side_of_fps(fps: DataFrame, tag: str) -> DataFrame:
+    """Reduce an ``(id, fp)`` frame to one row per id: multiplicity +
+    the content-fingerprint envelope (min/max over duplicates — equal
+    iff all duplicate rows agree, up to envelope collisions)."""
     return (
-        df.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        fps.filter(F.col("id").isNotNull())
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias(f"n_{tag}"),
             F.min("fp").alias(f"fp_min_{tag}"),
             F.max("fp").alias(f"fp_max_{tag}"),
         )
+    )
+
+
+def diff_of_fps(old_fps: DataFrame, new_fps: DataFrame, id_col: str) -> DataFrame:
+    """:func:`corpus_diff` semantics over pre-computed ``(id, fp)``
+    frames — the read path for stored fingerprint manifests
+    (streaming/manifest_maintenance.py), where the text was hashed once
+    at ingest and a version diff never rescans it."""
+    j = _side_of_fps(old_fps, "old").join(
+        _side_of_fps(new_fps, "new"), "id", "full_outer"
+    )
+    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
+        "fp_max_old"
+    ).eqNullSafe(F.col("fp_max_new"))
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        status.alias("status"),
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )
 
 
@@ -81,24 +105,12 @@ def corpus_diff(
     envelope null-safely, so a NULL-text document equals another
     NULL-text document and differs from any real text.
     """
-    o = _side(old, id_col, text_col, "old")
-    n = _side(new, id_col, text_col, "new")
-    j = o.join(n, "id", "full_outer")
-    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
-        "fp_max_old"
-    ).eqNullSafe(F.col("fp_max_new"))
-    status = (
-        F.when(F.col("n_old").isNull(), F.lit("added"))
-        .when(F.col("n_new").isNull(), F.lit("removed"))
-        .when(same, F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
-    )
-    return j.select(
-        F.col("id").alias(id_col),
-        status.alias("status"),
-        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
-        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
-    )
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+        )
+
+    return diff_of_fps(fps(old), fps(new), id_col)
 
 
 def diff_summary(

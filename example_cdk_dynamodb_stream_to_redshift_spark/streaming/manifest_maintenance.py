@@ -1,0 +1,134 @@
+"""Maintained corpus-version fingerprint manifests: the streaming twin
+of ``operators/corpus_diff.py``.
+
+:func:`operators.corpus_diff.corpus_diff` re-fingerprints BOTH corpora
+on every call — two full text scans per diff. At 100 TB per snapshot
+that is the whole cost, and it is paid again for every version pair
+asked about. This store amortizes it: each ingested micro-batch writes
+its ``(id, fp)`` rows ONCE (two narrow strings per document — the same
+``functions.text.fingerprint`` the exact-dedup ingestion key already
+computes), into the batch's own ``batch_id=<n>`` directory under the
+version's root. A diff between ANY two landed versions then reads
+manifests only — orders of magnitude less I/O than the text, and the
+text itself is never rescanned:
+
+    v1 = SnapshotManifest(spark, root, "v1")
+    stream_v1.foreachBatch(v1.wrap(sink))        # fp recorded at ingest
+    ...
+    v2 = SnapshotManifest(spark, root, "v2")
+    ...
+    diff_manifests(v1, v2)                       # manifest-only
+
+``diff_manifests`` equals ``corpus_diff`` of the raw corpora row-exactly
+(ids compared as strings — the store's stable-schema convention, like
+the bottom-k sample store), pinned in tests/test_manifest_maintenance.py
+across adversarial batchings, duplicate ids, NULL text, replay, and
+compaction. Writes are distributed (the manifest is corpus-sized, never
+driver-collected); ``batch_id``-directory overwrite makes at-least-once
+replay idempotent; ``compact`` consolidates a finished version's layout.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint
+from ..operators.corpus_diff import STATUSES, diff_of_fps
+from .batch_layout import ForeachBatchStore, read_root
+
+_VERSION_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+MANIFEST_FIELDS = [
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("id", T.StringType()),
+    T.StructField("fp", T.StringType()),
+]
+
+
+class SnapshotManifest(ForeachBatchStore):
+    """Fingerprint manifest for ONE corpus version: ``(id, fp)`` per
+    ingested row, id stored as a string (stable read schema), fp NULL
+    for NULL text (corpus_diff's null-safe content compare). One store
+    instance per version; versions share a parent ``root`` so
+    :func:`diff_manifests` can relate them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        version: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        if not _VERSION_RE.match(version):
+            raise ValueError(
+                f"version {version!r} must be path-safe "
+                "([A-Za-z0-9][A-Za-z0-9._-]*)"
+            )
+        self.spark = spark
+        self.version = version
+        self.id_col = id_col
+        self.text_col = text_col
+        self._manifest_dir = os.path.join(root, f"version={version}")
+
+    def _store_roots(self) -> list[str]:
+        return [self._manifest_dir]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Distributed write of the batch's (id, fp) rows — corpus-sized,
+        never collected. NULL ids carry no identity and are dropped here
+        (matching corpus_diff); duplicate ids land as duplicate rows and
+        stay visible in the diff's multiplicities."""
+        frame = (
+            batch_df.filter(F.col(self.id_col).isNotNull())
+            .select(
+                F.col(self.id_col).cast("string").alias("id"),
+                fingerprint(self.text_col).alias("fp"),
+            )
+        )
+        frame.write.mode("overwrite").parquet(
+            os.path.join(self._manifest_dir, f"batch_id={batch_id}")
+        )
+
+    def manifest(self) -> DataFrame:
+        """Everything landed for this version, as ``(id, fp)``."""
+        return read_root(self.spark, self._manifest_dir, MANIFEST_FIELDS).select(
+            "id", "fp"
+        )
+
+
+def diff_manifests(
+    old: SnapshotManifest, new: SnapshotManifest, id_col: str = "doc_id"
+) -> DataFrame:
+    """``corpus_diff`` of two landed versions from manifests alone:
+    ``(id_col string, status, n_old, n_new)`` — row-exactly the batch
+    operator's output with ids cast to string, zero text scans."""
+    return diff_of_fps(old.manifest(), new.manifest(), id_col)
+
+
+def diff_manifests_summary(
+    old: SnapshotManifest, new: SnapshotManifest
+) -> DataFrame:
+    """Bounded ``(status, n_docs)`` rollup with every status
+    materialized (zero counts included), matching
+    ``operators.corpus_diff.diff_summary``."""
+    counts = (
+        diff_manifests(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    all_statuses = old.spark.createDataFrame(
+        [(s,) for s in STATUSES], "status string"
+    )
+    return (
+        all_statuses.join(F.broadcast(counts), "status", "left")
+        .select(
+            "status", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs")
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,143 @@
+"""Maintained fingerprint manifests (streaming/manifest_maintenance):
+diff_manifests equals the batch corpus_diff of the raw corpora after
+every batch, under adversarial slicings (duplicate ids within and
+across versions, NULL text/ids, rewrites, idle batches), replay, and
+compaction; writes stay distributed and version names are validated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+    corpus_diff,
+    diff_summary,
+)
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.manifest_maintenance import (
+    SnapshotManifest,
+    diff_manifests,
+    diff_manifests_summary,
+)
+
+SCHEMA = "doc_id long, text string"
+
+# v1: three batches incl. a duplicate id (2), NULL text (5), NULL id
+V1_BATCHES = [
+    [(1, "alpha"), (2, "beta"), (2, "beta")],
+    [],
+    [(3, "gamma"), (5, None), (None, "ghost")],
+]
+# v2: id 1 unchanged, 2 rewritten (and deduped), 3 removed, 4 added,
+# 5 NULL->real text, plus a NULL id
+V2_BATCHES = [
+    [(1, "alpha"), (2, "BETA2")],
+    [(4, "delta"), (5, "real now"), (None, "ghost2")],
+]
+
+
+def _corpus(spark, batches):
+    rows = [r for b in batches for r in b]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _feed(store, spark, batches):
+    for i, b in enumerate(batches):
+        store.process_batch(spark.createDataFrame(b, SCHEMA), i)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch_diff_as_strings(spark, old_batches, new_batches):
+    """The batch operator's answer with ids cast to string — the
+    manifest store's stable-schema convention."""
+    d = corpus_diff(_corpus(spark, old_batches), _corpus(spark, new_batches))
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "status",
+        "n_old",
+        "n_new",
+    )
+
+
+def test_diff_equals_batch_operator(spark, tmp_path):
+    root = str(tmp_path / "m")
+    v1 = SnapshotManifest(spark, root, "v1")
+    v2 = SnapshotManifest(spark, root, "v2")
+    _feed(v1, spark, V1_BATCHES)
+    _feed(v2, spark, V2_BATCHES)
+    got = _rows(diff_manifests(v1, v2))
+    want = _rows(_batch_diff_as_strings(spark, V1_BATCHES, V2_BATCHES))
+    assert got == want
+    # and the summary matches the batch summary (statuses incl. zeros)
+    s_got = _rows(diff_manifests_summary(v1, v2))
+    s_want = _rows(
+        diff_summary(_corpus(spark, V1_BATCHES), _corpus(spark, V2_BATCHES))
+    )
+    assert s_got == s_want
+
+
+def test_equality_after_every_batch(spark, tmp_path):
+    root = str(tmp_path / "e")
+    v1 = SnapshotManifest(spark, root, "v1")
+    _feed(v1, spark, V1_BATCHES)
+    v2 = SnapshotManifest(spark, root, "v2")
+    for k in range(1, len(V2_BATCHES) + 1):
+        v2.process_batch(
+            spark.createDataFrame(V2_BATCHES[k - 1], SCHEMA), k - 1
+        )
+        got = _rows(diff_manifests(v1, v2))
+        want = _rows(
+            _batch_diff_as_strings(spark, V1_BATCHES, V2_BATCHES[:k])
+        )
+        assert got == want, f"after v2 batch {k - 1}"
+
+
+def test_replay_idempotent_and_compaction(spark, tmp_path):
+    root = str(tmp_path / "r")
+    v1 = SnapshotManifest(spark, root, "v1")
+    v2 = SnapshotManifest(spark, root, "v2")
+    _feed(v1, spark, V1_BATCHES)
+    _feed(v2, spark, V2_BATCHES)
+    want = _rows(diff_manifests(v1, v2))
+    # at-least-once replay of the last batch of each version
+    v1.process_batch(
+        spark.createDataFrame(V1_BATCHES[-1], SCHEMA), len(V1_BATCHES) - 1
+    )
+    v2.process_batch(
+        spark.createDataFrame(V2_BATCHES[-1], SCHEMA), len(V2_BATCHES) - 1
+    )
+    assert _rows(diff_manifests(v1, v2)) == want
+    # compaction of one side preserves the diff
+    v1.compact()
+    assert _rows(diff_manifests(v1, v2)) == want
+    v2.compact()
+    assert _rows(diff_manifests(v1, v2)) == want
+
+
+def test_same_version_diff_is_all_unchanged(spark, tmp_path):
+    root = str(tmp_path / "s")
+    v1 = SnapshotManifest(spark, root, "v1")
+    _feed(v1, spark, V1_BATCHES)
+    got = {r["status"] for r in diff_manifests(v1, v1).collect()}
+    assert got == {"unchanged"}
+
+
+def test_version_name_validation(spark, tmp_path):
+    for bad in ("", "a/b", "../x", "-lead", "v 1"):
+        with pytest.raises(ValueError, match="path-safe"):
+            SnapshotManifest(spark, str(tmp_path), bad)
+    SnapshotManifest(spark, str(tmp_path), "v1.2_rc-3")  # ok
+
+
+def test_empty_versions(spark, tmp_path):
+    root = str(tmp_path / "z")
+    v1 = SnapshotManifest(spark, root, "v1")
+    v2 = SnapshotManifest(spark, root, "v2")
+    assert diff_manifests(v1, v2).count() == 0
+    _feed(v1, spark, [[(1, "a")]])
+    got = _rows(diff_manifests(v1, v2))
+    assert got == [("1", "removed", 1, 0)]
+    s = {tuple(r) for r in diff_manifests_summary(v1, v2).collect()}
+    assert ("removed", 1) in s and ("added", 0) in s
