@@ -49,18 +49,31 @@ from ..functions.text import fingerprint
 STATUSES = ("added", "removed", "changed", "unchanged")
 
 
-def _side_of_fps(fps: DataFrame, tag: str) -> DataFrame:
-    """Reduce an ``(id, fp)`` frame to one row per id: multiplicity +
-    the content-fingerprint envelope (min/max over duplicates — equal
-    iff all duplicate rows agree, up to envelope collisions)."""
+def _side_of_fps(fps: DataFrame, tag: str, with_group: bool) -> DataFrame:
+    """Reduce an ``(id, fp[, g])`` frame to one row per id: multiplicity
+    + the content-fingerprint envelope (min/max over duplicates — equal
+    iff all duplicate rows agree, up to envelope collisions), plus the
+    max group label when a group column rides along (deterministic
+    under duplicate ids with conflicting labels)."""
+    aggs = [
+        F.count(F.lit(1)).alias(f"n_{tag}"),
+        F.min("fp").alias(f"fp_min_{tag}"),
+        F.max("fp").alias(f"fp_max_{tag}"),
+    ]
+    if with_group:
+        aggs.append(F.max("g").alias(f"g_{tag}"))
+    return fps.filter(F.col("id").isNotNull()).groupBy("id").agg(*aggs)
+
+
+def _status() -> F.Column:
+    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
+        "fp_max_old"
+    ).eqNullSafe(F.col("fp_max_new"))
     return (
-        fps.filter(F.col("id").isNotNull())
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias(f"n_{tag}"),
-            F.min("fp").alias(f"fp_min_{tag}"),
-            F.max("fp").alias(f"fp_max_{tag}"),
-        )
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
     )
 
 
@@ -69,23 +82,39 @@ def diff_of_fps(old_fps: DataFrame, new_fps: DataFrame, id_col: str) -> DataFram
     frames — the read path for stored fingerprint manifests
     (streaming/manifest_maintenance.py), where the text was hashed once
     at ingest and a version diff never rescans it."""
-    j = _side_of_fps(old_fps, "old").join(
-        _side_of_fps(new_fps, "new"), "id", "full_outer"
-    )
-    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
-        "fp_max_old"
-    ).eqNullSafe(F.col("fp_max_new"))
-    status = (
-        F.when(F.col("n_old").isNull(), F.lit("added"))
-        .when(F.col("n_new").isNull(), F.lit("removed"))
-        .when(same, F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
+    j = _side_of_fps(old_fps, "old", False).join(
+        _side_of_fps(new_fps, "new", False), "id", "full_outer"
     )
     return j.select(
         F.col("id").alias(id_col),
-        status.alias("status"),
+        _status().alias("status"),
         F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+
+
+def diff_by_group_of_fps(
+    old_fps: DataFrame, new_fps: DataFrame, group_col: str
+) -> DataFrame:
+    """Grouped rollup over ``(id, fp, g)`` frames: ``(group_col, status,
+    n_docs)`` for every (group, status) with at least one document. A
+    document's group is its NEW-side label, falling back to the old
+    side for removed docs — 'which sources drove the adds/changes' is a
+    question about the new snapshot's attribution. Output stays bounded
+    by groups x 4; zero-count combinations are omitted (unlike
+    :func:`diff_summary`'s fixed 4-row frame, groups x statuses is not
+    a declared set)."""
+    j = _side_of_fps(old_fps, "old", True).join(
+        _side_of_fps(new_fps, "new", True), "id", "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce("g_new", "g_old").alias(group_col),
+            _status().alias("status"),
+        )
+        .groupBy(group_col, "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(group_col, "status")
     )
 
 
@@ -111,6 +140,29 @@ def corpus_diff(
         )
 
     return diff_of_fps(fps(old), fps(new), id_col)
+
+
+def diff_by_group(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Which groups (sources) drove the diff: ``(group_col, status,
+    n_docs)`` — the per-source breakdown of :func:`corpus_diff`, with
+    each document attributed to its new-side group (old-side for
+    removed docs). Same one-aggregation-per-side + one equi-join shape;
+    the rollup adds one bounded groups x 4 shuffle."""
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            fingerprint(text_col).alias("fp"),
+            F.col(group_col).cast("string").alias("g"),
+        )
+
+    return diff_by_group_of_fps(fps(old), fps(new), group_col)
 
 
 def diff_summary(

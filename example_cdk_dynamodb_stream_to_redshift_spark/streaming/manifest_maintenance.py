@@ -38,15 +38,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import fingerprint
-from ..operators.corpus_diff import STATUSES, diff_of_fps
+from ..operators.corpus_diff import (
+    STATUSES,
+    diff_by_group_of_fps,
+    diff_of_fps,
+)
 from .batch_layout import ForeachBatchStore, read_root
 
 _VERSION_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
+# `g` is always present (NULL when the store has no group_col) so the
+# read schema is stable across store configurations.
 MANIFEST_FIELDS = [
     T.StructField("batch_id", T.IntegerType()),
     T.StructField("id", T.StringType()),
     T.StructField("fp", T.StringType()),
+    T.StructField("g", T.StringType()),
 ]
 
 
@@ -64,6 +71,7 @@ class SnapshotManifest(ForeachBatchStore):
         version: str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        group_col: str | None = None,
     ) -> None:
         if not _VERSION_RE.match(version):
             raise ValueError(
@@ -74,6 +82,7 @@ class SnapshotManifest(ForeachBatchStore):
         self.version = version
         self.id_col = id_col
         self.text_col = text_col
+        self.group_col = group_col
         self._manifest_dir = os.path.join(root, f"version={version}")
 
     def _store_roots(self) -> list[str]:
@@ -84,11 +93,17 @@ class SnapshotManifest(ForeachBatchStore):
         never collected. NULL ids carry no identity and are dropped here
         (matching corpus_diff); duplicate ids land as duplicate rows and
         stay visible in the diff's multiplicities."""
+        g = (
+            F.col(self.group_col).cast("string")
+            if self.group_col is not None
+            else F.lit(None).cast("string")
+        )
         frame = (
             batch_df.filter(F.col(self.id_col).isNotNull())
             .select(
                 F.col(self.id_col).cast("string").alias("id"),
                 fingerprint(self.text_col).alias("fp"),
+                g.alias("g"),
             )
         )
         frame.write.mode("overwrite").parquet(
@@ -96,9 +111,9 @@ class SnapshotManifest(ForeachBatchStore):
         )
 
     def manifest(self) -> DataFrame:
-        """Everything landed for this version, as ``(id, fp)``."""
+        """Everything landed for this version, as ``(id, fp, g)``."""
         return read_root(self.spark, self._manifest_dir, MANIFEST_FIELDS).select(
-            "id", "fp"
+            "id", "fp", "g"
         )
 
 
@@ -109,6 +124,17 @@ def diff_manifests(
     ``(id_col string, status, n_old, n_new)`` — row-exactly the batch
     operator's output with ids cast to string, zero text scans."""
     return diff_of_fps(old.manifest(), new.manifest(), id_col)
+
+
+def diff_manifests_by_group(
+    old: SnapshotManifest, new: SnapshotManifest, group_col: str = "source"
+) -> DataFrame:
+    """Which groups drove the diff, from manifests alone: ``(group_col,
+    status, n_docs)`` — equals ``operators.corpus_diff.diff_by_group``
+    of the raw corpora when both stores recorded a group column. A
+    store built without ``group_col`` contributes NULL groups (they
+    roll up under one NULL row rather than failing)."""
+    return diff_by_group_of_fps(old.manifest(), new.manifest(), group_col)
 
 
 def diff_manifests_summary(

@@ -215,3 +215,78 @@ def test_plan_shape_no_bnlj(spark):
     plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_diff_by_group_unit(spark):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        diff_by_group,
+    )
+
+    gschema = "doc_id long, text string, source string"
+    old = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "web"), (3, "c", "books")], gschema
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged (and migrated web->books: attributed to NEW side),
+        # 2 changed, 3 removed (old-side group), 4 added
+        [(1, "a", "books"), (2, "B2", "web"), (4, "d", "web")], gschema
+    )
+    got = {(r["source"], r["status"]): r["n_docs"]
+           for r in diff_by_group(old, new).collect()}
+    assert got == {
+        ("books", "removed"): 1,
+        ("books", "unchanged"): 1,
+        ("web", "added"): 1,
+        ("web", "changed"): 1,
+    }
+
+
+def test_diff_by_group_duckdb_parity(spark):
+    """Same %3/%5/%7 mutations as the per-doc parity test, rolled up by
+    the real source column."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        diff_by_group,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F_mod(3)).select("doc_id", "text", "source")
+    new = docs.filter(F_mod(5)).select("doc_id", F_rewrite().alias("text"), "source")
+    df = diff_by_group(old, new)
+    path = os.path.join(SF_DIR, "documents.parquet")
+    con = duckdb_connection(SF_DIR)
+    try:
+        compare(
+            df,
+            con,
+            f"""
+            WITH old_side AS (
+              SELECT doc_id, count(*) AS n_old,
+                     min(md5(lower(trim(text)))) AS fmin,
+                     max(md5(lower(trim(text)))) AS fmax,
+                     max(source) AS g
+              FROM read_parquet('{path}')
+              WHERE doc_id % 3 <> 0 AND doc_id IS NOT NULL GROUP BY doc_id),
+            new_side AS (
+              SELECT doc_id, count(*) AS n_new,
+                     min(md5(lower(trim(t)))) AS fmin,
+                     max(md5(lower(trim(t)))) AS fmax,
+                     max(source) AS g
+              FROM (SELECT doc_id, source,
+                           CASE WHEN doc_id % 7 = 0
+                                THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
+                                ELSE text END AS t
+                    FROM read_parquet('{path}') WHERE doc_id % 5 <> 0)
+              WHERE doc_id IS NOT NULL GROUP BY doc_id)
+            SELECT coalesce(n.g, o.g) AS source,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fmin IS NOT DISTINCT FROM n.fmin
+                         AND o.fmax IS NOT DISTINCT FROM n.fmax
+                        THEN 'unchanged' ELSE 'changed' END AS status,
+                   count(*) AS n_docs
+            FROM old_side o FULL OUTER JOIN new_side n USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """,
+        )
+    finally:
+        con.close()

@@ -141,3 +141,44 @@ def test_empty_versions(spark, tmp_path):
     assert got == [("1", "removed", 1, 0)]
     s = {tuple(r) for r in diff_manifests_summary(v1, v2).collect()}
     assert ("removed", 1) in s and ("added", 0) in s
+
+
+def test_grouped_diff_equals_batch_operator(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        diff_by_group,
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.manifest_maintenance import (
+        diff_manifests_by_group,
+    )
+
+    gschema = "doc_id long, text string, source string"
+    v1_rows = [(1, "a", "web"), (2, "b", "web"), (3, "c", "books")]
+    v2_rows = [(1, "a", "books"), (2, "B2", "web"), (4, "d", "web")]
+    root = str(tmp_path / "g")
+    v1 = SnapshotManifest(spark, root, "v1", group_col="source")
+    v2 = SnapshotManifest(spark, root, "v2", group_col="source")
+    v1.process_batch(spark.createDataFrame(v1_rows[:2], gschema), 0)
+    v1.process_batch(spark.createDataFrame(v1_rows[2:], gschema), 1)
+    v2.process_batch(spark.createDataFrame(v2_rows, gschema), 0)
+    got = _rows(diff_manifests_by_group(v1, v2))
+    want = _rows(
+        diff_by_group(
+            spark.createDataFrame(v1_rows, gschema),
+            spark.createDataFrame(v2_rows, gschema),
+        )
+    )
+    assert got == want
+
+
+def test_groupless_store_rolls_up_null(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.manifest_maintenance import (
+        diff_manifests_by_group,
+    )
+
+    root = str(tmp_path / "ng")
+    v1 = SnapshotManifest(spark, root, "v1")
+    v2 = SnapshotManifest(spark, root, "v2")
+    _feed(v1, spark, [[(1, "a")]])
+    _feed(v2, spark, [[(1, "a"), (2, "b")]])
+    got = _rows(diff_manifests_by_group(v1, v2))
+    assert got == [(None, "added", 1), (None, "unchanged", 1)]
