@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 # Small fixed stopword list (order matters for determinism of ratios).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# The same list as a quoted SQL IN-list fragment, for DuckDB oracle
+# restatements — ONE construction shared by every plan family so oracles
+# cannot quietly diverge (r11 review: inventory_ml and staged_r11 had
+# grown independent copies).
+STOP_SQL = "'" + "','".join(STOPWORDS) + "'"
+
 # Marker words scored by the language-ID heuristic. With a real corpus these
 # would be per-language function-word profiles; the mechanism (count marker
 # hits per language, argmax with deterministic precedence) is the operator.

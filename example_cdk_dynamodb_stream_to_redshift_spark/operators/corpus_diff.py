@@ -100,16 +100,20 @@ def diff_by_group_of_fps(
     n_docs)`` for every (group, status) with at least one document. A
     document's group is its NEW-side label, falling back to the old
     side for removed docs — 'which sources drove the adds/changes' is a
-    question about the new snapshot's attribution. Output stays bounded
-    by groups x 4; zero-count combinations are omitted (unlike
-    :func:`diff_summary`'s fixed 4-row frame, groups x statuses is not
-    a declared set)."""
+    question about the new snapshot's attribution. The new-side label is
+    used whenever the doc exists in the new snapshot — even if that
+    label is NULL (a coalesce would silently re-attribute such docs to
+    their OLD label, r11 review). Output stays bounded by groups x 4;
+    zero-count combinations are omitted (unlike :func:`diff_summary`'s
+    fixed 4-row frame, groups x statuses is not a declared set)."""
     j = _side_of_fps(old_fps, "old", True).join(
         _side_of_fps(new_fps, "new", True), "id", "full_outer"
     )
     return (
         j.select(
-            F.coalesce("g_new", "g_old").alias(group_col),
+            F.when(F.col("n_new").isNotNull(), F.col("g_new"))
+            .otherwise(F.col("g_old"))
+            .alias(group_col),
             _status().alias("status"),
         )
         .groupBy(group_col, "status")
@@ -165,22 +169,14 @@ def diff_by_group(
     return diff_by_group_of_fps(fps(old), fps(new), group_col)
 
 
-def diff_summary(
-    old: DataFrame,
-    new: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Bounded rollup of :func:`corpus_diff`: ``(status, n_docs)`` with
-    every status materialized (zero-count rows included, the drift-
-    profile convention — a diff where nothing changed should SAY
-    ``changed: 0``, not omit the row)."""
-    spark = old.sparkSession
-    counts = (
-        corpus_diff(old, new, id_col, text_col)
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+def summary_of_diff(diff: DataFrame) -> DataFrame:
+    """Bounded ``(status, n_docs)`` rollup of a per-document diff frame
+    with every status materialized (zero-count rows included, the
+    drift-profile convention — a diff where nothing changed should SAY
+    ``changed: 0``, not omit the row). Shared by the batch operator and
+    the manifest store's read path (one implementation, r11 review)."""
+    spark = diff.sparkSession
+    counts = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
     all_statuses = spark.createDataFrame(
         [(s,) for s in STATUSES], "status string"
     )
@@ -191,3 +187,13 @@ def diff_summary(
         )
         .orderBy("status")
     )
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`summary_of_diff` over :func:`corpus_diff`."""
+    return summary_of_diff(corpus_diff(old, new, id_col, text_col))

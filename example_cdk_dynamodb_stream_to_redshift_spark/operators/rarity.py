@@ -172,37 +172,20 @@ def source_overlap(
     That per-group array is the one unbounded surface: a high-cardinality
     ``group_col`` (e.g. a doc-level column passed by mistake) would make
     the per-fingerprint set — and its quadratic self-product — explode,
-    so distinct cardinality is validated up front against ``max_sources``
-    (one cheap column-distinct scan; raise, don't OOM an executor;
-    ``max_sources=None`` skips the scan when the contract is enforced
-    upstream)."""
+    so ``max_sources`` caps the set size IN-PLAN: the check rides the
+    same aggregation (stays lazy, costs no extra scan — the r11 review
+    rejected an eager up-front validation pass) and any oversize set
+    raises at execution, at exactly the point that would otherwise OOM
+    an executor. ``max_sources=None`` disables the cap when the source
+    contract is enforced upstream."""
     if shingle_n is not None and shingle_n < 1:
         raise ValueError(
             f"shingle_n must be >= 1 (got {shingle_n}); n=0 would "
             "fingerprint every document to md5('') and report every "
             "source pair as overlapping"
         )
-    if max_sources is not None:
-        # one eager column-pruned scan (map-side partial agg on a
-        # low-cardinality key); pass max_sources=None to skip it when the
-        # source contract is already enforced upstream
-        if max_sources < 2:
-            raise ValueError(f"max_sources must be >= 2 (got {max_sources})")
-        n_sources = (
-            df.filter(F.col(group_col).isNotNull())
-            .select(group_col)
-            .distinct()
-            .limit(max_sources + 1)
-            .count()
-        )
-        if n_sources > max_sources:
-            raise ValueError(
-                f"group column {group_col!r} has more than {max_sources} "
-                "distinct values — source_overlap builds per-fingerprint "
-                "source sets whose self-product is quadratic in that "
-                "cardinality; pass a true source/corpus column (or raise "
-                "max_sources deliberately)"
-            )
+    if max_sources is not None and max_sources < 2:
+        raise ValueError(f"max_sources must be >= 2 (got {max_sources})")
     fp = (
         fingerprint(text_col)
         if shingle_n is None
@@ -216,6 +199,30 @@ def source_overlap(
         .agg(F.sort_array(F.collect_set("g")).alias("gs"))
         .filter(F.size("gs") >= 2)
     )
+    if max_sources is not None:
+        pairs_per_fp = pairs_per_fp.select(
+            F.when(
+                F.size("gs") > max_sources,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "source_overlap: a fingerprint is shared by "
+                        ),
+                        F.size("gs").cast("string"),
+                        F.lit(
+                            f" sources (> max_sources={max_sources}) — "
+                            f"group column {group_col!r} looks "
+                            "high-cardinality; its per-fingerprint "
+                            "self-product is quadratic. Pass a true "
+                            "source/corpus column or raise max_sources "
+                            "deliberately."
+                        ),
+                    )
+                ).cast("array<string>"),
+            )
+            .otherwise(F.col("gs"))
+            .alias("gs")
+        )
     return (
         pairs_per_fp.select(
             F.explode("gs").alias("source_a"), F.col("gs").alias("gs")

@@ -25,7 +25,7 @@ from ..operators.simhash import simhash_near_dup_pairs
 from ..sources.tables import load_table
 from .inventory import register
 
-_STOP_SQL = "'" + "','".join(TX.STOPWORDS) + "'"
+_STOP_SQL = TX.STOP_SQL  # shared IN-list fragment (functions/text.py)
 _SHINGLE_SQL = (
     "list_distinct(list_transform(range(0, len(string_split(text,' ')) - 2), "
     "i -> md5(array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))))"

@@ -34,13 +34,12 @@ from ..functions import text as TX
 from ..operators.selection import budget_select, uniform_edges
 from ..sources.tables import load_table
 
-# Same stopword-list SQL fragment as inventory_ml._STOP_SQL, built from
-# the shared source of truth directly: importing it FROM inventory_ml
-# would be circular now that inventory_pipeline (imported during
-# inventory_ml's own registration chain) imports this module to register
-# the promotion — a direct `import plans.inventory_ml` entry point would
-# hit the partially-initialized module.
-_STOP_SQL = "'" + "','".join(TX.STOPWORDS) + "'"
+# Shared stopword IN-list fragment from functions/text.py — NOT imported
+# from inventory_ml (that would be circular: inventory_pipeline, imported
+# during inventory_ml's own registration chain, imports this module to
+# register the promotion, so a direct `import plans.inventory_ml` entry
+# point would hit the partially-initialized module).
+_STOP_SQL = TX.STOP_SQL
 
 # Frozen selection parameters — declared, like drift's bucket edges.
 _BUDGET_TOKENS = 7_000

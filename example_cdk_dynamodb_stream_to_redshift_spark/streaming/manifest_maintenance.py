@@ -30,6 +30,7 @@ replay idempotent; ``compact`` consolidates a finished version's layout.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -39,9 +40,9 @@ from pyspark.sql import types as T
 
 from ..functions.text import fingerprint
 from ..operators.corpus_diff import (
-    STATUSES,
     diff_by_group_of_fps,
     diff_of_fps,
+    summary_of_diff,
 )
 from .batch_layout import ForeachBatchStore, read_root
 
@@ -84,6 +85,37 @@ class SnapshotManifest(ForeachBatchStore):
         self.text_col = text_col
         self.group_col = group_col
         self._manifest_dir = os.path.join(root, f"version={version}")
+        self._meta_path = os.path.join(self._manifest_dir, "_manifest_meta.json")
+        self._check_meta()  # reopening with different columns fails NOW
+
+    def _check_meta(self, create: bool = False) -> None:
+        """The column configuration is part of the persisted state:
+        reopening a version with a different id/text/group column would
+        mix incompatible rows into the same manifest (e.g. real and
+        NULL group labels, per-doc) with no error at read time — the
+        ClusterMaintenance layout-marker precedent. Pinned at creation,
+        validated on every open and write."""
+        mine = {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "group_col": self.group_col,
+        }
+        if os.path.isfile(self._meta_path):
+            with open(self._meta_path) as fh:
+                stored = json.load(fh)
+            if stored != mine:
+                raise ValueError(
+                    f"manifest version {self.version!r} was created with "
+                    f"{stored}; reopening with {mine} would corrupt the "
+                    "manifest — match the original columns or rebuild."
+                )
+            return
+        if create:
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(mine, fh)
+            os.replace(tmp, self._meta_path)
 
     def _store_roots(self) -> list[str]:
         return [self._manifest_dir]
@@ -93,6 +125,7 @@ class SnapshotManifest(ForeachBatchStore):
         never collected. NULL ids carry no identity and are dropped here
         (matching corpus_diff); duplicate ids land as duplicate rows and
         stay visible in the diff's multiplicities."""
+        self._check_meta(create=True)
         g = (
             F.col(self.group_col).cast("string")
             if self.group_col is not None
@@ -141,20 +174,6 @@ def diff_manifests_summary(
     old: SnapshotManifest, new: SnapshotManifest
 ) -> DataFrame:
     """Bounded ``(status, n_docs)`` rollup with every status
-    materialized (zero counts included), matching
-    ``operators.corpus_diff.diff_summary``."""
-    counts = (
-        diff_manifests(old, new)
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    all_statuses = old.spark.createDataFrame(
-        [(s,) for s in STATUSES], "status string"
-    )
-    return (
-        all_statuses.join(F.broadcast(counts), "status", "left")
-        .select(
-            "status", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs")
-        )
-        .orderBy("status")
-    )
+    materialized (zero counts included) — the shared
+    ``corpus_diff.summary_of_diff`` over the manifest diff."""
+    return summary_of_diff(diff_manifests(old, new))

@@ -142,28 +142,42 @@ class ShingleDocFreqStore(ForeachBatchStore):
             .groupBy(F.col("owner").alias("id"))
             .agg(F.count(F.lit(1)).alias("n_unique"))
         )
-        totals = read_root(self.spark, self._totals_dir, TOTAL_FIELDS)
         # Guard the 'a doc id never spans batches' contract this store's
         # correctness rests on: a violating feed would double-count df and
         # emit duplicate per-doc rows here. Each batch writes one distinct
         # id row, so a duplicate in totals IS a cross-batch repeat — fail
         # loudly (the ClusterMaintenance layout-contract precedent) instead
-        # of returning wrong numbers. One bounded aggregation, ≤3 ids
-        # collected.
-        dups = [
-            r["id"]
-            for r in totals.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(3)
-            .collect()
-        ]
-        if dups:
-            raise ValueError(
-                "doc ids appear in more than one landed batch (contract: "
-                f"a doc id never spans batches); e.g. {dups} — dedup the "
-                "feed (exact-dedup ingestion) before maintaining docfreq"
+        # of returning wrong numbers. The check rides the id aggregation
+        # IN-PLAN (the join shuffles totals on id anyway, so Catalyst
+        # shares the partitioning): uniqueness() stays lazy and costs no
+        # extra job, and a violation raises at execution (r11 review
+        # rejected the eager per-call collect form).
+        totals = (
+            read_root(self.spark, self._totals_dir, TOTAL_FIELDS)
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("_nb"),
+                F.min("n_shingles").alias("n_shingles"),
             )
+            .select(
+                "id",
+                F.when(
+                    F.col("_nb") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("doc id "),
+                            F.col("id").cast("string"),
+                            F.lit(
+                                " appears in more than one landed batch "
+                                "(contract: a doc id never spans "
+                                "batches) — dedup the feed (exact-dedup "
+                                "ingestion) before maintaining docfreq"
+                            ),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("n_shingles")).alias("n_shingles"),
+            )
+        )
         return totals.join(uniq, "id", "left").select(
             F.col("id").alias(self.id_col),
             "n_shingles",

@@ -13,7 +13,9 @@ cd "$(dirname "$0")/.."
 N="${1:?usage: round_start.sh <prev_round_number>}"
 LOCAL="BENCH_LOCAL_r${N}.json"
 
-if [ -f "$LOCAL" ] && ! git diff --quiet -- "$LOCAL" 2>/dev/null; then
+# compare against HEAD, not the index: a rerun that was already staged
+# (e.g. by an aborted prior run of this script) must still be preserved
+if [ -f "$LOCAL" ] && ! git diff --quiet HEAD -- "$LOCAL" 2>/dev/null; then
     cp "$LOCAL" "BENCH_LOCAL_r${N}_driver.json"
     git show "HEAD:$LOCAL" > "$LOCAL" 2>/dev/null || git checkout -- "$LOCAL"
     echo "preserved driver rerun as BENCH_LOCAL_r${N}_driver.json; restored idle snapshot"

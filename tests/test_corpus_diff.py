@@ -277,7 +277,8 @@ def test_diff_by_group_duckdb_parity(spark):
                                 ELSE text END AS t
                     FROM read_parquet('{path}') WHERE doc_id % 5 <> 0)
               WHERE doc_id IS NOT NULL GROUP BY doc_id)
-            SELECT coalesce(n.g, o.g) AS source,
+            SELECT CASE WHEN n.doc_id IS NOT NULL THEN n.g ELSE o.g END
+                     AS source,
                    CASE WHEN o.doc_id IS NULL THEN 'added'
                         WHEN n.doc_id IS NULL THEN 'removed'
                         WHEN o.fmin IS NOT DISTINCT FROM n.fmin
@@ -290,3 +291,17 @@ def test_diff_by_group_duckdb_parity(spark):
         )
     finally:
         con.close()
+
+
+def test_diff_by_group_new_side_null_label_stays_null(spark):
+    """A doc present in the new snapshot with a NULL group must land
+    under NULL, not be re-attributed to its old-side label."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        diff_by_group,
+    )
+
+    gschema = "doc_id long, text string, source string"
+    old = spark.createDataFrame([(1, "a", "web")], gschema)
+    new = spark.createDataFrame([(1, "a", None)], gschema)
+    got = [tuple(r) for r in diff_by_group(old, new).collect()]
+    assert got == [(None, "unchanged", 1)]

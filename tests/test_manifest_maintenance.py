@@ -9,6 +9,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.batch_layout import (
+    compact_root,
+)
+
 from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
     corpus_diff,
     diff_summary,
@@ -109,11 +113,21 @@ def test_replay_idempotent_and_compaction(spark, tmp_path):
         spark.createDataFrame(V2_BATCHES[-1], SCHEMA), len(V2_BATCHES) - 1
     )
     assert _rows(diff_manifests(v1, v2)) == want
-    # compaction of one side preserves the diff
-    v1.compact()
+    # compaction of one side preserves the diff. keep_last=0 so the
+    # consolidation actually RUNS here (the default keep_last=2 on a
+    # 3-batch store protects all-but-one dir and no-ops — r11 review
+    # caught exactly that making these assertions vacuous)
+    assert compact_root(spark, v1._manifest_dir, keep_last=0) is True
     assert _rows(diff_manifests(v1, v2)) == want
-    v2.compact()
+    assert compact_root(spark, v2._manifest_dir, keep_last=0) is True
     assert _rows(diff_manifests(v1, v2)) == want
+    # and a post-compaction batch still lands and reads correctly
+    v2.process_batch(
+        spark.createDataFrame([(9, "post-compact")], SCHEMA), 99
+    )
+    post = _rows(diff_manifests(v1, v2))
+    assert ("9", "added", 0, 1) in post
+    assert len(post) == len(want) + 1
 
 
 def test_same_version_diff_is_all_unchanged(spark, tmp_path):
@@ -182,3 +196,20 @@ def test_groupless_store_rolls_up_null(spark, tmp_path):
     _feed(v2, spark, [[(1, "a"), (2, "b")]])
     got = _rows(diff_manifests_by_group(v1, v2))
     assert got == [(None, "added", 1), (None, "unchanged", 1)]
+
+
+def test_reopening_with_different_columns_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "meta")
+    v1 = SnapshotManifest(spark, root, "v1", group_col="source")
+    gschema = "doc_id long, text string, source string"
+    v1.process_batch(spark.createDataFrame([(1, "a", "web")], gschema), 0)
+    # matching reopen works and reads the same state
+    again = SnapshotManifest(spark, root, "v1", group_col="source")
+    assert _rows(again.manifest()) == _rows(v1.manifest())
+    # mismatched group/id/text columns all fail at OPEN time
+    with pytest.raises(ValueError, match="corrupt"):
+        SnapshotManifest(spark, root, "v1")
+    with pytest.raises(ValueError, match="corrupt"):
+        SnapshotManifest(spark, root, "v1", id_col="other", group_col="source")
+    # a different VERSION under the same root is independent
+    SnapshotManifest(spark, root, "v2")

@@ -225,7 +225,9 @@ def test_profile_plan_reuses_the_tokenize_exchange(spark):
 def test_source_overlap_high_cardinality_group_rejected(spark):
     """A doc-level column passed as group_col would make the
     per-fingerprint source sets (and their quadratic self-product)
-    explode — validated up front against max_sources."""
+    explode — capped IN-PLAN by max_sources (lazy: construction is
+    free, the oversize set raises at execution, where the blow-up
+    would otherwise happen)."""
     import pytest
 
     from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
@@ -236,13 +238,14 @@ def test_source_overlap_high_cardinality_group_rejected(spark):
         [(i, "same text", f"doc{i}") for i in range(10)],
         "doc_id long, text string, source string",
     )
-    with pytest.raises(ValueError, match="distinct"):
-        source_overlap(df, "text", "source", max_sources=4).collect()
+    capped = source_overlap(df, "text", "source", max_sources=4)  # lazy: no error yet
+    with pytest.raises(Exception, match="high-cardinality"):
+        capped.collect()
     with pytest.raises(ValueError, match="max_sources"):
         source_overlap(df, "text", "source", max_sources=1)
     # at-or-under the cap still works
     out = source_overlap(df, "text", "source", max_sources=10)
     assert out.count() == 45  # all pairs share the one fingerprint
-    # None opts out of the eager validation scan entirely
+    # None opts out of the cap entirely
     out2 = source_overlap(df, "text", "source", max_sources=None)
     assert out2.count() == 45

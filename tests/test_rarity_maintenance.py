@@ -125,7 +125,8 @@ def test_doc_id_spanning_batches_fails_loudly(spark, tmp_path):
     store = ShingleDocFreqStore(spark, str(tmp_path / "span"), n=3)
     store.process_batch(spark.createDataFrame([(1, "a b c d")], SCHEMA), 0)
     store.process_batch(spark.createDataFrame([(1, "a b c e")], SCHEMA), 1)
-    with pytest.raises(ValueError, match="span"):
-        store.uniqueness().collect()
+    frame = store.uniqueness()  # lazy: the in-plan guard raises on execution
+    with pytest.raises(Exception, match="spans"):
+        frame.collect()
     # docfreq/spectrum stay readable (partials are still well-formed sums)
     assert store.docfreq().count() > 0
