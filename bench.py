@@ -58,7 +58,7 @@ HEADLINE = [
     "doc_token_topk",
     "view_purchase_interval_join",
     "event_type_daily_cube",
-    "order_price_quartiles",
+    "order_price_percentiles",
     "doc_distinctive_terms",
     "pii_scrub_docs",
     "stratified_sample_by_source",

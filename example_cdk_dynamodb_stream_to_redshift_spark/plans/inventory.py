@@ -492,68 +492,69 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round 11 window: the 49-entry r8 cohort (every oracle-bearing
-    # entry whose latest green hash row is CORRECTNESS_r08 — re-derived
+    # ---- round 12 window: the 50-entry r9 cohort (every oracle-bearing
+    # entry whose latest green hash row is CORRECTNESS_r09 — re-derived
     # from the artifacts by set arithmetic via scripts/predrive.py
-    # --cohort 8 and pre-driven foreign-CWD at sf0.01 BEFORE this
-    # rotation: 49/49 oracle-equal) plus the ONE STAGED_R11 promotion
-    # (token_budget_corpus — implemented and DuckDB-proven in round 9,
-    # registered this round). Oracle-bearing count lands at the exact
-    # 150 ceiling; round 12 owes the 50-entry r9 cohort and frees slack
-    # by retiring order_price_quartiles (COVERAGE.md slot plan).
-    "ann_bruteforce_topk",
-    "cdc_merge_latest_state",
-    "corpus_clean_keep",
-    "customers_with_orders",
-    "date_trunc_filter",
-    "dedup_corpus_keep_first",
-    "disjunctive_part_revenue_q19",
-    "distinct_users_per_type",
-    "doc_binary_features",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_text_stats",
-    "embedding_near_dup_pairs",
-    "event_stream_union_all",
-    "event_type_stats",
-    "events_hourly_tumbling",
-    "events_sliding_window",
-    "frequent_tokens_exact",
-    "high_watermark_filter",
-    "incremental_mv_user_value",
-    "ivf_knn_join_fullprobe",
-    "large_volume_customers_q18",
-    "latest_event_argmax",
-    "latest_event_per_user",
-    "lineitem_pricing_summary",
-    "media_feature_extract",
-    "ngram_jaccard_pairs",
-    "order_rank_in_priority",
-    "orders_quality_report",
-    "prefix_like_filter",
-    "purchases_in_error_windows",
-    "region_customer_counts",
-    "returned_item_customers_q10",
-    "rewards_by_member",
-    "rewards_by_quest",
-    "rollup_event_daily",
-    "shipping_priority_q3",
-    "span_dedup_docs",
-    "srp_bucket_near_dups",
-    "token_budget_corpus",
-    "top_orders_by_revenue",
-    "user_reach_kmv_sketch",
-    "user_running_spend",
-    "user_sessions",
-    "users_click_and_purchase",
-    "users_view_not_signup",
-    "volume_shipping_q7",
-    "weighted_sample_per_source",
-    "weighted_sample_topk",
+    # --cohort 9 and pre-driven foreign-CWD at sf0.01 BEFORE this
+    # rotation: 50/50 oracle-equal) MINUS the retired
+    # order_price_quartiles (strict subset of order_price_percentiles —
+    # the LOCKED COVERAGE.md retirement, dropping the oracle population
+    # to 149 and restoring permanent 1-slot-per-3-rounds slack) PLUS the
+    # rows-only one-time record for heavy_hitter_recount (staged and
+    # DuckDB-proven in round 10, plans/staged_r12.py).
+    "bm25_topk_docs",
+    "count_rows",
+    "customer_order_counts_left",
+    "customers_without_orders",
+    "dedup_clusters",
+    "doc_chunk_windows",
+    "doc_distinctive_terms",
+    "doc_repetition_stats",
+    "doc_token_topk",
+    "doc_winnowing_fingerprints",
+    "event_gap_topk",
+    "event_lag_topk",
+    "event_type_daily_cube",
+    "exact_dedup_docs",
+    "heavy_hitter_recount",
+    "incremental_mv_rewards_cdc",
+    "ivf_ann_fullprobe_topk",
+    "language_rebalance_sample",
+    "late_lines_by_priority_q12",
+    "minhash_lsh_near_dups",
+    "mv_rewards_freshness",
+    "nation_market_share_q8",
+    "ngram_decontamination",
+    "ngram_decontamination_bloom",
+    "order_price_percentiles",
+    "order_priority_having",
+    "orders_above_avg_price",
+    "param_events_by_user",
+    "pii_scrub_docs",
+    "promo_revenue_q14",
+    "props_variant_extract",
+    "quality_trim_bottom_decile",
+    "recent_events_topk",
+    "returns_conditional_agg",
+    "scalar_function_suite",
+    "source_centroid_embeddings",
+    "srp_ann_exact_topk",
+    "stratified_sample_by_source",
+    "supplier_customer_nations_full",
+    "top_docs_per_source",
+    "top_supplier_revenue_q15",
+    "train_test_contamination",
+    "train_val_test_split",
+    "untapped_customers_q22",
+    "user_event_type_pivot",
+    "user_event_type_profile",
+    "user_event_type_unpivot",
+    "user_state_history",
+    "view_purchase_interval_join",
+    "watermark_max",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1865,6 +1865,33 @@ token_budget_corpus = register(
 )(_staged_r11.token_budget_corpus)
 
 
+# ---------------------------------------------------------------------------
+# Round-12 registration of the staged heavy-hitter recount, ROWS-ONLY by the
+# locked COVERAGE.md decision (oracle=None): the retirement of
+# order_price_quartiles dropped the oracle-bearing population to 149, and
+# keeping it there restores permanent 1-slot-per-3-rounds rotation slack —
+# a saturated 150 ceiling forbids every future registration. The staged
+# semantic oracle (plain GROUP BY HAVING in the no-false-negative regime)
+# remains available in plans/staged_r12.py ORACLE_SQL and is pinned by
+# tests/test_staged_r12.py foreign-CWD-equivalence; this driver row records
+# the production two-phase shape (per-slice truncated summaries -> merged
+# candidates -> ONE broadcast-semi-join recount scan) on the driver surface.
+# ---------------------------------------------------------------------------
+from . import staged_r12 as _staged_r12  # noqa: E402
+
+heavy_hitter_recount = register(
+    "heavy_hitter_recount",
+    None,  # rows-only by the locked slot plan — semantic oracle equivalence
+    #       is pinned in tests/test_staged_r12.py (DuckDB GROUP BY HAVING
+    #       equals the two-phase recount in the no-false-negative regime).
+    "Two-phase heavy-hitter recount: operators/heavyhitters.batch_summary "
+    "per deterministic corpus slice (exact top-K + truncation threshold), "
+    "candidates from the merged kilobyte summaries, exact_recount pays ONE "
+    "broadcast-LeftSemi corpus scan. MIN_COUNT sits above the summed "
+    "truncation thresholds, so the result equals the exact global GROUP BY.",
+)(_staged_r12.heavy_hitter_recount)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

@@ -1,6 +1,6 @@
 """Wider SQL-surface inventory: generators (explode), analytic lead/lag,
 HAVING, scalar subqueries, CUBE grouping sets, conditional aggregation,
-ordered string aggregation, ntile bucketing, and exact percentiles.
+ordered string aggregation, and exact percentiles.
 
 The reference's queries (sql/queries.sql) never leave the join/agg/top-k
 family; a user replacing Redshift with this engine keeps the rest of the
@@ -284,112 +284,6 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
         )
         .orderBy("user_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# NTILE bucketing: equal-frequency quartiles over a global order — WITHOUT
-# the global single-task sort a bare `ntile() OVER (ORDER BY ...)` compiles
-# to. Global rank is decomposed into range-partitioned local ranks plus
-# broadcast partition offsets, so every stage stays parallel at any SF.
-# ---------------------------------------------------------------------------
-def global_rank_over(
-    df: DataFrame, sort_cols: list[str], n_partitions: int = 32
-) -> DataFrame:
-    """Exact 1-based global rank over a UNIQUE composite sort key, computed
-    scale-out: ONE range shuffle on the key, then only narrow operators.
-    Appends ``_r`` (rank) and ``_N`` (total rows).
-
-    Local position inside each range partition comes from
-    ``monotonically_increasing_id`` after ``sortWithinPartitions`` — the id
-    packs (partition_id << 33 | row_position), so the low 33 bits ARE the
-    post-sort position: no Window, no second exchange. Global rank = that
-    position + the partition's broadcast row-count offset. The range
-    exchange is shared by the offsets branch and the rank branch
-    (ReusedExchange), and REPARTITION_BY_NUM pins the partition count so
-    AQE cannot re-split one branch differently from the other (pids must
-    line up between the two reads).
-
-    Determinism/retry-safety: the id depends on intra-partition row order,
-    which the full local sort pins; the sort key must be duplicate-free —
-    ties could straddle a range boundary AND make the post-sort order (and
-    hence recompute-stability) ambiguous.
-    """
-    parted = df.repartitionByRange(n_partitions, *sort_cols)
-    counts = parted.groupBy(F.spark_partition_id().alias("_pid")).agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    # n_partitions rows: the cumulative window over them is trivially cheap.
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_n").over(Window.partitionBy()).alias("_N"),
-    )
-    return (
-        parted.sortWithinPartitions(*sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_pos",
-            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
-        )
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("_r", F.col("_off") + F.col("_pos") + 1)
-        .drop("_pid", "_off", "_pos")
-    )
-
-
-def ntile_from_rank(n: int, rank_col: str = "_r", total_col: str = "_N") -> F.Column:
-    """Closed-form NTILE(n) bucket from a 1-based global rank: the first
-    (total % n) buckets hold ceil(total/n) rows, the rest floor(total/n) —
-    standard SQL semantics, no window. Pure integer `div` arithmetic:
-    double division here would misround floor() near bucket boundaries once
-    total passes ~2^28 rows."""
-    small = f"({total_col} div {n})"
-    rem = f"({total_col} % {n})"
-    big_rows = f"({rem} * ({small} + 1))"
-    return F.expr(
-        f"CAST(CASE WHEN {rank_col} <= {big_rows}"
-        f" THEN ({rank_col} - 1) div ({small} + 1) + 1"
-        f" ELSE {rem} + ({rank_col} - {big_rows} - 1) div {small} + 1"
-        f" END AS INT)"
-    ).alias("q")
-
-
-@register(
-    "order_price_quartiles",
-    """
-    SELECT q, COUNT(*) AS n_orders,
-           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
-    FROM (SELECT o_totalprice,
-                 ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
-          FROM orders) b
-    GROUP BY q
-    ORDER BY q
-    """,
-    "NTILE(4) equal-frequency bucketing of order prices with per-bucket "
-    "count/min/max. Spark side avoids the single-partition global-sort "
-    "window: range-partitioned local ranks + broadcast offsets give the "
-    "exact global rank in parallel, and the NTILE bucket is a closed-form "
-    "expression over (rank, total). The unique (o_totalprice, o_orderkey) "
-    "key makes both range splits and bucket assignment deterministic.",
-)
-def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    ranked = global_rank_over(
-        orders.select("o_totalprice", "o_orderkey"),
-        ["o_totalprice", "o_orderkey"],
-    )
-    return (
-        ranked.select("o_totalprice", ntile_from_rank(4))
-        .groupBy("q")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_totalprice").cast("double").alias("min_price"),
-            F.max("o_totalprice").cast("double").alias("max_price"),
-        )
-        .orderBy("q")
     )
 
 

@@ -116,24 +116,6 @@ def test_no_cartesian_products(spark):
         assert "CartesianProduct" not in _plan(spark, name), name
 
 
-def test_quartiles_have_no_global_window_sort(spark):
-    # NTILE decomposes into range-partitioned local positions + broadcast
-    # offsets: the orders-sized data path must contain NO Window node at all
-    # (the only windows run over the ~32-row per-partition count table) and
-    # exactly one shuffle of the input (the range repartition).
-    plan = _plan(spark, "order_price_quartiles")
-    assert "ntile" not in plan
-    assert "rangepartitioning(o_totalprice" in plan
-    # the offsets table joins back via broadcast, never a shuffle
-    assert "BroadcastHashJoin" in plan
-    # no Window over the full orders input: every windowspecdefinition in
-    # this plan must hang off the tiny _pid count aggregate, whose subtree
-    # contains a HashAggregate, not a raw parquet scan of orders
-    for line in plan.splitlines():
-        if "row_number()" in line:
-            raise AssertionError(f"row_number window crept back in: {line}")
-
-
 def test_near_dup_pair_joins_are_equi_not_nested_loop(spark):
     # the pair-generating joins must be shuffle/broadcast EQUI-joins on a
     # chunk or block key — a BroadcastNestedLoopJoin (the old
