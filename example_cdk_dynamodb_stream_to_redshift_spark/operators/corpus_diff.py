@@ -22,9 +22,12 @@ nested-loop); nothing collects to the driver. Snapshots stored bucketed
 by id diff shuffle-free. Duplicate ids within a snapshot (a violated
 ingest contract) stay VISIBLE instead of multiplying join rows: the
 aggregation collapses them into one row with ``n > 1``, and content
-equality compares the (min, max) fingerprint envelope, which detects any
-difference between duplicate sets' contents except the pathological case
-of equal envelopes with different interiors.
+equality compares the (min, max) fingerprint envelope PLUS a NULL-fp
+presence flag (min/max ignore NULLs, so without the flag a NULL-text row
+hiding among duplicates of the same id would be invisible — r11 advice).
+The remaining blind spot is only the pathological case of equal
+envelopes and equal NULL-presence with different interiors, which needs
+>= 3 distinct fingerprints under one duplicate id.
 
 Semantics pinned by tests/test_corpus_diff.py: DuckDB FULL OUTER JOIN
 parity on deterministic mutations of the real documents table, a pure-
@@ -49,16 +52,31 @@ from ..functions.text import fingerprint
 STATUSES = ("added", "removed", "changed", "unchanged")
 
 
+def _check_not_reserved(col: str, role: str, reserved: tuple[str, ...]) -> None:
+    """Output columns are fixed names; an input column that collides with
+    one would make the final select produce duplicate/ambiguous columns
+    instead of an error (r11 advice) — fail loudly at construction."""
+    if col.lower() in reserved:
+        raise ValueError(
+            f"{role}={col!r} collides with a reserved diff output column "
+            f"{reserved}; rename the input column (df.withColumnRenamed) "
+            "before diffing"
+        )
+
+
 def _side_of_fps(fps: DataFrame, tag: str, with_group: bool) -> DataFrame:
     """Reduce an ``(id, fp[, g])`` frame to one row per id: multiplicity
     + the content-fingerprint envelope (min/max over duplicates — equal
-    iff all duplicate rows agree, up to envelope collisions), plus the
-    max group label when a group column rides along (deterministic
-    under duplicate ids with conflicting labels)."""
+    iff all duplicate rows agree, up to envelope collisions) + the
+    non-NULL fingerprint count (min/max skip NULLs, so the count is what
+    makes a NULL-text row among duplicates of the same id visible to the
+    compare), plus the max group label when a group column rides along
+    (deterministic under duplicate ids with conflicting labels)."""
     aggs = [
         F.count(F.lit(1)).alias(f"n_{tag}"),
         F.min("fp").alias(f"fp_min_{tag}"),
         F.max("fp").alias(f"fp_max_{tag}"),
+        F.count("fp").alias(f"nf_{tag}"),
     ]
     if with_group:
         aggs.append(F.max("g").alias(f"g_{tag}"))
@@ -66,9 +84,17 @@ def _side_of_fps(fps: DataFrame, tag: str, with_group: bool) -> DataFrame:
 
 
 def _status() -> F.Column:
-    same = F.col("fp_min_old").eqNullSafe(F.col("fp_min_new")) & F.col(
-        "fp_max_old"
-    ).eqNullSafe(F.col("fp_max_new"))
+    # NULL-presence parity rides the compare: a side with any NULL fp
+    # among its duplicate rows (count(*) > count(fp)) only matches a side
+    # with the same property — the envelope alone cannot see it.
+    same = (
+        F.col("fp_min_old").eqNullSafe(F.col("fp_min_new"))
+        & F.col("fp_max_old").eqNullSafe(F.col("fp_max_new"))
+        & (
+            (F.col("n_old") > F.col("nf_old"))
+            == (F.col("n_new") > F.col("nf_new"))
+        )
+    )
     return (
         F.when(F.col("n_old").isNull(), F.lit("added"))
         .when(F.col("n_new").isNull(), F.lit("removed"))
@@ -82,6 +108,7 @@ def diff_of_fps(old_fps: DataFrame, new_fps: DataFrame, id_col: str) -> DataFram
     frames — the read path for stored fingerprint manifests
     (streaming/manifest_maintenance.py), where the text was hashed once
     at ingest and a version diff never rescans it."""
+    _check_not_reserved(id_col, "id_col", ("status", "n_old", "n_new"))
     j = _side_of_fps(old_fps, "old", False).join(
         _side_of_fps(new_fps, "new", False), "id", "full_outer"
     )
@@ -106,6 +133,7 @@ def diff_by_group_of_fps(
     their OLD label, r11 review). Output stays bounded by groups x 4;
     zero-count combinations are omitted (unlike :func:`diff_summary`'s
     fixed 4-row frame, groups x statuses is not a declared set)."""
+    _check_not_reserved(group_col, "group_col", ("status", "n_docs"))
     j = _side_of_fps(old_fps, "old", True).join(
         _side_of_fps(new_fps, "new", True), "id", "full_outer"
     )

@@ -146,7 +146,7 @@ def source_overlap(
     text_col: str,
     group_col: str,
     shingle_n: int | None = None,
-    max_sources: int | None = 256,
+    max_sources: int | None = None,
 ) -> DataFrame:
     """Cross-source content overlap: ``(source_a, source_b, n_shared)``
     for every unordered source pair sharing at least one fingerprint —
@@ -171,13 +171,19 @@ def source_overlap(
 
     That per-group array is the one unbounded surface: a high-cardinality
     ``group_col`` (e.g. a doc-level column passed by mistake) would make
-    the per-fingerprint set — and its quadratic self-product — explode,
-    so ``max_sources`` caps the set size IN-PLAN: the check rides the
-    same aggregation (stays lazy, costs no extra scan — the r11 review
-    rejected an eager up-front validation pass) and any oversize set
-    raises at execution, at exactly the point that would otherwise OOM
-    an executor. ``max_sources=None`` disables the cap when the source
-    contract is enforced upstream."""
+    the per-fingerprint set — and its quadratic self-product — explode.
+    ``max_sources`` is an OPT-IN cap on that set size, checked IN-PLAN:
+    the check rides the same aggregation (stays lazy, costs no extra
+    scan — the r11 review rejected an eager up-front validation pass)
+    and any oversize set raises at execution, at exactly the point that
+    would otherwise OOM an executor. The default is None — no cap —
+    because a legitimate corpus can have one common fingerprint (e.g.
+    boilerplate, or a hot min-shingle) genuinely spanning hundreds of
+    real sources, and a default cap would turn that data shape into a
+    RUNTIME failure. Set it (a comfortable multiple of your true source
+    cardinality) when the group column comes from untrusted plumbing and
+    a mis-passed doc-level column is the bigger risk; a set ride-along
+    raise, not a silent truncation, is what fires if it trips."""
     if shingle_n is not None and shingle_n < 1:
         raise ValueError(
             f"shingle_n must be >= 1 (got {shingle_n}); n=0 would "

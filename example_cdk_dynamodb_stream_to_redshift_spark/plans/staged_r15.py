@@ -40,9 +40,14 @@ def source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints each unordered source pair shares: the acquisition-time
     "is corpus B already inside A" diagnostic, from
     operators/rarity.source_overlap in min-shingle (near-dup-leaning)
-    mode."""
+    mode. ``max_sources`` is the opt-in mis-passed-column guard: the
+    documents table's true source cardinality is single-digit, so 256
+    never fires on contract-conforming data while still killing the
+    quadratic blowup if the group column were ever mis-wired."""
     docs = load_table(spark, sf_dir, "documents")
-    return source_overlap(docs, "text", "source", shingle_n=OVERLAP_N)
+    return source_overlap(
+        docs, "text", "source", shingle_n=OVERLAP_N, max_sources=256
+    )
 
 
 OVERLAP_ORACLE_SQL = f"""

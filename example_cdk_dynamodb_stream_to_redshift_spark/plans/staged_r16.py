@@ -10,8 +10,9 @@ lands rows-only, and this candidate is next in line after them).
   unchanged accounting between two corpus versions, with per-side
   multiplicities. The two versions are deterministic mutations of the
   documents table both engines restate verbatim (old = doc_id % 3 != 0;
-  new = doc_id % 5 != 0 with text rewritten where doc_id % 7 == 0 and a
-  synthetic high-id add range), so the oracle is the pure semantic
+  new = doc_id % 5 != 0 with text rewritten where doc_id % 7 == 0 —
+  adds arise naturally from ids with % 3 == 0 and % 5 != 0, removals
+  from the converse), so the oracle is the pure semantic
   statement: per-side GROUP BY doc_id with count + min/max-fingerprint
   envelope, FULL OUTER JOIN, null-safe envelope compare. Zero float
   surface (string status, bigint counts, md5 fingerprints); a green
@@ -59,13 +60,15 @@ _ORACLE = """
 WITH old_side AS (
   SELECT doc_id, count(*) AS n_old,
          min(md5(lower(trim(text)))) AS fmin,
-         max(md5(lower(trim(text)))) AS fmax
+         max(md5(lower(trim(text)))) AS fmax,
+         count(*) > count(md5(lower(trim(text)))) AS hasnull
   FROM documents
   WHERE doc_id % 3 <> 0 AND doc_id IS NOT NULL GROUP BY doc_id),
 new_side AS (
   SELECT doc_id, count(*) AS n_new,
          min(md5(lower(trim(t)))) AS fmin,
-         max(md5(lower(trim(t)))) AS fmax
+         max(md5(lower(trim(t)))) AS fmax,
+         count(*) > count(md5(lower(trim(t)))) AS hasnull
   FROM (SELECT doc_id,
                CASE WHEN doc_id % 7 = 0
                     THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
@@ -77,6 +80,7 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
             WHEN n.doc_id IS NULL THEN 'removed'
             WHEN o.fmin IS NOT DISTINCT FROM n.fmin
              AND o.fmax IS NOT DISTINCT FROM n.fmax
+             AND o.hasnull = n.hasnull
             THEN 'unchanged' ELSE 'changed' END AS status,
        coalesce(o.n_old, 0) AS n_old,
        coalesce(n.n_new, 0) AS n_new

@@ -104,13 +104,15 @@ def test_duckdb_parity_on_documents(spark):
             WITH old_side AS (
               SELECT doc_id, count(*) AS n_old,
                      min(md5(lower(trim(text)))) AS fmin,
-                     max(md5(lower(trim(text)))) AS fmax
+                     max(md5(lower(trim(text)))) AS fmax,
+                     count(*) > count(md5(lower(trim(text)))) AS hasnull
               FROM read_parquet('{path}')
               WHERE doc_id % 3 <> 0 AND doc_id IS NOT NULL GROUP BY doc_id),
             new_side AS (
               SELECT doc_id, count(*) AS n_new,
                      min(md5(lower(trim(t)))) AS fmin,
-                     max(md5(lower(trim(t)))) AS fmax
+                     max(md5(lower(trim(t)))) AS fmax,
+                     count(*) > count(md5(lower(trim(t)))) AS hasnull
               FROM (SELECT doc_id,
                            CASE WHEN doc_id % 7 = 0
                                 THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
@@ -122,6 +124,7 @@ def test_duckdb_parity_on_documents(spark):
                         WHEN n.doc_id IS NULL THEN 'removed'
                         WHEN o.fmin IS NOT DISTINCT FROM n.fmin
                          AND o.fmax IS NOT DISTINCT FROM n.fmax
+                         AND o.hasnull = n.hasnull
                         THEN 'unchanged' ELSE 'changed' END AS status,
                    coalesce(o.n_old, 0) AS n_old,
                    coalesce(n.n_new, 0) AS n_new
@@ -167,6 +170,7 @@ def _py_diff(old_rows, new_rows):
                 len(fps),
                 min((f for f in fps if f is not None), default=None),
                 max((f for f in fps if f is not None), default=None),
+                any(f is None for f in fps),
             )
             for i, fps in acc.items()
         }
@@ -179,7 +183,11 @@ def _py_diff(old_rows, new_rows):
         elif i not in n:
             out[i] = ("removed", o[i][0], 0)
         else:
-            same = o[i][1] == n[i][1] and o[i][2] == n[i][2]
+            same = (
+                o[i][1] == n[i][1]
+                and o[i][2] == n[i][2]
+                and o[i][3] == n[i][3]  # NULL-fp presence parity
+            )
             out[i] = ("unchanged" if same else "changed", o[i][0], n[i][0])
     return out
 
@@ -263,6 +271,7 @@ def test_diff_by_group_duckdb_parity(spark):
               SELECT doc_id, count(*) AS n_old,
                      min(md5(lower(trim(text)))) AS fmin,
                      max(md5(lower(trim(text)))) AS fmax,
+                     count(*) > count(md5(lower(trim(text)))) AS hasnull,
                      max(source) AS g
               FROM read_parquet('{path}')
               WHERE doc_id % 3 <> 0 AND doc_id IS NOT NULL GROUP BY doc_id),
@@ -270,6 +279,7 @@ def test_diff_by_group_duckdb_parity(spark):
               SELECT doc_id, count(*) AS n_new,
                      min(md5(lower(trim(t)))) AS fmin,
                      max(md5(lower(trim(t)))) AS fmax,
+                     count(*) > count(md5(lower(trim(t)))) AS hasnull,
                      max(source) AS g
               FROM (SELECT doc_id, source,
                            CASE WHEN doc_id % 7 = 0
@@ -283,6 +293,7 @@ def test_diff_by_group_duckdb_parity(spark):
                         WHEN n.doc_id IS NULL THEN 'removed'
                         WHEN o.fmin IS NOT DISTINCT FROM n.fmin
                          AND o.fmax IS NOT DISTINCT FROM n.fmax
+                         AND o.hasnull = n.hasnull
                         THEN 'unchanged' ELSE 'changed' END AS status,
                    count(*) AS n_docs
             FROM old_side o FULL OUTER JOIN new_side n USING (doc_id)
@@ -291,6 +302,48 @@ def test_diff_by_group_duckdb_parity(spark):
         )
     finally:
         con.close()
+
+
+def test_null_text_among_duplicate_ids_is_visible(spark):
+    """min/max skip NULLs, so the envelope alone cannot distinguish
+    {(1,'a'), (1,NULL)} from {(1,'a')} — the NULL-presence flag must
+    (r11 advice). Both directions, plus the all-NULL identity."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        corpus_diff,
+    )
+
+    def d(rows):
+        return _df(spark, rows)
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(
+            d([(1, "a"), (1, None), (2, "b"), (3, None)]),
+            d([(1, "a"), (2, "b"), (2, None), (3, None)]),
+        ).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_reserved_output_column_names_rejected(spark):
+    """id_col/group_col colliding with a diff output column would produce
+    duplicate/ambiguous output columns — fail loudly at construction
+    (r11 advice), case-insensitively (the ordering.py convention)."""
+    import pytest
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.corpus_diff import (
+        corpus_diff,
+        diff_by_group,
+    )
+
+    df = spark.createDataFrame([(1, "a", "w")], "status long, text string, g string")
+    with pytest.raises(ValueError, match="reserved"):
+        corpus_diff(df, df, id_col="status")
+    df2 = spark.createDataFrame(
+        [(1, "a", "w")], "doc_id long, text string, N_DOCS string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        diff_by_group(df2, df2, group_col="N_DOCS")
 
 
 def test_diff_by_group_new_side_null_label_stays_null(spark):

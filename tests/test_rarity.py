@@ -249,3 +249,20 @@ def test_source_overlap_high_cardinality_group_rejected(spark):
     # None opts out of the cap entirely
     out2 = source_overlap(df, "text", "source", max_sources=None)
     assert out2.count() == 45
+
+
+def test_source_overlap_default_is_uncapped(spark):
+    """The cap is OPT-IN (r11 advice): a legitimate corpus can have one
+    common fingerprint (boilerplate, a hot min-shingle) spanning
+    hundreds of real sources, and the default must not turn that data
+    shape into a runtime failure. 300 sources sharing one fingerprint
+    succeed with no max_sources argument."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.rarity import (
+        source_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same text", f"src{i:03d}") for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    assert source_overlap(df, "text", "source").count() == 300 * 299 // 2
