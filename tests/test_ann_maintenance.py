@@ -1,0 +1,196 @@
+"""Maintained IVF ANN index (streaming/ann_maintenance): the maintained
+inverted lists equal the from-scratch batch build over all landed
+vectors under any batch slicing; replay is idempotent; compaction
+preserves index content and search results; search at nprobe=K equals
+independent brute force; the probe filter is a storage-level partition
+prune on the batch-dir layout; wrong-dimension vectors and centroid
+drift fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from example_cdk_dynamodb_stream_to_redshift_spark.operators import similarity as SIM
+from example_cdk_dynamodb_stream_to_redshift_spark.streaming.ann_maintenance import (
+    IvfIndexMaintenance,
+)
+
+SCHEMA = "vec_id long, embedding array<double>"
+
+# 3 well-separated centroid anchors in dim 4
+CENTROIDS = [
+    [10.0, 0.0, 0.0, 0.0],
+    [0.0, 10.0, 0.0, 0.0],
+    [0.0, 0.0, 10.0, 0.0],
+]
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic vectors clustered around the anchor i % 3, with a
+    # small id-dependent offset so every vector is distinct
+    base = [0.0] * 4
+    base[i % 3] = 10.0
+    base[3] = (i % 7) * 0.25
+    base[(i + 1) % 3] += (i % 5) * 0.3
+    return base
+
+
+ROWS = [(i, _vec(i)) for i in range(60)]
+BATCHES = [ROWS[:7], [], ROWS[7:40], ROWS[40:]]
+
+
+def _store(spark, tmp_path, name="ivf") -> IvfIndexMaintenance:
+    return IvfIndexMaintenance(
+        spark, str(tmp_path / name), CENTROIDS
+    )
+
+
+def _feed(store, spark, batches):
+    for i, b in enumerate(batches):
+        store.process_batch(spark.createDataFrame(b, SCHEMA), i)
+
+
+def _index_rows(df):
+    return sorted(
+        (r["id"], tuple(r["vec"]), r["cid"]) for r in df.collect()
+    )
+
+
+def _reference_index(spark, rows):
+    emb = spark.createDataFrame(rows, SCHEMA)
+    return SIM.build_ivf_index(emb, CENTROIDS).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vec"),
+        "cid",
+    )
+
+
+def test_maintained_equals_from_scratch_build(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(store, spark, BATCHES)
+    assert _index_rows(store.index()) == _index_rows(
+        _reference_index(spark, ROWS)
+    )
+
+
+def test_slicing_invariance_and_replay(spark, tmp_path):
+    a = _store(spark, tmp_path, "a")
+    _feed(a, spark, BATCHES)
+    b = _store(spark, tmp_path, "b")
+    _feed(b, spark, [ROWS])  # one big batch
+    assert _index_rows(a.index()) == _index_rows(b.index())
+    # at-least-once replay of an arbitrary earlier batch is a no-op
+    a.process_batch(spark.createDataFrame(BATCHES[2], SCHEMA), 2)
+    assert _index_rows(a.index()) == _index_rows(b.index())
+
+
+def test_search_fullprobe_equals_brute_force(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(store, spark, BATCHES)
+    q = [9.0, 1.0, 0.0, 0.5]
+    exact = [r["id"] for r in store.search_exact(q, k=8).collect()]
+    full = [r["id"] for r in store.search(q, k=8, nprobe=len(CENTROIDS)).collect()]
+    assert full == exact
+    # the pruned probe keeps the true top hits here: the query sits
+    # inside one cluster and the data is well separated
+    pruned = [r["id"] for r in store.search(q, k=8, nprobe=1).collect()]
+    assert pruned[:3] == exact[:3]
+
+
+def test_probe_is_partition_pruned(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(store, spark, BATCHES)
+    pruned = store.index().filter(F.col("cid").isin(0, 1))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cid" in pf and "IN" in pf, pf
+    all_cids = {r["cid"] for r in store.index().select("cid").distinct().collect()}
+    assert all_cids == {0, 1, 2}
+
+
+def test_compaction_preserves_index_and_search(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(store, spark, BATCHES)
+    q = [0.0, 9.5, 1.0, 0.2]
+    before_idx = _index_rows(store.index())
+    before_hits = [(r["id"], r["cos_sim"]) for r in store.search(q, k=6).collect()]
+    store.compact(keep_last=1)
+    assert _index_rows(store.index()) == before_idx
+    assert [
+        (r["id"], r["cos_sim"]) for r in store.search(q, k=6).collect()
+    ] == before_hits
+    # replay of the protected tail after compaction is still a no-op
+    last = len(BATCHES) - 1
+    store.process_batch(spark.createDataFrame(BATCHES[last], SCHEMA), last)
+    assert _index_rows(store.index()) == before_idx
+
+
+def test_null_rows_dropped_wrong_dim_raises(spark, tmp_path):
+    store = _store(spark, tmp_path, "nulls")
+    store.process_batch(
+        spark.createDataFrame(
+            [(1, _vec(1)), (None, _vec(2)), (3, None)], SCHEMA
+        ),
+        0,
+    )
+    assert [r["id"] for r in store.index().collect()] == ["1"]
+    bad = spark.createDataFrame([(9, [1.0, 2.0, 3.0])], SCHEMA)
+    with pytest.raises(Exception, match="mis-dimensioned|components"):
+        store.process_batch(bad, 1)
+    with pytest.raises(ValueError, match="query has"):
+        store.search([1.0, 2.0], k=3)
+
+
+def test_reopening_with_different_centroids_raises(spark, tmp_path):
+    store = _store(spark, tmp_path, "meta")
+    _feed(store, spark, [ROWS[:5]])
+    # same matrix reopens fine
+    IvfIndexMaintenance(spark, str(tmp_path / "meta"), CENTROIDS)
+    drifted = [list(c) for c in CENTROIDS]
+    drifted[0][0] += 1e-9
+    with pytest.raises(ValueError, match="incompatible list assignments"):
+        IvfIndexMaintenance(spark, str(tmp_path / "meta"), drifted)
+    with pytest.raises(ValueError, match="ragged"):
+        IvfIndexMaintenance(
+            spark, str(tmp_path / "fresh"), [[1.0, 2.0], [1.0]]
+        )
+
+
+def test_list_sizes_bounded_health_stat(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    _feed(store, spark, BATCHES)
+    sizes = {r["cid"]: r["n_vectors"] for r in store.list_sizes().collect()}
+    assert sum(sizes.values()) == len(ROWS)
+    assert set(sizes) == {0, 1, 2}
+
+
+def test_live_stream_maintains_index(spark, tmp_path):
+    """readStream -> foreachBatch(store.wrap(sink)): the maintained index
+    equals the from-scratch build over everything streamed, and the sink
+    still received every row unchanged."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ROWS, SCHEMA).repartition(4).write.parquet(src)
+    store = _store(spark, tmp_path, "live")
+    landed = str(tmp_path / "landed")
+    sink = lambda df, bid: df.write.mode("overwrite").parquet(  # noqa: E731
+        f"{landed}/batch_id={bid}"
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(store.wrap(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _index_rows(store.index()) == _index_rows(
+        _reference_index(spark, ROWS)
+    )
+    assert spark.read.parquet(landed).count() == len(ROWS)
