@@ -106,16 +106,25 @@ class IvfIndexMaintenance(ForeachBatchStore):
         self.dim = len(self.centroids[0])
         self.id_col = id_col
         self.vec_col = vec_col
-        self._index_dir = os.path.join(root, "ivf_index")
+        self._index_dir = os.path.join(root, self._SUBDIR)
         self._meta_path = os.path.join(self._index_dir, "_index_meta.json")
         self._check_meta()  # reopening with different centroids fails NOW
 
-    def _check_meta(self, create: bool = False) -> None:
-        mine = {
+    _SUBDIR = "ivf_index"
+
+    # stable read schema / public columns (subclasses override)
+    _FIELDS = INDEX_FIELDS
+    _COLS = ["id", "vec", "cid"]
+
+    def _meta_dict(self) -> dict:
+        return {
             "n_centroids": len(self.centroids),
             "dim": self.dim,
             "centroid_md5": _centroid_fingerprint(self.centroids),
         }
+
+    def _check_meta(self, create: bool = False) -> None:
+        mine = self._meta_dict()
         if os.path.isfile(self._meta_path):
             with open(self._meta_path) as fh:
                 stored = json.load(fh)
@@ -137,15 +146,17 @@ class IvfIndexMaintenance(ForeachBatchStore):
     def _store_roots(self) -> list[str]:
         return [self._index_dir]
 
-    def _assigned(self, batch_df: DataFrame) -> DataFrame:
+    def _checked_vec(self) -> F.Column:
+        """The input vector as array<double>, with the wrong-dimension
+        contract enforced IN-PLAN."""
         vec = F.transform(self.vec_col, lambda x: x.cast("double"))
-        checked = F.when(
+        return F.when(
             F.size(self.vec_col) == F.lit(self.dim), vec
         ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"IvfIndexMaintenance: {self.vec_col!r} has "
+                        f"{type(self).__name__}: {self.vec_col!r} has "
                     ),
                     F.size(self.vec_col).cast("string"),
                     F.lit(
@@ -156,18 +167,18 @@ class IvfIndexMaintenance(ForeachBatchStore):
                 )
             ).cast("array<double>")
         )
-        return (
-            batch_df.filter(
-                F.col(self.id_col).isNotNull()
-                & F.col(self.vec_col).isNotNull()
-            )
-            .select(
-                F.col(self.id_col).cast("string").alias("id"),
-                checked.alias("vec"),
-            )
-            .select(
-                "id", "vec", _assign_cid(F.col("vec"), self.centroids).alias("cid")
-            )
+
+    def _valid_rows(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df.filter(
+            F.col(self.id_col).isNotNull() & F.col(self.vec_col).isNotNull()
+        ).select(
+            F.col(self.id_col).cast("string").alias("id"),
+            self._checked_vec().alias("vec"),
+        )
+
+    def _assigned(self, batch_df: DataFrame) -> DataFrame:
+        return self._valid_rows(batch_df).select(
+            "id", "vec", _assign_cid(F.col("vec"), self.centroids).alias("cid")
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -183,8 +194,8 @@ class IvfIndexMaintenance(ForeachBatchStore):
     def index(self) -> DataFrame:
         """Everything landed, as ``(id, vec, cid)`` — the same shape
         ``build_ivf_index`` produces, read from the live layout."""
-        return read_root(self.spark, self._index_dir, INDEX_FIELDS).select(
-            "id", "vec", "cid"
+        return read_root(self.spark, self._index_dir, self._FIELDS).select(
+            *self._COLS
         )
 
     def list_sizes(self) -> DataFrame:
@@ -253,3 +264,132 @@ class IvfIndexMaintenance(ForeachBatchStore):
                 keep_last=keep_last,
                 cluster_by=["cid"],
             )
+
+
+IVFPQ_FIELDS = [
+    T.StructField("id", T.StringType()),
+    T.StructField("codes", T.ArrayType(T.IntegerType())),
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("cid", T.IntegerType()),
+]
+
+
+class IvfPqIndexMaintenance(IvfIndexMaintenance):
+    """Maintained IVF+PQ composite index: the 100 TB serving format.
+
+    Same replay-safe layout and frozen coarse quantizer as the parent,
+    but each batch lands as ``(id, codes, cid)`` — M small ints per
+    vector (``operators/pq.pq_encode``, pure codegen) instead of the
+    raw components, a 16-64x byte reduction on what every probe reads
+    (Jegou et al. 2011; the batch twin is
+    ``operators/pq.build_ivfpq_index``). The PQ codebooks are frozen
+    alongside the centroids and fingerprinted into the store meta —
+    codes encoded under different codebooks are mutually meaningless,
+    so drift fails at open like centroid drift does.
+
+    ``search`` scores by asymmetric distance (``ivfpq_topk``: M table
+    lookups + adds per row, partition-pruned to the probed lists).
+    There is deliberately NO ``search_exact``: codes are lossy, the raw
+    vectors are not in this store — recall baselines run against a raw
+    store (the parent class, or the corpus itself), which is how the
+    pytest pins do it.
+    """
+
+    _SUBDIR = "ivfpq_index"
+    _FIELDS = IVFPQ_FIELDS
+    _COLS = ["id", "codes", "cid"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        if not codebooks or not codebooks[0] or not codebooks[0][0]:
+            raise ValueError(
+                "codebooks must be a non-empty M x K x d_sub tensor"
+            )
+        d_subs = {len(c) for book in codebooks for c in book}
+        if len(d_subs) != 1:
+            raise ValueError(f"ragged codebooks: d_subs {sorted(d_subs)}")
+        self.codebooks = [
+            [[float(x) for x in c] for c in book] for book in codebooks
+        ]
+        d_sub = len(self.codebooks[0][0])
+        dim = len(centroids[0]) if centroids and centroids[0] else 0
+        if len(self.codebooks) * d_sub != dim:
+            raise ValueError(
+                f"codebooks cover {len(self.codebooks)} x {d_sub} = "
+                f"{len(self.codebooks) * d_sub} components, centroids "
+                f"have {dim}"
+            )
+        super().__init__(spark, root, centroids, id_col, vec_col)
+
+    def _meta_dict(self) -> dict:
+        mine = super()._meta_dict()
+        mine["codebook_md5"] = _centroid_fingerprint(
+            [c for book in self.codebooks for c in book]
+        )
+        mine["m"] = len(self.codebooks)
+        return mine
+
+    def _assigned(self, batch_df: DataFrame) -> DataFrame:
+        # one projection: coarse list id + per-subspace codes, both pure
+        # codegen over the same checked vector (pq_encode's expression,
+        # inlined so cid and codes ride one select with no join)
+        return self._valid_rows(batch_df).select(
+            "id",
+            _pq_codes(F.col("vec"), self.codebooks).alias("codes"),
+            _assign_cid(F.col("vec"), self.centroids).alias("cid"),
+        )
+
+    def search(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        exact_engine_parity: bool = False,
+    ) -> DataFrame:
+        """ADC top-k over the maintained code lists through the plain
+        ``ivfpq_topk`` operator — probed lists only, M lookups + adds
+        per row, no per-component math on the scan side."""
+        from ..operators.pq import ivfpq_topk
+
+        if len(query_vec) != self.dim:
+            raise ValueError(
+                f"query has {len(query_vec)} components, index stores "
+                f"{self.dim}"
+            )
+        return ivfpq_topk(
+            self.index(),
+            [float(x) for x in query_vec],
+            self.centroids,
+            self.codebooks,
+            k=k,
+            nprobe=nprobe,
+            id_col="id",
+            exact_engine_parity=exact_engine_parity,
+        )
+
+    def search_exact(self, query_vec: list[float], k: int = 10) -> DataFrame:
+        raise TypeError(
+            "IvfPqIndexMaintenance stores lossy codes, not vectors — run "
+            "the exact baseline against a raw store (IvfIndexMaintenance) "
+            "or the corpus itself"
+        )
+
+
+def _pq_codes(vec, codebooks: list[list[list[float]]]):
+    """Per-subspace nearest-centroid code array over an already-checked
+    array<double> column — operators/pq.pq_encode's expression, reusable
+    on a column instead of a (df, col-name) pair."""
+    d_sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _assign_cid(F.slice(vec, s * d_sub + 1, d_sub), book).cast("int")
+            for s, book in enumerate(codebooks)
+        ]
+    )

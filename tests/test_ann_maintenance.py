@@ -194,3 +194,104 @@ def test_live_stream_maintains_index(spark, tmp_path):
         _reference_index(spark, ROWS)
     )
     assert spark.read.parquet(landed).count() == len(ROWS)
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ maintained composite (codes instead of raw vectors)
+# ---------------------------------------------------------------------------
+def _lossless_books(spark):
+    """K >= corpus, iters=0: every subvector is its own codeword, so
+    encoding is lossless and integer-parity ADC reproduces cosine_q6
+    bitwise (the ivfpq_ann_exact configuration)."""
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(ROWS, SCHEMA)
+    return train_pq_codebooks(
+        emb, m=2, n_centroids=len(ROWS), iters=0, dim=4
+    )
+
+
+def _pq_store(spark, tmp_path, books, name="ivfpq"):
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.ann_maintenance import (
+        IvfPqIndexMaintenance,
+    )
+
+    return IvfPqIndexMaintenance(
+        spark, str(tmp_path / name), CENTROIDS, books
+    )
+
+
+def _code_rows(df):
+    return sorted((r["id"], tuple(r["codes"]), r["cid"]) for r in df.collect())
+
+
+def test_ivfpq_maintained_equals_batch_build(spark, tmp_path):
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+
+    books = _lossless_books(spark)
+    store = _pq_store(spark, tmp_path, books)
+    _feed(store, spark, BATCHES)
+    ref = build_ivfpq_index(
+        spark.createDataFrame(ROWS, SCHEMA), CENTROIDS, books
+    ).select(F.col("vec_id").cast("string").alias("id"), "codes", "cid")
+    assert _code_rows(store.index()) == _code_rows(ref)
+    # replay is a no-op
+    store.process_batch(spark.createDataFrame(BATCHES[0], SCHEMA), 0)
+    assert _code_rows(store.index()) == _code_rows(ref)
+
+
+def test_ivfpq_lossless_fullprobe_equals_raw_brute_force(spark, tmp_path):
+    """Doubly-degenerate config: nprobe=K coarse + lossless codes ==
+    exact cosine over the raw vectors — pinned against the RAW store's
+    independent brute-force baseline, not against another codes path."""
+    books = _lossless_books(spark)
+    pq = _pq_store(spark, tmp_path, books)
+    raw = _store(spark, tmp_path, "rawtwin")
+    _feed(pq, spark, BATCHES)
+    _feed(raw, spark, BATCHES)
+    q = [9.0, 1.0, 0.0, 0.5]
+    exact = [r["id"] for r in raw.search_exact(q, k=8).collect()]
+    adc = [
+        r["id"]
+        for r in pq.search(
+            q, k=8, nprobe=len(CENTROIDS), exact_engine_parity=True
+        ).collect()
+    ]
+    assert adc == exact
+    # compaction preserves hits
+    before = [tuple(r) for r in pq.search(q, k=8, nprobe=2).collect()]
+    pq.compact(keep_last=1)
+    assert [tuple(r) for r in pq.search(q, k=8, nprobe=2).collect()] == before
+
+
+def test_ivfpq_contracts(spark, tmp_path):
+    import pytest as _pt
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.ann_maintenance import (
+        IvfPqIndexMaintenance,
+    )
+
+    books = _lossless_books(spark)
+    store = _pq_store(spark, tmp_path, books, "contracts")
+    _feed(store, spark, [ROWS[:5]])
+    # codes are lossy: no exact baseline from this store
+    with _pt.raises(TypeError, match="lossy"):
+        store.search_exact([1.0, 0.0, 0.0, 0.0])
+    # codebook drift fails at open (same root, perturbed books)
+    drifted = [[list(c) for c in book] for book in books]
+    drifted[0][0][0] += 1e-9
+    with _pt.raises(ValueError, match="incompatible list assignments"):
+        _pq_store(spark, tmp_path, drifted, "contracts")
+    # codebooks must tile the centroid dimension exactly
+    with _pt.raises(ValueError, match="components, centroids"):
+        IvfPqIndexMaintenance(
+            spark, str(tmp_path / "fresh"), CENTROIDS, books[:1]
+        )
+    # raw and PQ stores under one root coexist (distinct subdirs + meta)
+    raw = _store(spark, tmp_path, "contracts")
+    _feed(raw, spark, [ROWS[:5]])
+    assert raw.index().count() == store.index().count() == 5
