@@ -336,3 +336,42 @@ def pq_adc_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_rerank_topk(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_engine_parity: bool = False,
+) -> DataFrame:
+    """Exact-rerank a PQ/ADC shortlist against the raw vectors: the
+    standard two-phase PQ serving pattern (Jegou et al. 2011 §V.C —
+    codes give a cheap candidate shortlist at quantization resolution,
+    the final order comes from exact distances on candidates only).
+
+    ``shortlist`` is any (id)-bearing frame — typically
+    ``pq_adc_topk``/``ivfpq_topk`` with k at shortlist size (hundreds);
+    its ids semi-join ``emb`` BROADCAST, so the corpus pays one
+    hash-probe scan reading only candidate rows' vectors (the
+    exact_recount two-phase shape), never a shuffle of non-candidates.
+    Within-code ties that ADC cannot order — all vectors sharing a code
+    score identically — are resolved here by the true cosine.
+    """
+    from .similarity import cosine, cosine_q6, double_array_lit
+
+    ids = shortlist.select(F.col(id_col).cast("string").alias("_sl_id"))
+    qcol = double_array_lit([float(x) for x in query_vec])
+    sim = cosine_q6 if exact_engine_parity else cosine
+    return (
+        emb.join(
+            F.broadcast(ids),
+            F.col(id_col).cast("string") == F.col("_sl_id"),
+            "left_semi",
+        )
+        .select(F.col(id_col), sim(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

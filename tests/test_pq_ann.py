@@ -202,3 +202,44 @@ def test_expr_literals_empty_arrays_keep_types(spark):
     ]
     r = row.first()
     assert (r["d"], r["l"], r["m"], r["mr"]) == ([], [], [], [[], []])
+
+
+def test_rerank_recovers_exact_topk_from_lossy_shortlist(spark, emb):
+    """The two-phase serving pattern: a LOSSY ADC shortlist (k=40 of 80)
+    exactly reranked against the raw vectors must reproduce the true
+    top-10 id-for-id — including orderings ADC cannot see (vectors
+    sharing a code score identically under ADC)."""
+    books = PQ.train_pq_codebooks(emb, m=8, n_centroids=16, iters=2, dim=16)
+    codes = PQ.pq_encode(emb, books)
+    qvec = _query_vec(emb)
+    shortlist = PQ.pq_adc_topk(codes, qvec, books, k=40)
+    got = PQ.pq_rerank_topk(
+        shortlist, emb, qvec, k=10, exact_engine_parity=True
+    ).collect()
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    want = SIM.brute_force_topk(
+        emb, query, k=10, exact_engine_parity=True
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+
+def test_rerank_is_broadcast_semi_join(spark, emb):
+    """The corpus side of the rerank must be one broadcast-semi-join
+    hash-probe scan — no shuffle of non-candidate rows, no BNLJ."""
+    books = PQ.train_pq_codebooks(emb, m=4, n_centroids=8, iters=1, dim=16)
+    codes = PQ.pq_encode(emb, books)
+    qvec = _query_vec(emb)
+    shortlist = PQ.pq_adc_topk(codes, qvec, books, k=20)
+    plan = PQ.pq_rerank_topk(shortlist, emb, qvec, k=5)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
