@@ -159,6 +159,21 @@ def train_pq_codebooks(
     return books
 
 
+def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of per-subspace nearest-centroid codes over an
+    array<double> column — the one PQ encode expression, shared by
+    ``pq_encode``, ``build_ivfpq_index``, and the maintained store
+    (streaming/ann_maintenance) so the code layout has exactly one
+    implementation."""
+    d_sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            _assign_cid(F.slice(vec, s * d_sub + 1, d_sub), book).cast("int")
+            for s, book in enumerate(codebooks)
+        ]
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -168,14 +183,10 @@ def pq_encode(
     """(id, codes array<int> length M): per-subspace nearest-centroid ids,
     one codegen projection per row — the persisted PQ index. At scale this
     is the table that replaces the float corpus for ANN serving."""
-    d_sub = len(codebooks[0][0])
-    codes = [
-        _assign_cid(
-            F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub), book
-        ).cast("int")
-        for s, book in enumerate(codebooks)
-    ]
-    return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return emb.select(
+        F.col(id_col),
+        pq_code_expr(_dbl(F.col(vec_col)), codebooks).alias("codes"),
+    )
 
 
 def _lut_lit(table: list[list[int | float]], cell_type: str) -> Column:
@@ -221,17 +232,10 @@ def build_ivfpq_index(
     bytes of float32."""
     from .similarity import _assign_cid
 
-    d_sub = len(codebooks[0][0])
-    codes = [
-        _assign_cid(
-            F.slice(_dbl(F.col(vec_col)), s * d_sub + 1, d_sub), book
-        ).cast("int")
-        for s, book in enumerate(codebooks)
-    ]
     return emb.select(
         F.col(id_col),
         _assign_cid(F.col(vec_col), centroids).alias("cid"),
-        F.array(*codes).alias("codes"),
+        pq_code_expr(_dbl(F.col(vec_col)), codebooks).alias("codes"),
     )
 
 

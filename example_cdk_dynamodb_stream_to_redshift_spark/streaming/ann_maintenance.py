@@ -53,8 +53,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.pq import ivfpq_topk, pq_code_expr
 from ..operators.similarity import _assign_cid, brute_force_topk, ivf_topk
-from .batch_layout import ForeachBatchStore, read_root
+from .batch_layout import ForeachBatchStore, compact_root, read_root
 
 INDEX_FIELDS = [
     T.StructField("id", T.StringType()),
@@ -86,6 +87,12 @@ class IvfIndexMaintenance(ForeachBatchStore):
     contract that would otherwise mis-assign silently (zip_with pads
     the shorter side with NULLs), so it raises in-plan at execution —
     the rarity max_sources fail-loud pattern.
+
+    Ids are NOT deduplicated across batches: ingestion identity is the
+    upstream pipeline's job (the CDC merge / CorpusIngestPipeline
+    recipes), and a re-ingested id lands again and stays VISIBLE in
+    search results rather than being silently collapsed — the corpus
+    stores' duplicate-visibility convention.
     """
 
     def __init__(
@@ -254,8 +261,6 @@ class IvfIndexMaintenance(ForeachBatchStore):
         IN-filters stay selective via row-group min/max stats (the
         directory-level prune only exists while ``cid=`` partition dirs
         do; see module docstring for the 100 TB re-layout cadence)."""
-        from .batch_layout import compact_root
-
         if os.path.isdir(self._index_dir):
             compact_root(
                 self.spark,
@@ -338,11 +343,11 @@ class IvfPqIndexMaintenance(IvfIndexMaintenance):
 
     def _assigned(self, batch_df: DataFrame) -> DataFrame:
         # one projection: coarse list id + per-subspace codes, both pure
-        # codegen over the same checked vector (pq_encode's expression,
-        # inlined so cid and codes ride one select with no join)
+        # codegen over the same checked vector (the shared pq_code_expr,
+        # so cid and codes ride one select with no join)
         return self._valid_rows(batch_df).select(
             "id",
-            _pq_codes(F.col("vec"), self.codebooks).alias("codes"),
+            pq_code_expr(F.col("vec"), self.codebooks).alias("codes"),
             _assign_cid(F.col("vec"), self.centroids).alias("cid"),
         )
 
@@ -356,8 +361,6 @@ class IvfPqIndexMaintenance(IvfIndexMaintenance):
         """ADC top-k over the maintained code lists through the plain
         ``ivfpq_topk`` operator — probed lists only, M lookups + adds
         per row, no per-component math on the scan side."""
-        from ..operators.pq import ivfpq_topk
-
         if len(query_vec) != self.dim:
             raise ValueError(
                 f"query has {len(query_vec)} components, index stores "
@@ -381,15 +384,3 @@ class IvfPqIndexMaintenance(IvfIndexMaintenance):
             "or the corpus itself"
         )
 
-
-def _pq_codes(vec, codebooks: list[list[list[float]]]):
-    """Per-subspace nearest-centroid code array over an already-checked
-    array<double> column — operators/pq.pq_encode's expression, reusable
-    on a column instead of a (df, col-name) pair."""
-    d_sub = len(codebooks[0][0])
-    return F.array(
-        *[
-            _assign_cid(F.slice(vec, s * d_sub + 1, d_sub), book).cast("int")
-            for s, book in enumerate(codebooks)
-        ]
-    )
