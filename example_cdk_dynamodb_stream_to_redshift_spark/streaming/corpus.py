@@ -32,6 +32,19 @@ only WHAT gets verified, never the answer, so the kept set is IDENTICAL
 to the scan mode (tests/test_corpus_ingest.py proves equivalence on a
 multi-refresh fixture).
 
+``decontam_docs=`` adds the held-out DECONTAMINATION gate between the
+quality gates and dedup — the missing middle stage of the canonical
+quality -> decontam -> dedup ingestion order: docs sharing more than
+``decontam_max_hits`` distinct ``decontam_n``-gram md5s with the
+held-out set (eval/test data) never land, so the corpus can never leak
+benchmark text no matter how it arrives. Per-batch cost is
+batch-scoped: the batch's shingles are screened map-side by a Bloom
+bitset over the held-out keys (built once per process from the small
+held-out frame), only ε + true hits pay the exact verify join, and
+dropped docs are logged with hit counts (``decontamination_log()``) —
+visible drops, the quarantine convention, replay-idempotent like every
+other per-batch store here.
+
 ``near_dedup="cluster"`` composes the same incremental LSH pair stream
 with the maintained closure (streaming/cluster_maintenance) instead of
 dropping: every exact-unique doc lands, and the near-dup CLUSTER
@@ -90,6 +103,11 @@ class CorpusIngestPipeline:
         history_probe: str = "scan",
         bloom_bits: int = 1 << 23,
         bloom_k: int = 4,
+        decontam_docs: DataFrame | None = None,
+        decontam_n: int = 13,
+        decontam_max_hits: int = 0,
+        decontam_bloom_bits: int = 1 << 20,
+        decontam_bloom_k: int = 4,
     ):
         """``history_probe``: "scan" probes the accumulated corpus with
         the broadcast batch fingerprint set every batch; "bloom" keeps a
@@ -144,6 +162,25 @@ class CorpusIngestPipeline:
         self.history_probe = history_probe
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # held-out decontamination gate (the ngram_decontamination
+        # operator's semantics at ingest): docs sharing > max_hits
+        # distinct n-gram md5s with the held-out set never land. The key
+        # set + its screening bitset derive lazily on first use (one
+        # shingle pass over the SMALL held-out frame, once per process)
+        # and are deterministic, so restarts re-derive identical state.
+        if decontam_n < 1:
+            raise ValueError(f"decontam_n must be >= 1, got {decontam_n}")
+        if decontam_max_hits < 0:
+            raise ValueError(
+                f"decontam_max_hits must be >= 0, got {decontam_max_hits}"
+            )
+        self.decontam_docs = decontam_docs
+        self.decontam_n = decontam_n
+        self.decontam_max_hits = decontam_max_hits
+        self.decontam_bloom_bits = decontam_bloom_bits
+        self.decontam_bloom_k = decontam_bloom_k
+        self.decontam_log_path = os.path.join(warehouse, "decontam_log")
+        self._decontam_state: tuple | None = None
 
     # -- reads ------------------------------------------------------------
     def _read_store(
@@ -204,6 +241,12 @@ class CorpusIngestPipeline:
                 .select("doc_id")
             )
             batch = batch.join(F.broadcast(kept), "doc_id", "left_semi")
+        if self.decontam_docs is not None:
+            # decontamination AFTER the quality gates (cheapest first),
+            # BEFORE dedup: a contaminated doc must never spend hashes or
+            # index probes, and must never become the kept first-copy
+            # that shadows a clean near-duplicate
+            batch = self._decontaminate(batch, batch_id)
         fp_batch = batch.withColumn("fp", content_fingerprint())
         # within-batch keep-first (ST3 analogue): min doc_id per fingerprint,
         # deterministic regardless of arrival order inside the batch
@@ -250,6 +293,83 @@ class CorpusIngestPipeline:
             )
             if self.dedup_mode == "cluster":
                 self._cluster_batch(landed, batch_id)
+
+    # -- decontamination gate ----------------------------------------------
+    def _decontam_keys(self) -> tuple:
+        """(keys DataFrame, bitset) for the held-out n-gram set, derived
+        once per process from the SMALL held-out frame and cached: the
+        distinct n-gram md5 keys (the exact-verify side) plus a Bloom
+        bitset over them (the map-side screen). Derivation is a pure
+        function of (docs, n), so a restarted pipeline reconstructs
+        identical state — no persisted sidecar to drift."""
+        if self._decontam_state is None:
+            from ..operators import bloom as _bloom
+
+            keys = (
+                _dedup.shingle_rows(
+                    self.decontam_docs.select("doc_id", "text"),
+                    "text",
+                    "doc_id",
+                    self.decontam_n,
+                )
+                .select(F.md5("s").alias("g"))
+                .distinct()
+                .localCheckpoint(eager=True)  # one shingle pass, reused every batch
+            )
+            bits = _bloom.build_bloom(
+                keys, "g", self.decontam_bloom_bits, self.decontam_bloom_k
+            )
+            self._decontam_state = (keys, bits)
+        return self._decontam_state
+
+    def _decontaminate(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """Drop batch docs sharing > max_hits DISTINCT n-gram md5s with
+        the held-out set (ngram_decontamination's semantics, applied at
+        ingest). Batch-scoped cost: the batch's shingle stream is
+        screened MAP-SIDE by the held-out bitset (zero-hit batches
+        shuffle nothing), survivors get the exact key join — the bitset
+        decides what shuffles, never the answer. Dropped docs are
+        recorded with their hit counts in the decontam log (batch-dir
+        overwrite, replay-idempotent) so contamination stays VISIBLE,
+        the quarantine convention."""
+        from ..operators import bloom as _bloom
+
+        keys, bits = self._decontam_keys()
+        sh = (
+            _dedup.shingle_rows(
+                batch.select("doc_id", "text"), "text", "doc_id", self.decontam_n
+            )
+            .select("id", F.md5("s").alias("g"))
+            .distinct()
+        )
+        screened = _bloom.might_contain_filter(
+            sh, "g", bits, self.decontam_bloom_bits, self.decontam_bloom_k
+        )
+        dropped = (
+            screened.join(keys, "g")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+            .filter(F.col("n_shared_ngrams") > F.lit(self.decontam_max_hits))
+        )
+        # batch-scoped overwrite (possibly empty) => a replayed batch
+        # rewrites its own log instead of doubling it
+        dropped.write.mode("overwrite").parquet(
+            os.path.join(self.decontam_log_path, f"batch_id={batch_id}")
+        )
+        logged = self.spark.read.parquet(
+            os.path.join(self.decontam_log_path, f"batch_id={batch_id}")
+        ).select("doc_id")
+        return batch.join(F.broadcast(logged), "doc_id", "left_anti")
+
+    def decontamination_log(self) -> DataFrame:
+        """Every dropped-at-ingest contaminated doc: (doc_id,
+        n_shared_ngrams, batch_id) across the live layout."""
+        fields = [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_shared_ngrams", T.LongType()),
+            T.StructField("batch_id", T.IntegerType()),
+        ]
+        return self._read_store(self.decontam_log_path, fields, None)
 
     def _cluster_batch(self, landed: DataFrame, batch_id: int) -> None:
         """Fold the batch's verified near-dup pairs into the maintained
@@ -458,6 +578,8 @@ class CorpusIngestPipeline:
         roots = [self.corpus_path]
         if self.near_dedup:
             roots.append(self.index_path)
+        if os.path.isdir(self.decontam_log_path):
+            roots.append(self.decontam_log_path)
         for root in roots:
             # keep_last (default 2) protects the replayable tail (same
             # guard as CdcPipeline.compact): a replayed batch whose rows

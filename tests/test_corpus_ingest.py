@@ -473,3 +473,129 @@ def test_trained_quality_model_gates_ingestion(spark, tmp_path):
     )
     pipe.refresh()
     assert _ids(pipe) == {1, 3, 7}
+
+
+def test_decontamination_gates_ingestion(spark, tmp_path):
+    """Held-out decontamination at ingest: docs sharing > max_hits
+    distinct n-grams with the held-out set never land; overlap-free
+    docs do; drops are visible in the log with their hit counts, and
+    the gate's answer equals the batch ngram_decontamination operator's
+    on the same data."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, decontam_docs=heldout, decontam_n=4,
+        decontam_max_hits=0,
+    )
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [
+            # 1: verbatim leak of heldout 100 -> dropped
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # 2: contains one 4-gram of heldout 101 -> dropped at max_hits=0
+            (2, "we pack my box with care and tape"),
+            # 3: clean -> lands
+            (3, "completely unrelated sentence about spark pipelines"),
+            # 4: shares words but no 4-gram run -> lands
+            (4, "the quick red fox sat over a lazy cat"),
+        ],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {3, 4}
+    log = {r["doc_id"]: r["n_shared_ngrams"] for r in pipe.decontamination_log().collect()}
+    assert set(log) == {1, 2}
+    assert log[1] == 6  # 9-word doc -> 6 distinct 4-grams, all held out
+    assert log[2] == 1
+
+
+def test_decontamination_max_hits_threshold(spark, tmp_path):
+    """max_hits tolerates small incidental overlap: the same one-4-gram
+    doc that max_hits=0 drops lands at max_hits=1, while the verbatim
+    leak still never lands."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    heldout = spark.createDataFrame(
+        [(101, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, decontam_docs=heldout, decontam_n=4,
+        decontam_max_hits=1,
+    )
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [(1, "we pack my box with care and tape"),
+         (2, "pack my box with five dozen liquor jugs")],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {1}
+    log = {r["doc_id"]: r["n_shared_ngrams"] for r in pipe.decontamination_log().collect()}
+    assert log == {2: 5}
+
+
+def test_decontamination_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch rewrites its own decontam log dir and re-drops
+    the same docs — corpus and log both unchanged."""
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, decontam_docs=heldout, decontam_n=4
+    )
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "clean doc here")],
+    )
+    pipe.refresh()
+    corpus_before = sorted(tuple(r) for r in pipe.corpus().collect())
+    log_before = sorted(tuple(r) for r in pipe.decontamination_log().collect())
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en", "s"),
+         (2, "clean doc here", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pipe._ingest_batch(batch, 0)
+    assert sorted(tuple(r) for r in pipe.corpus().collect()) == corpus_before
+    assert sorted(tuple(r) for r in pipe.decontamination_log().collect()) == log_before
+
+
+def test_decontamination_composes_with_quality_and_dedup(spark, tmp_path):
+    """Full canonical order on one batch: the rule gate drops junk
+    BEFORE decontamination sees it (its n-grams never probe the bitset),
+    the decontam gate drops leaks BEFORE dedup hashes them, and a clean
+    near-verbatim variant still lands exactly once."""
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, decontam_docs=heldout, decontam_n=4,
+        quality_filter=True,
+    )
+    filler = (
+        "and the pipeline keeps moving rows of data through the stages "
+        "while each of the operators does its small part of the work "
+        "and the results land in the tables that the readers expect "
+        "to find when they query the warehouse at the end of the day"
+    )
+    clean = "a perfectly ordinary paragraph about data pipelines " + filler
+    leak = "the quick brown fox jumps over the lazy dog " + filler
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [
+            (1, "x" * 50),  # gopher-dropped junk (one giant word)
+            (2, leak),  # passes gopher (50+ words), held-out run inside
+            (3, clean),
+            (4, clean),  # exact dup of 3 -> dedup keeps first only
+        ],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {3}
+    log_ids = {r["doc_id"] for r in pipe.decontamination_log().collect()}
+    assert 2 in log_ids and 1 not in log_ids  # junk never reached the gate
