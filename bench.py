@@ -116,6 +116,8 @@ HEADLINE = [
     "orders_quality_report",
     # round 11: the token-budget selection promotion (two-pass scale path)
     "token_budget_corpus",
+    # round 12: the two-phase heavy-hitter recount (rows-only registration)
+    "heavy_hitter_recount",
 ]
 
 
