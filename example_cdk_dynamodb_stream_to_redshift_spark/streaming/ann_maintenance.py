@@ -192,11 +192,22 @@ class IvfIndexMaintenance(ForeachBatchStore):
         """Assign the batch with the frozen quantizer and overwrite its
         own ``batch_id=<n>`` directory, partitioned by ``cid`` — a
         distributed corpus-sized write, never collected; overwrite makes
-        at-least-once replay idempotent."""
+        at-least-once replay idempotent.
+
+        A batch with ZERO valid rows writes nothing (and removes any
+        existing dir for its id): ``partitionBy`` emits no part files
+        for empty data, and a file-less ``batch_id=`` dir would poison
+        every later read with UNABLE_TO_INFER_SCHEMA — the empty-store
+        fallback only covers the no-dirs-at-all case (r12 review)."""
         self._check_meta(create=True)
-        self._assigned(batch_df).write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(os.path.join(self._index_dir, f"batch_id={batch_id}"))
+        assigned = self._assigned(batch_df)
+        dest = os.path.join(self._index_dir, f"batch_id={batch_id}")
+        if assigned.isEmpty():
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
+            return
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(dest)
 
     def index(self) -> DataFrame:
         """Everything landed, as ``(id, vec, cid)`` — the same shape
@@ -335,9 +346,17 @@ class IvfPqIndexMaintenance(IvfIndexMaintenance):
 
     def _meta_dict(self) -> dict:
         mine = super()._meta_dict()
-        mine["codebook_md5"] = _centroid_fingerprint(
-            [c for book in self.codebooks for c in book]
-        )
+        # structure-preserving hash: flattening the tensor would let a
+        # DIFFERENTLY-SPLIT codebook with identical flattened centroids
+        # (e.g. [[A,B],[C]] reopened as [[A],[B,C]]) slip past the drift
+        # guard and mix mutually meaningless codes (r12 review)
+        payload = json.dumps(
+            [
+                [[repr(float(x)) for x in c] for c in book]
+                for book in self.codebooks
+            ]
+        ).encode()
+        mine["codebook_md5"] = hashlib.md5(payload).hexdigest()
         mine["m"] = len(self.codebooks)
         return mine
 

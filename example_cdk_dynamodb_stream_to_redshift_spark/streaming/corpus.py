@@ -319,7 +319,13 @@ class CorpusIngestPipeline:
             bits = _bloom.build_bloom(
                 keys, "g", self.decontam_bloom_bits, self.decontam_bloom_k
             )
-            self._decontam_state = (keys, bits)
+            # broadcast ONCE and cache the handle: might_contain_filter
+            # with a raw ndarray creates (and pins until GC) a new
+            # bitset-sized broadcast block per call — per micro-batch, in
+            # a long-lived stream (the helper's own documented contract
+            # for repeated probers)
+            bc = self.spark.sparkContext.broadcast(bits)
+            self._decontam_state = (keys, bc)
         return self._decontam_state
 
     def _decontaminate(self, batch: DataFrame, batch_id: int) -> DataFrame:
@@ -334,7 +340,7 @@ class CorpusIngestPipeline:
         the quarantine convention."""
         from ..operators import bloom as _bloom
 
-        keys, bits = self._decontam_keys()
+        keys, bits = self._decontam_keys()  # bits is the cached Broadcast
         sh = (
             _dedup.shingle_rows(
                 batch.select("doc_id", "text"), "text", "doc_id", self.decontam_n

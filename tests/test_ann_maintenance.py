@@ -295,3 +295,49 @@ def test_ivfpq_contracts(spark, tmp_path):
     raw = _store(spark, tmp_path, "contracts")
     _feed(raw, spark, [ROWS[:5]])
     assert raw.index().count() == store.index().count() == 5
+
+
+def test_empty_or_all_invalid_batch_leaves_store_readable(spark, tmp_path):
+    """partitionBy writes no part files for empty data, so a zero-valid-
+    row batch must not leave a file-less batch_id dir that poisons every
+    read with UNABLE_TO_INFER_SCHEMA (r12 review): reads stay usable
+    before, between, and after such batches."""
+    store = _store(spark, tmp_path, "empties")
+    store.process_batch(
+        spark.createDataFrame([], SCHEMA), 0
+    )  # empty first batch
+    assert store.index().count() == 0  # empty store still readable
+    assert store.search([1.0, 0.0, 0.0, 0.0], k=3).collect() == []
+    store.process_batch(
+        spark.createDataFrame([(None, _vec(1)), (7, None)], SCHEMA), 1
+    )  # all rows invalid
+    store.process_batch(spark.createDataFrame(ROWS[:5], SCHEMA), 2)
+    assert store.index().count() == 5
+    assert len(store.search([9.0, 1.0, 0.0, 0.5], k=3).collect()) == 3
+    # replaying a formerly non-empty batch as empty removes its rows
+    store.process_batch(spark.createDataFrame([], SCHEMA), 2)
+    assert store.index().count() == 0
+
+
+def test_ivfpq_resplit_codebooks_fail_at_open(spark, tmp_path):
+    """A codebook tensor with the SAME flattened centroids but different
+    book boundaries encodes mutually meaningless codes — the meta
+    fingerprint must be structure-preserving (r12 review)."""
+    import pytest as _pt
+
+    from example_cdk_dynamodb_stream_to_redshift_spark.streaming.ann_maintenance import (
+        IvfPqIndexMaintenance,
+    )
+
+    # dim 4, d_sub 2: two valid splits of the same 3 flattened codewords
+    a, b, c = [1.0, 2.0], [3.0, 4.0], [5.0, 6.0]
+    books1 = [[a, b], [c]]  # m=2, Ks (2, 1)
+    books2 = [[a], [b, c]]  # m=2, Ks (1, 2) — same flattened list
+    s1 = IvfPqIndexMaintenance(
+        spark, str(tmp_path / "resplit"), CENTROIDS, books1
+    )
+    _feed(s1, spark, [ROWS[:3]])
+    with _pt.raises(ValueError, match="incompatible list assignments"):
+        IvfPqIndexMaintenance(
+            spark, str(tmp_path / "resplit"), CENTROIDS, books2
+        )

@@ -1,7 +1,9 @@
 """Round-18 staged driver candidate (plans/staged_r18.py): DuckDB
 equivalence of group-scoped boilerplate pruning (word mode) at sf0.001,
 column-name parity, and genuine-signal checks (pruning actually
-happened, no doc was emptied, reassembly preserved order)."""
+happened, a FEW docs are deliberately emptied so the emptied-doc
+contract rides the driver row, kept counts vary, reassembly preserved
+order)."""
 
 from __future__ import annotations
 
