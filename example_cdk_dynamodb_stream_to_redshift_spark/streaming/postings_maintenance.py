@@ -1,0 +1,268 @@
+"""Maintained inverted (postings) index: the streaming twin of the batch
+sparse-retrieval path (``operators/postings.py`` — the persisted layout
+behind ``bm25_topk_docs`` / ``tfidf_similar_docs``).
+
+A continuously-ingested corpus should stay SEARCHABLE without
+re-indexing: each micro-batch's documents are tokenized once, their
+``(term, doc, tf)`` postings land in the batch's own ``batch_id=<n>``
+directory PARTITIONED BY the term-hash bucket (the
+``write_postings_index`` layout, per batch), and a query probes the
+accumulated index through the same storage-level bucket prune the batch
+operator uses. The corpus text is never re-tokenized — the dense
+counterpart of this round's ``ann_maintenance`` store, completing the
+retrieval family's streaming story alongside it.
+
+Three per-batch artifacts, all on the shared batch-layout idempotence
+recipe (overwrite-own-directory, crash-safe marker compaction):
+
+- ``postings``: ``(tb, term, doc_id, tf)`` — batch-sized, distributed,
+  tb-partitioned so probe ``tb IN (...)`` is a PartitionFilter;
+- ``doc_stats``: ``(doc_id, dl)`` per document — BM25's length
+  normalizer, read only for matching docs at query time;
+- ``corpus_stats``: ONE ``(n_docs, sum_dl)`` partial per batch — exact
+  under summation, so ``n_docs``/``avgdl`` come from kilobytes of
+  partials, never a corpus rescan.
+
+``bm25_topk`` answers Okapi BM25 over everything landed: probe the
+query terms' buckets (PartitionFilter), derive per-term document
+frequency from the probed postings themselves, join doc lengths, fold
+the corpus stats in as a one-row broadcast — identical math to the
+oracle-green ``bm25_topk_docs`` registry query (1e-6 grid-quantized
+scores, deterministic doc_id tie-break), pinned against an independent
+pure-Python BM25 in tests/test_postings_maintenance.py across
+batchings, replays, and compaction.
+
+Ids are NOT deduplicated across batches (ingestion identity is
+upstream's job — CorpusIngestPipeline's dedup recipes); a re-ingested
+doc_id lands again, inflates that term's df visibly, and is the
+caller's signal that the upstream contract broke. Bucket count is part
+of the persisted layout (meta-fingerprinted like the ANN store's
+centroids): reopening with a different ``n_buckets`` would route the
+same term to different directories, so it fails at open.
+
+Reference tie-in: the reference app (a DynamoDB-CDC-to-Redshift sync)
+has no text-retrieval surface; engine extension per the build brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import token_count
+from ..operators.postings import build_postings_index, probe_buckets
+from .batch_layout import ForeachBatchStore, compact_root, read_root
+
+POSTINGS_FIELDS = [
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tf", T.LongType()),
+    T.StructField("batch_id", T.IntegerType()),
+    T.StructField("tb", T.IntegerType()),
+]
+DOC_STATS_FIELDS = [
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("dl", T.LongType()),
+    T.StructField("batch_id", T.IntegerType()),
+]
+CORPUS_STATS_FIELDS = [
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("sum_dl", T.LongType()),
+    T.StructField("batch_id", T.IntegerType()),
+]
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+class PostingsIndexMaintenance(ForeachBatchStore):
+    """Term-bucket-partitioned postings maintained per micro-batch.
+
+    ``doc_id`` is stored as a string (the store-schema convention);
+    NULL ids carry no identity and are dropped, NULL text counts as
+    zero-length (no postings, one doc_stats row — the doc exists, it
+    just matches nothing).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.spark = spark
+        self.n_buckets = int(n_buckets)
+        self.id_col = id_col
+        self.text_col = text_col
+        self._postings_dir = os.path.join(root, "postings")
+        self._doc_stats_dir = os.path.join(root, "doc_stats")
+        self._corpus_stats_dir = os.path.join(root, "corpus_stats")
+        self._meta_path = os.path.join(root, "_postings_meta.json")
+        self._check_meta()
+
+    def _check_meta(self, create: bool = False) -> None:
+        """n_buckets is part of the persisted LAYOUT: reopening with a
+        different value would route the same term into different bucket
+        directories — half the index invisible to every probe, silently.
+        Fail at open instead (the ANN-store centroid-meta precedent)."""
+        mine = {"n_buckets": self.n_buckets}
+        if os.path.isfile(self._meta_path):
+            with open(self._meta_path) as fh:
+                stored = json.load(fh)
+            if stored != mine:
+                raise ValueError(
+                    f"postings store at {self._postings_dir!r} was built "
+                    f"with {stored}; reopening with {mine} would split the "
+                    "term routing across layouts — reuse the original "
+                    "n_buckets or rebuild into a fresh root."
+                )
+            return
+        if create:
+            os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(mine, fh)
+            os.replace(tmp, self._meta_path)
+
+    def _store_roots(self) -> list[str]:
+        return [self._postings_dir, self._doc_stats_dir, self._corpus_stats_dir]
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Tokenize the batch ONCE into its three per-batch artifacts.
+        All writes are batch-dir overwrites (replay-idempotent); the
+        tb-partitioned postings write is skipped when the batch has no
+        postings at all — partitionBy emits no files for empty data and
+        a file-less dir would poison later reads (the ann_maintenance
+        empty-batch rule)."""
+        self._check_meta(create=True)
+        docs = batch_df.filter(F.col(self.id_col).isNotNull()).select(
+            F.col(self.id_col).cast("string").alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        )
+        postings = build_postings_index(
+            docs, text_col="text", id_col="doc_id", n_buckets=self.n_buckets
+        )
+        dest = os.path.join(self._postings_dir, f"batch_id={batch_id}")
+        if postings.isEmpty():
+            shutil.rmtree(dest, ignore_errors=True)
+        else:
+            postings.write.mode("overwrite").partitionBy("tb").parquet(dest)
+        doc_stats = docs.select(
+            "doc_id",
+            F.coalesce(token_count("text"), F.lit(0)).cast("long").alias("dl"),
+        )
+        doc_stats.write.mode("overwrite").parquet(
+            os.path.join(self._doc_stats_dir, f"batch_id={batch_id}")
+        )
+        doc_stats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._corpus_stats_dir, f"batch_id={batch_id}")
+        )
+
+    # -- reads --------------------------------------------------------------
+    def postings(self) -> DataFrame:
+        """Everything landed, as ``(tb, term, doc_id, tf)``."""
+        return read_root(self.spark, self._postings_dir, POSTINGS_FIELDS).select(
+            "tb", "term", "doc_id", "tf"
+        )
+
+    def doc_stats(self) -> DataFrame:
+        return read_root(
+            self.spark, self._doc_stats_dir, DOC_STATS_FIELDS
+        ).select("doc_id", "dl")
+
+    def corpus_stats(self) -> DataFrame:
+        """One-row ``(n_docs, avgdl)`` from the per-batch partials —
+        exact under summation, zero corpus rescans."""
+        return read_root(
+            self.spark, self._corpus_stats_dir, CORPUS_STATS_FIELDS
+        ).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("double").alias("n_docs"),
+            (
+                F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.sum("n_docs"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("avgdl"),
+        )
+
+    def probe(self, query_terms: list[str]) -> DataFrame:
+        """Query-term postings ``(term, doc_id, tf)`` — ``tb IN`` is a
+        PartitionFilter over the probed bucket directories only."""
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        buckets = probe_buckets(self.spark, query_terms, self.n_buckets)
+        return self.postings().filter(
+            F.col("tb").isin(*buckets) & F.col("term").isin(*query_terms)
+        ).select("term", "doc_id", "tf")
+
+    def bm25_topk(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        """Okapi BM25 top-k over everything landed — the bm25_topk_docs
+        math (1e-6 grid-quantized score, doc_id tie-break) answered from
+        the maintained stores: probed postings give tf AND per-term df,
+        doc_stats gives dl for matching docs only, corpus_stats folds in
+        as a one-row broadcast."""
+        from ..operators.lineage import truncate_lineage
+
+        tf = truncate_lineage(
+            self.probe(query_terms).select(
+                "term", "doc_id", F.col("tf").cast("double").alias("tf")
+            )
+        )
+        dft = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        dl = self.doc_stats().select(
+            "doc_id", F.col("dl").cast("double").alias("dl")
+        )
+        stats = self.corpus_stats()
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            tf.join(F.broadcast(dft), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def compact(self, target_partitions: int = 8, keep_last: int = 2) -> None:
+        """Consolidate all three stores; postings cluster by ``tb`` so
+        probe IN-filters stay row-group-selective after the ``tb=``
+        directories are gone (the ann_maintenance compaction trade)."""
+        if os.path.isdir(self._postings_dir):
+            compact_root(
+                self.spark,
+                self._postings_dir,
+                target_partitions=target_partitions,
+                keep_last=keep_last,
+                cluster_by=["tb"],
+            )
+        for root in (self._doc_stats_dir, self._corpus_stats_dir):
+            if os.path.isdir(root):
+                compact_root(
+                    self.spark,
+                    root,
+                    target_partitions=target_partitions,
+                    keep_last=keep_last,
+                )
