@@ -492,69 +492,72 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round 12 window: the 50-entry r9 cohort (every oracle-bearing
-    # entry whose latest green hash row is CORRECTNESS_r09 — re-derived
-    # from the artifacts by set arithmetic via scripts/predrive.py
-    # --cohort 9 and pre-driven foreign-CWD at sf0.01 BEFORE this
-    # rotation: 50/50 oracle-equal) MINUS the retired
-    # order_price_quartiles (strict subset of order_price_percentiles —
-    # the LOCKED COVERAGE.md retirement, dropping the oracle population
-    # to 149 and restoring permanent 1-slot-per-3-rounds slack) PLUS the
-    # rows-only one-time record for heavy_hitter_recount (staged and
-    # DuckDB-proven in round 10, plans/staged_r12.py).
-    "bm25_topk_docs",
-    "count_rows",
-    "customer_order_counts_left",
-    "customers_without_orders",
-    "dedup_clusters",
-    "doc_chunk_windows",
-    "doc_distinctive_terms",
-    "doc_repetition_stats",
-    "doc_token_topk",
-    "doc_winnowing_fingerprints",
-    "event_gap_topk",
-    "event_lag_topk",
-    "event_type_daily_cube",
-    "exact_dedup_docs",
-    "heavy_hitter_recount",
-    "incremental_mv_rewards_cdc",
-    "ivf_ann_fullprobe_topk",
-    "language_rebalance_sample",
-    "late_lines_by_priority_q12",
-    "minhash_lsh_near_dups",
-    "mv_rewards_freshness",
-    "nation_market_share_q8",
-    "ngram_decontamination",
-    "ngram_decontamination_bloom",
-    "order_price_percentiles",
-    "order_priority_having",
-    "orders_above_avg_price",
-    "param_events_by_user",
-    "pii_scrub_docs",
-    "promo_revenue_q14",
-    "props_variant_extract",
-    "quality_trim_bottom_decile",
-    "recent_events_topk",
-    "returns_conditional_agg",
-    "scalar_function_suite",
-    "source_centroid_embeddings",
-    "srp_ann_exact_topk",
-    "stratified_sample_by_source",
-    "supplier_customer_nations_full",
-    "top_docs_per_source",
-    "top_supplier_revenue_q15",
-    "train_test_contamination",
-    "train_val_test_split",
-    "untapped_customers_q22",
-    "user_event_type_pivot",
-    "user_event_type_profile",
-    "user_event_type_unpivot",
-    "user_state_history",
-    "view_purchase_interval_join",
-    "watermark_max",
+    # ---- round 13 window: the 50-entry r10 cohort (every oracle-bearing
+    # entry whose latest green hash row is CORRECTNESS_r10 — re-derived
+    # from the artifacts via scripts/predrive.py --cohort 10 and
+    # pre-driven foreign-CWD at sf0.01 one round AHEAD on the closing
+    # r12 code: 50/50 oracle-equal) MINUS token_length_histogram
+    # (deferred to the r14 window — its r10 green row satisfies the
+    # 3-round staleness bound through round 13; one r10 name must yield
+    # a slot because the window also carries the new registration) PLUS
+    # uniform_sample_by_source, the FUNDED r13 promotion
+    # (plans/staged_r13.py via inventory_pipeline.py — oracle population
+    # back to 150). r14 plan per COVERAGE.md: window = deferred
+    # token_length_histogram + 49 of the r11 cohort, funded by the
+    # earmarked stratified_sample_by_source retirement.
+    "bpe_pair_candidates",
+    "cluster_balanced_sample",
+    "contrastive_negatives",
+    "corpus_pipeline_summary",
+    "customer_order_trailing_30d",
+    "doc_bigram_logprob",
+    "doc_link_pagerank_exact",
+    "doc_lm_quality_buckets",
+    "doc_quality_scored_frozen",
+    "doc_unigram_logprob",
+    "domain_mixture_weights",
+    "dsir_select_docs",
+    "embedding_contamination_audit",
+    "embedding_dup_clusters",
+    "embedding_norm_quantize",
+    "event_type_grouping_sets",
+    "event_type_salted_join",
+    "events_hourly_anomalies",
+    "events_hourly_gapfill",
+    "events_value_drift_profile",
+    "funnel_conversion",
+    "gopher_filter_docs",
+    "ivfpq_ann_exact_topk",
+    "knn_join_topk",
+    "late_ship_priority",
+    "lone_late_supplier",
+    "media_frame_sample",
+    "media_phash_near_dups",
+    "media_resize_batch",
+    "minhash_incremental_dedup",
+    "mixture_sampled_corpus",
+    "nation_revenue_q5",
+    "near_dedup_corpus_keep_first",
+    "orders_zorder_keys",
+    "part_revenue_share",
+    "pq_ann_exact_topk",
+    "purchase_attribution_asof",
+    "quantized_ann_topk",
+    "retention_cohorts",
+    "sequence_packing",
+    "simhash_exact_near_dups",
+    "small_quantity_part_revenue",
+    "substring_dup_stats",
+    "sync_run_log",
+    "tfidf_similar_docs",
+    "training_shard_manifest",
+    "typed_pii_scrub_docs",
+    "udtf_word_ngrams_topk",
+    "uniform_sample_by_source",
+    "winnowing_overlap_pairs",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1892,6 +1892,32 @@ heavy_hitter_recount = register(
 )(_staged_r12.heavy_hitter_recount)
 
 
+# ---------------------------------------------------------------------------
+# Round-13 registration of the staged uniform-by-source sample, WITH its
+# oracle — the FUNDED promotion from the r12 slot plan (the
+# order_price_quartiles retirement's slack, spent per the r12 verdict:
+# population returns to 150). The oracle is a verbatim semantic
+# restatement with ZERO float surface (DISTINCT -> md5 -> row_number, all
+# strings — DuckDB's md5 equals Spark's md5 on identical inputs), so a
+# green hash row proves the map-side-dedup + bounded-heap bottom-k sample
+# IS the definition. ``weighted_doc_sample`` stays staged as the proven
+# alternate (plans/staged_r13.py). The earmarked retirement of the
+# rand()-seeded ``stratified_sample_by_source`` twin is DEFERRED to the
+# r13 verdict by that same plan — executed at r14 if this row lands green.
+# ---------------------------------------------------------------------------
+from . import staged_r13 as _staged_r13  # noqa: E402
+
+uniform_sample_by_source = register(
+    "uniform_sample_by_source",
+    _staged_r13.STAGED_R13["uniform_sample_by_source"][1],
+    "Deterministic uniform sample stratified by source: the K md5-smallest "
+    "distinct doc ids per source (operators/bottomk.bottomk_keys — "
+    "map-side partial dedup, per-partition bounded heaps, kilobyte merge; "
+    "no global sort, no rand()). Re-ingestion-stable twin of "
+    "stratified_sample_by_source.",
+)(_staged_r13.uniform_sample_by_source)
+
+
 # Registration complete for this module — trigger the driver-window reorder
 # (no-op until the LAST registering module finishes; see inventory.py).
 from .inventory import _maybe_reorder_registry  # noqa: E402

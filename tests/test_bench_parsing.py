@@ -111,6 +111,51 @@ def test_prior_comparison_prefers_committed_local_record(tmp_path):
     assert cmp_["shared_end_to_end_ratio_calib"] == 1.0
 
 
+def test_prior_comparison_prefers_shuffle_probe(tmp_path):
+    """r12 verdict item 3: the single cpu probe's intra-round dispersion
+    (±15%) exceeded the round-over-round signal. The workload-shaped
+    shuffle probe (median-of-series) must normalize when BOTH rounds
+    carry it, the legacy cpu probe only as fallback — and the record
+    must name which probe normalized (calib_probe)."""
+    with open(tmp_path / "BENCH_r07.json", "w") as fh:
+        json.dump({"parsed": {"metric": "x", "sf": 0.1}, "sf": 0.1}, fh)
+    full = {
+        "queries": {"q_a": 1.0},
+        "build_sec": {},
+        "calib_sec": 0.4,
+        "calib_shuffle_sec": 0.5,
+        "sf": 0.1,
+    }
+    with open(tmp_path / "BENCH_LOCAL_r07.json", "w") as fh:
+        json.dump(full, fh)
+    cmp_ = bench._prior_round_comparison(
+        {"q_a": 2.0},
+        {},
+        calib=0.8,  # cpu ratio would be 2.0 as well, but probe must differ
+        calib_shuffle=1.0,  # shuffle ratio 1.0/0.5 = 2.0x slower VM
+        prior_file=str(tmp_path / "BENCH_r07.json"),
+    )
+    assert cmp_["calib_probe"] == "shuffle"
+    assert cmp_["calib_speed_ratio"] == 2.0
+    assert cmp_["shared_query_ratio"] == 2.0
+    assert cmp_["shared_query_ratio_calib"] == 1.0
+
+    # prior round without the shuffle probe (every record before r13):
+    # fall back to the legacy cpu probe and say so
+    full.pop("calib_shuffle_sec")
+    with open(tmp_path / "BENCH_LOCAL_r07.json", "w") as fh:
+        json.dump(full, fh)
+    cmp_ = bench._prior_round_comparison(
+        {"q_a": 2.0},
+        {},
+        calib=0.8,
+        calib_shuffle=1.0,
+        prior_file=str(tmp_path / "BENCH_r07.json"),
+    )
+    assert cmp_["calib_probe"] == "cpu"
+    assert cmp_["calib_speed_ratio"] == 2.0  # 0.8/0.4
+
+
 def test_prior_comparison_ignores_local_record_at_other_sf(tmp_path):
     """A BENCH_LOCAL written at the wrong scale factor must never be
     mistaken for the graded sf0.1 prior — mismatched sf is rejected, and
