@@ -55,7 +55,12 @@ from pyspark.sql import types as T
 
 from ..operators.pq import ivfpq_topk, pq_code_expr
 from ..operators.similarity import _assign_cid, brute_force_topk, ivf_topk
-from .batch_layout import ForeachBatchStore, compact_root, read_root
+from .batch_layout import (
+    ForeachBatchStore,
+    compact_root,
+    read_root,
+    write_batch_dir,
+)
 
 INDEX_FIELDS = [
     T.StructField("id", T.StringType()),
@@ -198,7 +203,13 @@ class IvfIndexMaintenance(ForeachBatchStore):
         existing dir for its id): ``partitionBy`` emits no part files
         for empty data, and a file-less ``batch_id=`` dir would poison
         every later read with UNABLE_TO_INFER_SCHEMA — the empty-store
-        fallback only covers the no-dirs-at-all case (r12 review)."""
+        fallback only covers the no-dirs-at-all case (r12 review). The
+        same poison can arrive through a MID-WRITE failure — the
+        isEmpty probe stops at the first row, so a batch mixing valid
+        rows with one wrong-dimension vector passes it and the
+        raise_error fires inside the write — so the write cleans up its
+        partial dir on failure (write_batch_dir, r12 advice) and the
+        contract error surfaces instead of poisoning later reads."""
         self._check_meta(create=True)
         assigned = self._assigned(batch_df)
         dest = os.path.join(self._index_dir, f"batch_id={batch_id}")
@@ -207,7 +218,7 @@ class IvfIndexMaintenance(ForeachBatchStore):
 
             shutil.rmtree(dest, ignore_errors=True)
             return
-        assigned.write.mode("overwrite").partitionBy("cid").parquet(dest)
+        write_batch_dir(assigned, dest, partition_by=["cid"])
 
     def index(self) -> DataFrame:
         """Everything landed, as ``(id, vec, cid)`` — the same shape

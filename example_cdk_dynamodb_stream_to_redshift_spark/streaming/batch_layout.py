@@ -106,6 +106,33 @@ def read_root(
     return out
 
 
+def write_batch_dir(
+    df: DataFrame, dest: str, partition_by: list[str] | None = None
+) -> None:
+    """Overwrite ``dest`` (a ``batch_id=<n>`` dir) with ``df``, removing
+    the partial directory if the write raises mid-flight.
+
+    An in-plan data-contract error (e.g. the ANN store's wrong-dimension
+    ``raise_error``) can fire AFTER the writer created the directory and
+    some task files: the cheap ``isEmpty`` pre-probe stops at the first
+    row, so a batch mixing valid rows with one violating row passes the
+    probe and dies mid-write. The leftover file-less (or partial) dir
+    would then be globbed into every later ``read_root`` and fail with
+    UNABLE_TO_INFER_SCHEMA instead of the explanatory contract error
+    (r12 advice). Removing it on failure is consistent with replay
+    semantics: ``mode=overwrite`` had already discarded any previous
+    contents of the dir, and the at-least-once retry re-lands the whole
+    batch."""
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(dest)
+    except Exception:
+        _shutil.rmtree(dest, ignore_errors=True)
+        raise
+
+
 def cleanup_superseded(root: str) -> None:
     """Finish a prior crashed compaction's pending cleanup (idempotent):
     superseded dirs are already excluded from every read by their

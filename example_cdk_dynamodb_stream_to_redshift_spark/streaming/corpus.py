@@ -328,6 +328,22 @@ class CorpusIngestPipeline:
             self._decontam_state = (keys, bc)
         return self._decontam_state
 
+    def reset_decontam_state(self) -> None:
+        """Release the cached held-out state: unpersist the Bloom
+        broadcast (its bitset block is otherwise pinned on every
+        executor until process exit) and drop the localCheckpoint'ed
+        key frame reference. Safe to call any time — the next batch
+        re-derives identical state (pure function of (docs, n))."""
+        if self._decontam_state is not None:
+            _keys, bc = self._decontam_state
+            self._decontam_state = None
+            try:
+                bc.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+    close = reset_decontam_state  # end-of-life hook alias
+
     def _decontaminate(self, batch: DataFrame, batch_id: int) -> DataFrame:
         """Drop batch docs sharing > max_hits DISTINCT n-gram md5s with
         the held-out set (ngram_decontamination's semantics, applied at
@@ -337,7 +353,21 @@ class CorpusIngestPipeline:
         decides what shuffles, never the answer. Dropped docs are
         recorded with their hit counts in the decontam log (batch-dir
         overwrite, replay-idempotent) so contamination stays VISIBLE,
-        the quarantine convention."""
+        the quarantine convention.
+
+        The cached key frame is a ``localCheckpoint`` — its blocks are
+        NON-RELIABLE, so on a real cluster an executor loss invalidates
+        them (r12 advice). The exact-verify join therefore retries ONCE
+        after re-deriving the state from scratch (a pure function of
+        ``(decontam_docs, n)``, so the retry computes identical keys);
+        a second failure is a real error and propagates."""
+        try:
+            return self._decontaminate_once(batch, batch_id)
+        except Exception:
+            self.reset_decontam_state()
+            return self._decontaminate_once(batch, batch_id)
+
+    def _decontaminate_once(self, batch: DataFrame, batch_id: int) -> DataFrame:
         from ..operators import bloom as _bloom
 
         keys, bits = self._decontam_keys()  # bits is the cached Broadcast

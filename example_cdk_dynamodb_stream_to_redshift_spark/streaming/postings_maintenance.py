@@ -56,7 +56,12 @@ from pyspark.sql import types as T
 
 from ..functions.text import token_count
 from ..operators.postings import build_postings_index, probe_buckets
-from .batch_layout import ForeachBatchStore, compact_root, read_root
+from .batch_layout import (
+    ForeachBatchStore,
+    compact_root,
+    read_root,
+    write_batch_dir,
+)
 
 POSTINGS_FIELDS = [
     T.StructField("term", T.StringType()),
@@ -155,19 +160,24 @@ class PostingsIndexMaintenance(ForeachBatchStore):
         if postings.isEmpty():
             shutil.rmtree(dest, ignore_errors=True)
         else:
-            postings.write.mode("overwrite").partitionBy("tb").parquet(dest)
+            # write_batch_dir removes the partial dir if the write dies
+            # mid-flight (r12 advice: a poisoned file-less dir would fail
+            # every later read with UNABLE_TO_INFER_SCHEMA)
+            write_batch_dir(postings, dest, partition_by=["tb"])
         doc_stats = docs.select(
             "doc_id",
             F.coalesce(token_count("text"), F.lit(0)).cast("long").alias("dl"),
         )
-        doc_stats.write.mode("overwrite").parquet(
-            os.path.join(self._doc_stats_dir, f"batch_id={batch_id}")
+        write_batch_dir(
+            doc_stats,
+            os.path.join(self._doc_stats_dir, f"batch_id={batch_id}"),
         )
-        doc_stats.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-        ).write.mode("overwrite").parquet(
-            os.path.join(self._corpus_stats_dir, f"batch_id={batch_id}")
+        write_batch_dir(
+            doc_stats.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+            ),
+            os.path.join(self._corpus_stats_dir, f"batch_id={batch_id}"),
         )
 
     # -- reads --------------------------------------------------------------
@@ -212,7 +222,24 @@ class PostingsIndexMaintenance(ForeachBatchStore):
         math (1e-6 grid-quantized score, doc_id tie-break) answered from
         the maintained stores: probed postings give tf AND per-term df,
         doc_stats gives dl for matching docs only, corpus_stats folds in
-        as a one-row broadcast."""
+        as a one-row broadcast.
+
+        Upstream-identity violations (a doc_id re-ingested across
+        batches — the module's documented not-our-job contract) stay
+        VISIBLE but bounded: the duplicate's postings rows add into df
+        and the summed score additively. The dl side is aggregated to
+        ONE row per doc_id (latest batch wins, ties to the larger dl)
+        before the join — without that, duplicate tf rows x duplicate
+        dl rows would multiply and inflate scores multiplicatively,
+        a stronger distortion than the advertised df inflation (r12
+        advice).
+
+        The tf-dl join deliberately carries NO broadcast hint (r12
+        verdict nit): the probed side is small only for RARE terms — a
+        common query term's postings are df ~ corpus-sized, and a hard
+        hint would force them through the driver. AQE's runtime
+        size-based promotion makes the broadcast decision per query
+        with the actual probed bytes in hand."""
         from ..operators.lineage import truncate_lineage
 
         tf = truncate_lineage(
@@ -223,8 +250,14 @@ class PostingsIndexMaintenance(ForeachBatchStore):
         dft = tf.groupBy("term").agg(
             F.count(F.lit(1)).cast("double").alias("df")
         )
-        dl = self.doc_stats().select(
-            "doc_id", F.col("dl").cast("double").alias("dl")
+        dl = (
+            read_root(self.spark, self._doc_stats_dir, DOC_STATS_FIELDS)
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.struct("batch_id", "dl"))["dl"]
+                .cast("double")
+                .alias("dl")
+            )
         )
         stats = self.corpus_stats()
         idf = F.log(

@@ -319,6 +319,36 @@ def test_empty_or_all_invalid_batch_leaves_store_readable(spark, tmp_path):
     assert store.index().count() == 0
 
 
+def test_midwrite_contract_failure_does_not_poison_store(spark, tmp_path):
+    """A batch mixing valid rows with one wrong-dimension vector passes
+    the isEmpty pre-probe (it stops at the first row) and the contract
+    raise_error then fires INSIDE the distributed write. The partial
+    batch_id dir must be removed on failure (r12 advice) so later reads
+    see the explanatory contract error once, not
+    UNABLE_TO_INFER_SCHEMA forever."""
+    import glob as _glob
+
+    store = _store(spark, tmp_path, "midwrite")
+    store.process_batch(spark.createDataFrame(ROWS[:5], SCHEMA), 0)
+    mixed = spark.createDataFrame(
+        ROWS[5:9] + [(99, [1.0, 2.0, 3.0])], SCHEMA
+    )
+    with pytest.raises(Exception, match="mis-dimensioned|components"):
+        store.process_batch(mixed, 1)
+    # the failed batch left no directory behind ...
+    assert not _glob.glob(
+        str(tmp_path / "midwrite" / "ivf_index" / "batch_id=1")
+    )
+    # ... and the store reads exactly batch 0, with search still usable
+    assert sorted(r["id"] for r in store.index().collect()) == sorted(
+        str(i) for i, _ in ROWS[:5]
+    )
+    assert len(store.search([9.0, 1.0, 0.0, 0.5], k=3).collect()) == 3
+    # the retried batch (violating row repaired upstream) lands cleanly
+    store.process_batch(spark.createDataFrame(ROWS[5:9], SCHEMA), 1)
+    assert store.index().count() == 9
+
+
 def test_ivfpq_resplit_codebooks_fail_at_open(spark, tmp_path):
     """A codebook tensor with the SAME flattened centroids but different
     book boundaries encodes mutually meaningless codes — the meta

@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from example_cdk_dynamodb_stream_to_redshift_spark.streaming.corpus import (
     CorpusIngestPipeline,
 )
@@ -534,6 +536,59 @@ def test_decontamination_max_hits_threshold(spark, tmp_path):
     assert _ids(pipe) == {1}
     log = {r["doc_id"]: r["n_shared_ngrams"] for r in pipe.decontamination_log().collect()}
     assert log == {2: 5}
+
+
+def test_decontamination_recovers_from_lost_cached_state(spark, tmp_path):
+    """The cached held-out key frame lives in NON-RELIABLE
+    localCheckpoint blocks (r12 advice): on a real cluster an executor
+    loss invalidates them, and without recovery every later batch's
+    exact-verify join fails until process restart. The gate must
+    re-derive the state (a pure function of (docs, n)) and retry once.
+    Simulated by swapping the cached frame for one that raises at
+    execution time."""
+    inp, wh = str(tmp_path / "in"), str(tmp_path / "wh")
+    heldout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    pipe = CorpusIngestPipeline(
+        spark, inp, wh, decontam_docs=heldout, decontam_n=4,
+        decontam_max_hits=0,
+    )
+    _write_docs(
+        os.path.join(inp, "b1.json"),
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated sentence about spark pipelines")],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {3}
+    assert pipe._decontam_state is not None
+    # poison the cached state: a key frame that dies at execution (the
+    # lost-block failure mode), paired with the still-valid broadcast
+    _keys, bc = pipe._decontam_state
+    broken = spark.range(1).select(
+        F.raise_error(F.lit("BlockNotFound: localCheckpoint block lost"))
+        .cast("string")
+        .alias("g")
+    )
+    pipe._decontam_state = (broken, bc)
+    # the next batch carries a leak, so the exact-verify join MUST
+    # consult the keys — first attempt dies, the retry re-derives
+    _write_docs(
+        os.path.join(inp, "b2.json"),
+        [(5, "over the lazy dog it jumps quick the brown fox jumps over the lazy dog"),
+         (7, "clean follow-up doc about parquet compaction")],
+    )
+    pipe.refresh()
+    assert _ids(pipe) == {3, 7}
+    log = {r["doc_id"] for r in pipe.decontamination_log().collect()}
+    assert log == {1, 5}
+    # re-derivation replaced the poisoned state with a fresh pair
+    assert pipe._decontam_state is not None
+    assert pipe._decontam_state[0] is not broken
+    # the end-of-life hook releases the cached state; next use re-derives
+    pipe.close()
+    assert pipe._decontam_state is None
 
 
 def test_decontamination_replay_is_idempotent(spark, tmp_path):

@@ -106,6 +106,56 @@ def test_bm25_matches_python_reference_and_replay(spark, tmp_path):
     assert stats["avgdl"] == pytest.approx(total / len(DOCS))
 
 
+def _py_bm25_multirow(doc_rows, query, k=10, k1=1.2, b=0.75):
+    """Reference that models UPSTREAM IDENTITY VIOLATIONS the way the
+    store contract documents them: each landed row is a separate corpus
+    member for n_docs/avgdl/df/tf, but scores fold per doc_id (the
+    groupBy) with each tf row joined to exactly ONE dl."""
+    toks = [(str(i), t.split(" ")) for i, t in doc_rows]
+    n = len(toks)
+    avgdl = sum(len(v) for _, v in toks) / n
+    scores: dict = {}
+    for term in query:
+        matching = [
+            (i, v.count(term), len(v)) for i, v in toks if term in v
+        ]
+        df = len(matching)
+        if not df:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, tf, dl in matching:
+            s = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            scores[i] = scores.get(i, 0.0) + s
+    ranked = sorted(
+        ((round(s, 6), i) for i, s in scores.items()), key=lambda x: (-x[0], x[1])
+    )
+    return [(i, s) for s, i in ranked[:k]]
+
+
+def test_reingested_doc_inflates_additively_not_multiplicatively(
+    spark, tmp_path
+):
+    """A doc_id re-ingested across batches (the documented upstream
+    identity violation) duplicates its postings rows — df and the
+    summed score inflate ADDITIVELY and visibly. The dl side must
+    collapse to ONE row per doc_id before the tf-dl join: duplicate dl
+    rows would multiply against duplicate tf rows and inflate the score
+    MULTIPLICATIVELY (r12 advice)."""
+    store = _store(spark, tmp_path, "dup")
+    store.process_batch(spark.createDataFrame(DOCS, SCHEMA), 0)
+    store.process_batch(spark.createDataFrame([DOCS[0]], SCHEMA), 1)
+    want = _py_bm25_multirow(DOCS + [DOCS[0]], QUERY, k=5)
+    assert _hits(store.bm25_topk(QUERY, k=5)) == want
+    # the additive model really is what landed: doc 1's score grew vs the
+    # clean corpus (visible), but did NOT square (the multiplicative bug
+    # would join 2 tf rows x 2 dl rows)
+    clean = dict(_py_bm25(DOCS, QUERY, k=8))
+    got = dict(_hits(store.bm25_topk(QUERY, k=8)))
+    assert got["1"] > clean["1"]
+
+
 def test_probe_is_partition_pruned(spark, tmp_path):
     store = _store(spark, tmp_path)
     _feed(store, spark, BATCHES)
