@@ -45,6 +45,16 @@ dropped docs are logged with hit counts (``decontamination_log()``) —
 visible drops, the quarantine convention, replay-idempotent like every
 other per-batch store here.
 
+``postings_store=`` / ``ann_store=`` attach the maintained retrieval
+stores (streaming/postings_maintenance, streaming/ann_maintenance) so a
+corpus ingested through the pipeline stays SEARCHABLE without a
+separate drive loop: each micro-batch's LANDED docs — the post-quality/
+decontam/dedup batch-dir read-back, so drops and duplicate copies never
+become searchable — flow into the stores' own replay-idempotent
+process_batch, and ``compact()`` rides the pipeline's maintenance
+cadence. With an ANN store attached the input stream carries the
+embedding under the store's ``vec_col`` and the landed corpus keeps it.
+
 ``near_dedup="cluster"`` composes the same incremental LSH pair stream
 with the maintained closure (streaming/cluster_maintenance) instead of
 dropping: every exact-unique doc lands, and the near-dup CLUSTER
@@ -108,6 +118,8 @@ class CorpusIngestPipeline:
         decontam_max_hits: int = 0,
         decontam_bloom_bits: int = 1 << 20,
         decontam_bloom_k: int = 4,
+        postings_store=None,
+        ann_store=None,
     ):
         """``history_probe``: "scan" probes the accumulated corpus with
         the broadcast batch fingerprint set every batch; "bloom" keeps a
@@ -181,6 +193,39 @@ class CorpusIngestPipeline:
         self.decontam_bloom_k = decontam_bloom_k
         self.decontam_log_path = os.path.join(warehouse, "decontam_log")
         self._decontam_state: tuple | None = None
+        # attached maintained retrieval stores (r12 verdict item 5): a
+        # corpus ingested through the pipeline stays SEARCHABLE without
+        # a separate drive loop. Each store ingests exactly what LANDED
+        # (post-quality/decontam/dedup, the replay-correct read-back of
+        # the batch dir) through its own replay-idempotent process_batch
+        # — the same composition pattern as the cluster store above.
+        if postings_store is not None and (
+            postings_store.id_col != "doc_id"
+            or postings_store.text_col != "text"
+        ):
+            raise ValueError(
+                "postings_store must be built with id_col='doc_id', "
+                f"text_col='text' to index this corpus; got "
+                f"({postings_store.id_col!r}, {postings_store.text_col!r})"
+            )
+        if ann_store is not None and ann_store.id_col != "doc_id":
+            raise ValueError(
+                "ann_store must be built with id_col='doc_id' to index "
+                f"this corpus; got {ann_store.id_col!r}"
+            )
+        self.postings_store = postings_store
+        self.ann_store = ann_store
+        # with an ANN store attached, the input stream carries the
+        # embedding under the store's vec_col (array<double>) and the
+        # landed corpus keeps it — docs arriving without one are
+        # skipped by the store's documented NULL-vector contract
+        self.stream_schema = T.StructType(list(DOC_STREAM_SCHEMA.fields))
+        if ann_store is not None:
+            self.stream_schema = self.stream_schema.add(
+                T.StructField(
+                    ann_store.vec_col, T.ArrayType(T.DoubleType())
+                )
+            )
 
     # -- reads ------------------------------------------------------------
     def _read_store(
@@ -195,7 +240,7 @@ class CorpusIngestPipeline:
         fp, batch_id). ``exclude_batch`` drops one batch's rows — used by a
         replayed batch so it never deduplicates against its own previous
         write."""
-        fields = list(DOC_STREAM_SCHEMA.fields) + [
+        fields = list(self.stream_schema.fields) + [
             T.StructField("fp", T.StringType()),
             T.StructField("batch_id", T.IntegerType()),
         ]
@@ -276,6 +321,7 @@ class CorpusIngestPipeline:
                 os.path.join(self.corpus_path, f"batch_id={batch_id}")
             ).select("fp")
             self._fold_into_bloom(landed_fp)
+        landed = None
         if self.near_dedup:
             # append this batch's band rows so FUTURE batches probe them —
             # the index stays exactly the accumulated corpus's signatures,
@@ -293,6 +339,19 @@ class CorpusIngestPipeline:
             )
             if self.dedup_mode == "cluster":
                 self._cluster_batch(landed, batch_id)
+        if self.postings_store is not None or self.ann_store is not None:
+            # attached retrieval stores index exactly what LANDED — the
+            # batch-dir read-back, so quality/decontam/dedup drops never
+            # become searchable and a replayed batch re-lands the same
+            # rows into the stores' own replay-idempotent batch dirs
+            if landed is None:
+                landed = self.spark.read.parquet(
+                    os.path.join(self.corpus_path, f"batch_id={batch_id}")
+                )
+            if self.postings_store is not None:
+                self.postings_store.process_batch(landed, batch_id)
+            if self.ann_store is not None:
+                self.ann_store.process_batch(landed, batch_id)
 
     # -- decontamination gate ----------------------------------------------
     def _decontam_keys(self) -> tuple:
@@ -572,7 +631,7 @@ class CorpusIngestPipeline:
 
     def refresh(self) -> None:
         """Process all newly-arrived doc files, then return (AvailableNow)."""
-        stream = self.spark.readStream.schema(DOC_STREAM_SCHEMA).json(
+        stream = self.spark.readStream.schema(self.stream_schema).json(
             self.input_path
         )
         query = (
@@ -588,7 +647,7 @@ class CorpusIngestPipeline:
         twin of CdcPipeline.start). Shares the checkpoint with
         ``refresh()`` so the two modes interleave without reprocessing;
         the caller owns the returned StreamingQuery's lifecycle."""
-        stream = self.spark.readStream.schema(DOC_STREAM_SCHEMA).json(
+        stream = self.spark.readStream.schema(self.stream_schema).json(
             self.input_path
         )
         return (
@@ -632,3 +691,11 @@ class CorpusIngestPipeline:
             self._clusters.checkpoint(
                 target_partitions=target_partitions, keep_last=keep_last
             )
+        # attached retrieval stores ride the same maintenance cadence
+        # (their compact() carries each store's clustering choice:
+        # postings by tb, ANN lists by cid)
+        for store in (self.postings_store, self.ann_store):
+            if store is not None:
+                store.compact(
+                    target_partitions=target_partitions, keep_last=keep_last
+                )
