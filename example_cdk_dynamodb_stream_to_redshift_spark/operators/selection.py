@@ -30,15 +30,27 @@ Two implementations, pinned equal in tests/test_selection.py:
   ``weight`` by DECLARED score buckets (one scan, map-side partials,
   <= bins+1 groups) feeds a tiny exclusive-cumsum window that locates
   the BOUNDARY bucket — the one where the cumulative budget crosses —
-  as a ONE-ROW control frame, broadcast onto the corpus. Buckets
-  strictly above the boundary are kept by pure filter (no sort); only
-  the boundary bucket (~corpus/bins rows) is window-sorted to place
-  the cutoff row-exactly. Bucket membership is a function of the score
-  alone and the kept bucket-prefix is contiguous, so the union is
-  bit-identical to the global window. Everything — histogram, walk,
-  branches — is one consistent query: no driver-side collect, no
-  build-time Spark job, no stale boundary if the source changes
-  between plan construction and action.
+  as a ONE-ROW control frame, broadcast onto the corpus. Rows below
+  the boundary bucket are dropped map-side; survivors flow through ONE
+  window cumsum PARTITIONED BY the bucket index, and one disjunctive
+  filter keeps full buckets unconditionally while cutting the boundary
+  bucket row-exactly at ``within-bucket cum + weight-above <= budget``.
+  Bucket membership is a function of the score alone and the kept
+  bucket-prefix is contiguous, so the result is bit-identical to the
+  global window. Everything — histogram, walk, cut — is one consistent
+  query: no driver-side collect, no build-time Spark job, no stale
+  boundary if the source changes between plan construction and action.
+
+  Cost shape (r13 rework): the corpus is scanned exactly TWICE
+  (histogram + survivors) — the previous two-branch union re-planned
+  the control subtree and the eligibility scan under each branch
+  (column pruning specialized them, so ReusedExchange could never
+  fire), costing FOUR corpus scans and two boundary locators. The
+  survivor shuffle is bounded: buckets strictly above the boundary
+  carry <= budget total weight by the crossing definition, and the
+  boundary bucket is ~corpus/bins rows — the exact bound the old
+  boundary-only sort had, since a window partition is a per-key sort
+  (the boundary bucket is one key either way).
 
 Bucket edges are declared by the caller (same philosophy as
 operators/drift.py: deriving them per-run would make the plan shape
@@ -190,9 +202,11 @@ def budget_select(
     hist: DataFrame | None = None,
 ) -> DataFrame:
     """Scale-path selection, bit-equal to ``budget_select_exact``:
-    histogram -> boundary-bucket control row (broadcast) -> pure filter
-    for full buckets + boundary-bucket-only window, all in ONE lazy
-    query. Only ~corpus/len(edges) rows are ever sorted.
+    histogram -> boundary-bucket control row (broadcast) -> map-side
+    drop of sub-boundary rows -> one bucket-partitioned window cumsum
+    -> one disjunctive cut, all in ONE lazy query. No window partition
+    ever exceeds max(bucket size) ~ corpus/len(edges) rows, and the
+    kept full buckets total <= budget weight by construction.
 
     ``hist`` replaces the internal histogram pass with a PRECOMPUTED
     ``(bucket, w, wmin)`` frame — ``bucket`` must be
@@ -265,17 +279,34 @@ def budget_select(
         F.coalesce(F.col("a"), F.lit(0)).cast("long").alias(off),
     )
 
-    joined = elig.crossJoin(F.broadcast(ctl))  # ONE-row control frame
-    full = joined.filter(idx > F.col(bnd)).drop(bnd, off)
+    # SINGLE-REFERENCE tail (r13): every row consumes the broadcast
+    # control row exactly once — a two-branch union here re-plans (and
+    # re-executes) the control subtree and the eligibility scan per
+    # branch, because column pruning specializes the copies past
+    # ReusedExchange's reach (measured: 4 corpus scans, 2 boundary
+    # locators). Survivors of the map-side bucket cut flow through one
+    # window PARTITIONED BY the bucket index: the boundary bucket's
+    # partition computes the exact within-bucket cumsum (same row set,
+    # same ordering as the old boundary-only window), while full
+    # buckets pass the disjunctive filter unconditionally — their cum
+    # value is never read.
+    bucket_col = _work_name(df, _BUCKET)
     cum_col = _work_name(df, _CUM)
+    joined = (
+        elig.withColumn(bucket_col, idx)
+        .crossJoin(F.broadcast(ctl))  # ONE-row control frame
+        .filter(F.col(bucket_col) >= F.col(bnd))
+    )
     win = (
-        Window.orderBy(*_order(score_col, tiebreak_col))
+        Window.partitionBy(bucket_col)
+        .orderBy(*_order(score_col, tiebreak_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    edge_rows = (
-        joined.filter(idx == F.col(bnd))
-        .withColumn(cum_col, F.sum(w_long).over(win) + F.col(off))
-        .filter(F.col(cum_col) <= F.lit(budget))
-        .drop(cum_col, bnd, off)
+    return (
+        joined.withColumn(cum_col, F.sum(w_long).over(win) + F.col(off))
+        .filter(
+            (F.col(bucket_col) > F.col(bnd))
+            | (F.col(cum_col) <= F.lit(budget))
+        )
+        .drop(bucket_col, cum_col, bnd, off)
     )
-    return full.unionByName(edge_rows)

@@ -1860,8 +1860,9 @@ token_budget_corpus = register(
     "Token-budget selection driver row: operators/selection.budget_select "
     "keeps the highest-quality docs until a 7k-token budget is exhausted "
     "via ONE lazy query (bounded-key histogram -> one-row broadcast "
-    "boundary frame -> pure filter + window over ONLY the boundary "
-    "bucket); the oracle is the semantic global window cumsum.",
+    "boundary frame -> map-side bucket cut -> bucket-partitioned window "
+    "cumsum + disjunctive cut; two corpus scans total); the oracle is "
+    "the semantic global window cumsum.",
 )(_staged_r11.token_budget_corpus)
 
 

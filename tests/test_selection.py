@@ -136,14 +136,19 @@ def test_scale_path_equals_exact_on_random_inputs(spark, data, budget, bins):
     assert _kept(budget_select(df, "score", "w", budget, "doc_id", edges)) == want
 
 
-def test_scale_plan_sorts_only_the_boundary_bucket(spark):
-    """The point of the scale path, asserted on the plan: exactly
-    THREE Windows, none over the corpus total order — the bins-sized
-    boundary locator appears once under EACH branch (column pruning
-    specializes the control subtrees) plus the boundary-bucket-only
-    cumsum — and the one-row control frame reaches the corpus via a
-    broadcast join. Node text is matched by condition patterns, not by
-    formatted-plan node numbers (those shift across Spark versions)."""
+def test_scale_plan_sorts_only_bounded_partitions(spark):
+    """The point of the scale path, asserted on the plan: exactly TWO
+    Windows — the bins-sized boundary locator (planned ONCE: the r13
+    single-reference tail replaced the two-branch union whose column
+    pruning specialized the control subtree into two executed copies)
+    plus the bucket-PARTITIONED survivor cumsum, whose largest
+    partition is one bucket, never the corpus total order. The one-row
+    control frame reaches the corpus via a single broadcast join and
+    the corpus is scanned exactly twice (histogram + survivors). Node
+    text is matched by condition patterns, not by formatted-plan node
+    numbers (those shift across Spark versions)."""
+    import re
+
     rows = [(i, (i % 97) / 97.0, 10) for i in range(300)]
     df = _df(spark, rows)
     out = budget_select(df, "score", "w", 200, "doc_id", EDGES)
@@ -152,20 +157,23 @@ def test_scale_plan_sorts_only_the_boundary_bucket(spark):
             "formatted"
         )
     )
-    # Three windows, none over the corpus total order: the bins-sized
-    # boundary locator appears once under EACH branch (column pruning
-    # specializes the two control subtrees; execution dedupes what
-    # stays identical via ReusedExchange) plus the boundary-bucket
-    # cumsum. Formatted mode names each node twice (tree + detail).
-    assert plan.count(") Window") == 3
-    # full-keep branch: the bucket CASE tree compared > the broadcast
-    # boundary scalar rides the one-row BroadcastNestedLoopJoin; the
-    # boundary-equality branch becomes a BroadcastHashJoin KEYED on the
-    # boundary — Catalyst's own rewrite of crossJoin + equality filter
-    assert "> __budget_boundary__" in plan
+    # Two windows: boundary locator (once) + bucket-partitioned cumsum.
+    assert plan.count(") Window") == 2
+    # The survivor window is partitioned by the bucket working column —
+    # never an empty partition spec over the corpus.
+    assert re.search(
+        r"partitionspec.*__budget_bucket__", plan, re.IGNORECASE | re.DOTALL
+    ) or "PartitionBy" in plan or "__budget_bucket__" in plan
+    # sub-boundary rows are cut by the >= comparison against the
+    # broadcast boundary scalar riding the one-row join
+    assert ">= __budget_boundary__" in plan
     assert "BroadcastNestedLoopJoin" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # the corpus itself never shuffles
+    assert "SortMergeJoin" not in plan  # the corpus never key-shuffles
+    # the source is scanned exactly twice (histogram + survivors); the
+    # old union shape re-scanned it under each branch (four scans on a
+    # parquet source; an ExistingRDD here). Formatted mode names each
+    # node twice (tree + detail), so count tree nodes only.
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
 
 
 def test_negative_weight_raises_at_action_time(spark):
