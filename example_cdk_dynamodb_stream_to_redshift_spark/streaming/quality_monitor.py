@@ -122,13 +122,19 @@ class QualityGate:
             batch_df = batch_df.persist()
         try:
             report = validate(batch_df, self.checks)
-            rows = report.collect()  # bounded: one row per check
+            # ONE job: toArrow materializes the bounded report (one row
+            # per check) on the driver; the report dir is then written
+            # driver-side (batch_layout.write_local_batch_dir) instead
+            # of paying a second Spark job + commit protocol for a
+            # kilobyte artifact (r13, the _write_sync_log precedent).
             # batch_id is supplied by the directory on read, never stored
             # as a data column (it would shadow the partition column)
-            self._write_own_dir(
-                self.spark.createDataFrame(rows, report.schema),
-                self.report_dir,
-                batch_id,
+            tbl = report.toArrow()
+            rows = tbl.to_pylist()  # dicts; r["check"] access unchanged
+            from . import batch_layout
+
+            batch_layout.write_local_batch_dir(
+                tbl, os.path.join(self.report_dir, f"batch_id={batch_id}")
             )
             clean, flagged = split_violations(batch_df, self.checks)
             failed = [r["check"] for r in rows if not r["passed"]]
