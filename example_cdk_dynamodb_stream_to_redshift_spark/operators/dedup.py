@@ -390,10 +390,18 @@ def incremental_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     # Shingle-set construction only for touched corpus docs: the semi-join
-    # prunes before the expensive posexplode/collect_set chain.
+    # prunes before the expensive posexplode/collect_set chain. BROADCAST
+    # pinned (r13): localCheckpoint strips the statistics Catalyst would
+    # size the build side with, so the planner fell back to a SortMergeJoin
+    # that shuffled the CORPUS TEXT by doc_id — the exact shuffle this
+    # incremental path exists to avoid. The candidate id set is the small
+    # post-LSH frame by construction, so the hint is always safe.
     touched = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     corpus_sets = distinct_shingle_sets(
-        corpus_df.join(touched, id_col, "left_semi"), text_col, id_col, shingle_n
+        corpus_df.join(F.broadcast(touched), id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
     )
     batch_sets = distinct_shingle_sets(batch_df, text_col, id_col, shingle_n)
     pairs = (
