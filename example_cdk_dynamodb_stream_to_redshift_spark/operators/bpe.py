@@ -165,7 +165,16 @@ def train_bpe_merges(
     pair_count)]. Deterministic tie-break: count desc, then (left, right)
     lexicographic — reproducible across partitionings because the top-1
     reduces exact integer counts."""
-    vocab = word_vocab(docs, text_col).transform(truncate_lineage)
+    # LAZY lineage truncation (r13): each iteration's checkpoint
+    # materializes DURING the next iteration's pair-count action (whose
+    # global aggregation computes every vocab partition, so the cache is
+    # complete) instead of paying its own eager job — halving the loop's
+    # job count — and the final iteration's vocab, which nothing reads,
+    # never materializes at all. Results are unchanged: the checkpoint
+    # caches the same rows either way (tests/test_lineage_modes.py).
+    vocab = word_vocab(docs, text_col).transform(
+        lambda df: truncate_lineage(df, eager=False)
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -178,5 +187,7 @@ def train_bpe_merges(
             break
         left, right, pc = top[0]["left"], top[0]["right"], top[0]["pc"]
         merges.append((rank, left, right, int(pc)))
-        vocab = _apply_merge(vocab, left, right).transform(truncate_lineage)
+        vocab = _apply_merge(vocab, left, right).transform(
+            lambda df: truncate_lineage(df, eager=False)
+        )
     return merges

@@ -30,34 +30,48 @@ from ..functions.text import fingerprint, shingles, tokens
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, s) word-n-gram shingle ROWS (duplicates kept): posexplode the
-    token array once, then n-1 ``lead`` windows stitch each n-gram.
+    """(id, s) word-n-gram shingle ROWS (duplicates kept): explode the
+    start-index sequence, stitch each n-gram with codegen'd
+    ``concat_ws(slice(tokens, i+1, n))`` — ONE split per document, zero
+    shuffle, whole plan inside one codegen stage.
 
-    This is the scale form of shingle construction: ONE split per
-    document and codegen'd string concat per shingle. The one-expression
-    form (functions.text.shingles) re-evaluates its array subtrees inside
-    the interpreted transform lambda — measured 4-5× slower end-to-end at
-    sf0.1 even after hoisting the split, because higher-order lambdas
-    never enter whole-stage codegen. The window shuffle it costs is keyed
-    by doc id (uniform) and every downstream consumer shuffles by id
-    anyway. Docs with < n tokens emit no rows."""
+    History of the three forms, all measured at sf0.1:
+    - the one-expression HOF form (functions.text.shingles) re-evaluates
+      its array subtrees inside the interpreted ``transform`` lambda —
+      4-5× slower end-to-end, because higher-order lambdas never enter
+      whole-stage codegen;
+    - the posexplode + n-1 ``lead``-window form (r6-r12) fixed that but
+      paid an Exchange + Sort of every (id, pos, token) row, keyed by
+      doc id — at 100 TB that is the entire tokenized corpus crossing
+      the network once per shingle pass;
+    - this form (r13) keeps codegen (``slice``/``concat_ws`` are plain
+      Catalyst expressions, not lambdas) and drops the window: explode
+      duplicates only the start index, the token array is sliced in the
+      same stage, and no exchange exists at all. 0.72s vs 0.92-1.20s on
+      the 13-gram distinct-hash pipeline at sf0.1, identical output on
+      every input (incl. empty tokens from repeated separators — slice
+      keeps them and concat_ws preserves them, matching the oracle's
+      ``l[i+1:i+n]`` list slicing; pinned by the multiset-equality and
+      adversarial-spacing cases in tests/test_shingle_rows.py).
+
+    Docs with < n tokens emit no rows (guarded sequence — an unguarded
+    ``sequence(0, size-n)`` would DESCEND for short docs)."""
     if n < 1:
         raise ValueError(f"shingle n must be >= 1 (got {n})")
-    tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
-    )
-    if n == 1:  # 1-grams ARE the tokens: no window needed
-        return tok.select("id", F.col("t").alias("s"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t", k).over(w) for k in range(1, n)]
-    return (
-        tok.select(
-            "id",
-            F.concat_ws(" ", F.col("t"), *leads).alias("s"),
-            leads[-1].alias("_last"),
+    tok_arr = tokens(text_col)
+    if n == 1:  # 1-grams ARE the tokens: no index arithmetic needed
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(tok_arr).alias("s")
         )
-        .filter(F.col("_last").isNotNull())
-        .select("id", "s")
+    idxs = F.when(
+        F.size(tok_arr) >= n, F.sequence(F.lit(0), F.size(tok_arr) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        tok_arr.alias("_toks"),
+        F.explode(idxs).alias("_i"),
+    ).select(
+        "id", F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, n)).alias("s")
     )
 
 

@@ -68,15 +68,22 @@ def heavy_hitter_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % N_SLICES).cast("int").alias("b"),
         F.explode(TX.tokens("text")).alias("token"),
     )
-    summ = reduce(
-        DataFrame.unionByName,
-        [
-            batch_summary(
-                tok.filter(F.col("b") == i).select("token"), "token", K
-            ).withColumn("batch_id", F.lit(i))
-            for i in range(N_SLICES)
-        ],
-    )
+    # The four slice summaries are independent and each runs an EAGER
+    # localCheckpoint job; submit them from a thread pool so the jobs
+    # overlap instead of serializing their scheduling gaps (guide-§2.6
+    # back-fill — the same recipe as CdcPipeline's concurrent entity
+    # merges). Results are collected in slice order, so the summary
+    # union is deterministic and byte-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_slice(i: int) -> DataFrame:
+        return batch_summary(
+            tok.filter(F.col("b") == i).select("token"), "token", K
+        ).withColumn("batch_id", F.lit(i))
+
+    with ThreadPoolExecutor(max_workers=N_SLICES) as pool:
+        parts = list(pool.map(one_slice, range(N_SLICES)))
+    summ = reduce(DataFrame.unionByName, parts)
     return exact_recount(tok, summ, "token", MIN_COUNT)
 
 
