@@ -376,10 +376,24 @@ class PartitionedParquetTable:
             staging = self._staging_dir()
             shutil.rmtree(staging, ignore_errors=True)
             _t = _time.perf_counter()
+            # Repartition BY BUCKET before the partitioned write (r13):
+            # without it every upstream task (shuffle-width many) holds a
+            # mix of buckets, so the dynamic-partition writer sorts each
+            # task and opens a file per (task x bucket) — up to
+            # width x |touched| tiny files per merge, whose open/commit
+            # overhead dominated the refresh heartbeat (staging_write
+            # 2.0s -> 0.47s measured on the 2k-event bench; ~16 files
+            # instead of ~128 also cuts later scan and compaction cost).
+            # At scale the trade is explicit: write parallelism becomes
+            # one task per touched bucket, and n_buckets is picked so a
+            # bucket is a few GB (module docstring) — set
+            # spark.sql.files.maxRecordsPerFile if single-bucket files
+            # must stay smaller.
             (
                 merged.withColumn(
                     BUCKET_COL, key_bucket(self.key_col, self.n_buckets)
                 )
+                .repartition(self.n_buckets, F.col(BUCKET_COL))
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(staging)

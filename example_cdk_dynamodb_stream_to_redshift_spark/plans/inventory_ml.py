@@ -350,8 +350,8 @@ _SUBSTR_N = 20  # token-window length flagged as a duplicated run
     """,
     f"Exact substring-run duplication stats (Lee et al. 2022 EXACTSUBSTR, "
     f"distributed form): every {_SUBSTR_N}-token window hashes into an "
-    "inverted index (shingle_rows: one posexplode + lead windows, "
-    "codegen'd); windows whose hash appears in >= 2 DISTINCT docs are "
+    "inverted index (shingle_rows: explode + slice/concat_ws, pure "
+    "codegen, zero shuffle); windows whose hash appears in >= 2 DISTINCT docs are "
     "cross-doc duplicated runs, tagged IN-STREAM (min(id) != max(id) over "
     "the hash window — O(1) state per group) and counted per doc in one "
     "conditional aggregation: a single pass over the shingles. "
