@@ -125,5 +125,16 @@ def might_contain_filter(
             ok &= (bb[p >> 3] >> (p & 7).astype(np.uint8) & 1).astype(bool)
         return pd.Series(ok)
 
+    # Non-deterministic marking (guide §4.4 applied to constraint
+    # propagation): the probe is pure, but leaving it deterministic lets
+    # Catalyst INFER the probe predicate across an equi-join on the key
+    # (InferFiltersFromConstraints) — the r13 executed plan showed a second
+    # ArrowEvalPython probing the very side the bitset was BUILT from,
+    # where every row passes by construction: a full extra Arrow
+    # round-trip of that side's key stream for zero selectivity. Marking
+    # the UDF non-deterministic stops the optimizer duplicating it;
+    # the filter stays exactly where this function puts it, which is the
+    # only evaluation the plan needs (false positives are re-checked by
+    # the caller's exact join either way).
     lanes = _positions(key_col, num_bits, k)
-    return df.filter(_probe(*lanes))
+    return df.filter(_probe.asNondeterministic()(*lanes))

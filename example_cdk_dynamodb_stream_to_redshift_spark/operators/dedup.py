@@ -332,7 +332,15 @@ def minhash_lsh_near_dup_pairs(
     touched = df.join(
         F.broadcast(cand_ids.select(F.col("id").alias(id_col))), id_col, "left_semi"
     )
-    sets = distinct_shingle_sets(touched, text_col, id_col, shingle_n)
+    # Lazy localCheckpoint: the verify join consumes `sets` TWICE (id_a
+    # and id_b sides), and Spark performs no cross-subtree CSE — the r13
+    # executed plan re-ran the candidate-doc scan + shingle collect_set
+    # once per side. Materializing the candidates-only shingle sets (the
+    # vanishing subset) makes the verify pass shingle each touched doc
+    # exactly once; computed inside the caller's first action.
+    sets = distinct_shingle_sets(
+        touched, text_col, id_col, shingle_n
+    ).localCheckpoint(eager=False)
     pairs = (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -459,8 +467,10 @@ def span_dedup(
     is exact for ANY orderable id type: strings, negatives, uuids; no
     arithmetic encoding, no aggregate joined back) -> per-doc ordered
     reassembly
-    (collect_list of (idx, span) structs, array_sort, array_join). Three
-    shuffles, all on uniform keys (md5 span hash twice, doc id once).
+    (collect_list of (idx, span) structs, array_sort, array_join). Two
+    shuffles, both on uniform keys (md5 span hash for the window, doc id
+    for the reassembly); per-doc totals ride the exploded rows as a
+    grouping key, so there is no totals branch and no join.
     The reassembly array holds one document's SURVIVING spans — a task
     must see a whole doc to rebuild it, same bound as any per-doc
     aggregation; no corpus-wide array ever materializes.
@@ -477,39 +487,53 @@ def span_dedup(
     base = df.select(F.col(id_col).alias("id"), toks.alias("_l")).select(
         "id", spans_expr.alias("_spans")
     )
-    totals = base.select("id", F.size("_spans").alias("n_spans"))
+    # ONE corpus pass (r13): n_spans used to come from a separate
+    # `totals` branch LEFT-joined back at the end — a second scan + span
+    # construction of every document. Since split() yields >= 1 token
+    # for any non-NULL text, every doc has >= 1 span, so the per-doc
+    # count can RIDE the exploded rows as a grouping key instead;
+    # posexplode_outer keeps NULL-text docs (NULL span array) as one
+    # NULL-span placeholder row, preserving the old join's n_spans=NULL
+    # row for them. The survivor guard and the null-skipping collect_list
+    # reproduce the old coalesce-to-''/0 semantics for docs whose every
+    # span occurred earlier. (Like the old two-branch form, ids are
+    # assumed unique per row — the corpus contract.)
     sp = base.select(
-        "id", F.posexplode("_spans").alias("span_idx", "span")
+        "id",
+        F.size("_spans").cast("bigint").alias("n_spans"),
+        F.posexplode_outer("_spans").alias("span_idx", "span"),
     ).withColumn("h", F.md5(F.col("span").cast("binary")))
     # globally-first occurrence per span hash, tagged IN-STREAM:
     # min(struct(id, span_idx)) over the hash window marks survivors in
     # the same pass that built them — no min-aggregate joined back, so
     # the span explode runs once (a hash shared by f spans streams
     # through one window group with O(1) min state). Struct min orders
-    # lexicographically, so ids of any orderable type (string, negative
-    # int, uuid) are handled exactly — no arithmetic encoding that a
+    # lexicographically, so ids of any orderable type (strings, negatives,
+    # uuids) are handled exactly — no arithmetic encoding that a
     # string id would silently NULL out.
     pos = F.struct("id", "span_idx")
-    kept = sp.withColumn(
-        "first_pos", F.min(pos).over(Window.partitionBy("h"))
-    ).filter(pos == F.col("first_pos"))
-    reassembled = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_spans_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                lambda x: x["span"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    zero = F.lit(0).cast("bigint")
+    survivor = (pos == F.col("first_pos")) & F.col("span_idx").isNotNull()
     return (
-        totals.join(reassembled, "id", "left")
+        sp.withColumn("first_pos", F.min(pos).over(Window.partitionBy("h")))
+        .groupBy("id", "n_spans")
+        .agg(
+            F.count(F.when(survivor, 1)).cast("bigint").alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(survivor, F.struct("span_idx", "span"))
+                        )
+                    ),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
         .select(
             F.col("id").alias(id_col),
-            F.col("n_spans").cast("bigint").alias("n_spans"),
-            F.coalesce("n_spans_kept", zero).alias("n_spans_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_spans",
+            "n_spans_kept",
+            "clean_text",
         )
     )

@@ -275,8 +275,20 @@ def winnowing_pairs_from_index(idx: DataFrame, max_df: int = _WINNOW_MAX_DF,
     )
     a = kept.select(F.col("doc_id").alias("id_a"), "fp")
     b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    # SHUFFLE_HASH pin (r13): left unhinted, the planner broadcasts one
+    # side of the self-join (the index estimates under the broadcast
+    # threshold at bench SF), which severs the exchange-reuse this
+    # function's design depends on — the executed plan rebuilt the whole
+    # scan -> shingle -> window subtree once per side. Pinning a shuffle
+    # join keys both sides on the SAME hashpartitioning(fp) exchange the
+    # cap window already established, so the shingle pipeline runs once
+    # and the second side is a ReusedExchange (asserted in the committed
+    # after-plan). At 100 TB broadcasting a corpus fingerprint index was
+    # never viable anyway — the shuffle join IS the scale plan; hash
+    # (not merge) because the equi-key probe needs no sort and AQE skew
+    # handling still applies.
     return (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
@@ -1878,7 +1890,16 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash = phash + F.when(
             F.element_at("features", i + 1) >= 0.5, F.lit(1 << i)
         ).otherwise(F.lit(0))
-    sig = feats.select("media_id", phash.cast("bigint").alias("phash"))
+    # Lazy localCheckpoint (the simhash_near_dup_pairs idiom): the block
+    # self-join consumes `sig` on BOTH sides, and with no materialization
+    # the r13 executed plan ran the decode MapInPandas twice — once per
+    # side — doubling the only expensive stage (guide §8: decide on small
+    # rows, decode heavy bytes ONCE). The checkpointed rows are 16
+    # bytes/doc; computed inside the caller's first action, then read by
+    # both join sides.
+    sig = feats.select(
+        "media_id", phash.cast("bigint").alias("phash")
+    ).localCheckpoint(eager=False)
     blocks = sig.select(
         "media_id",
         "phash",
@@ -2056,42 +2077,64 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY w.doc_id
     """,
     "Gopher-style repetition filter: duplicate-word fraction (per-row "
-    "codegen'd array ops) + top-bigram share (shingle_rows -> two grouped "
-    "aggregates, all shuffles keyed by uniform doc_id — scales to docs too "
-    "long for per-row arrays). keep = top bigram <= 20% of bigrams AND "
+    "codegen'd array ops) + top-bigram share in ONE corpus pass — the "
+    "word stats ride the exploded bigram rows as grouping keys through "
+    "two grouped aggregates, all shuffles keyed by uniform doc_id (no "
+    "word-stats branch, no join; scales to docs too long for per-row "
+    "arrays). keep = top bigram <= 20% of bigrams AND "
     "distinct words > 50% — integer comparisons, no float drift.",
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens("text")
-    word_stats = docs.select(
+    # ONE corpus pass (r13): the word stats used to live on their own
+    # scan + split branch, LEFT-joined back to the bigram aggregate. The
+    # per-doc word stats are constants of the doc, so they RIDE the
+    # exploded bigram rows as extra grouping keys instead (16 bytes over
+    # uniform doc-keyed shuffles), and the join disappears. explode_outer
+    # keeps docs with < 2 tokens (no bigrams) as one s=NULL row, so the
+    # coalesce(0) semantics of the old left join are preserved exactly:
+    # the conditional count gives those groups c=0 -> max/sum read 0.
+    # Shingle stitching matches DD.shingle_rows (slice + concat_ws, pure
+    # codegen); the when() guard keeps the NULL placeholder row NULL
+    # (concat_ws would fold it to '').
+    idxs = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
-    )
-    bg_counts = (
-        DD.shingle_rows(docs, "text", "doc_id", 2)
-        .groupBy("id", "s")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bg_stats = bg_counts.groupBy("id").agg(
-        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
-    )
-    zero = F.lit(0).cast("bigint")
-    joined = word_stats.join(
-        bg_stats, word_stats.doc_id == bg_stats.id, "left"
+        toks.alias("_toks"),
+        F.explode_outer(idxs).alias("_i"),
     ).select(
         "doc_id",
         "n_words",
         "n_distinct_words",
-        F.coalesce("n_bigrams", zero).alias("n_bigrams"),
-        F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+        F.when(
+            F.col("_i").isNotNull(),
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, 2)),
+        ).alias("s"),
+    )
+    bg_counts = exploded.groupBy(
+        "doc_id", "n_words", "n_distinct_words", "s"
+    ).agg(F.count(F.when(F.col("s").isNotNull(), 1)).alias("c"))
+    stats = bg_counts.groupBy("doc_id", "n_words", "n_distinct_words").agg(
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
     )
     keep = (
         (F.lit(5) * F.col("top_bigram_count") <= F.col("n_bigrams"))
         & (F.lit(2) * F.col("n_distinct_words") > F.col("n_words"))
     ).cast("int")
-    return joined.withColumn("keep", keep).orderBy("doc_id")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_bigrams",
+        "top_bigram_count",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2246,13 +2289,24 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification harness.",
 )
 def frequent_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # ONE tokenize pass (r13): the grand total is the SUM of the grouped
+    # counts, so it re-aggregates the vocabulary-bounded count table
+    # instead of exploding the corpus a second time (the dsir/bigram
+    # count-table idiom). Checkpointed because its two consumers (the
+    # total and the HAVING-filtered output) are separate subtrees —
+    # without it each re-ran the scan + explode + aggregation. LAZY: it
+    # materializes inside the query's own first action, not at build.
+    counts = truncate_lineage(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tokens")),
+        eager=False,
+    )
+    total = counts.agg(F.sum("n_tokens").cast("bigint").alias("n_total"))
     return (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("n_tokens") * 200 >= F.col("n_total"))
         .select("token", "n_tokens")
         .orderBy(F.desc("n_tokens"), F.asc("token"))

@@ -120,17 +120,37 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joined with corpus document frequency, score = tf/df (the monotone "
     "idf-free core — a single exact-integer IEEE division, so the ranking "
     "is bit-stable cross-engine where ln(N/df) would not be), top term "
-    "per doc. Plan: explode -> two partial-agg shuffles (doc-term and "
-    "term) -> broadcastable df-side join -> per-doc window. The df table "
-    "is vocabulary-sized, naturally broadcast at any corpus scale.",
+    "per doc. Plan: ONE explode feeds the checkpointed (doc, term, tf) "
+    "postings; df is a row count of that table per term (tf rows are "
+    "unique per (doc, term)), so its shuffle carries vocabulary-sized "
+    "partials, never the token stream -> broadcast df join -> per-doc "
+    "window. The df table is vocabulary-sized, naturally broadcast at "
+    "any corpus scale.",
 )
 def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lineage import truncate_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # ONE tokenize pass (r13): tf rows are unique per (doc, term), so the
+    # corpus document frequency is a plain row count of tf per term — the
+    # separate count_distinct branch re-tokenized the whole corpus and
+    # shuffled (term, doc) partial-distinct rows a second time. tf is
+    # checkpointed (the bm25/tfidf postings idiom) because its two
+    # consumers are separate subtrees and Spark does no cross-subtree
+    # CSE; the df aggregation then collapses map-side to vocabulary-sized
+    # partials instead of a token-stream shuffle. LAZY (eager=False): it
+    # materializes inside the query's own first action, not as a
+    # build-time job.
+    tf = truncate_lineage(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
     scored = tf.join(F.broadcast(df), "term").withColumn(
         "score", F.col("tf").cast("double") / F.col("df").cast("double")
     )

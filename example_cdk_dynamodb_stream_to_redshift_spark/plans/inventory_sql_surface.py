@@ -973,12 +973,13 @@ def disjunctive_part_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     "TPC-H Q18 shape: customers whose orders exceed 250 total units. The "
-    "IN-subquery is an AGGREGATE-derived key set — one uniform-key "
-    "partial-agg over lineitem with the HAVING cut applied before "
-    "anything joins, then a LEFT-SEMI hash join prunes orders to the "
-    "~200 qualifying keys ahead of the customer join and the final "
-    "re-aggregation; top-100 via TakeOrderedAndProject. total_qty sums "
-    "integral doubles (< 2^53), so the cross-engine sum is exact.",
+    "IN-subquery's per-order SUM is also the outer total_qty (o_orderkey "
+    "is unique per group), so lineitem is scanned and aggregated exactly "
+    "ONCE: uniform-key partial-agg, HAVING cut to the ~hundreds of "
+    "qualifying orders, and that tiny aggregate broadcast-joins orders — "
+    "no second lineitem pass, no post-join re-aggregation; top-100 via "
+    "TakeOrderedAndProject. total_qty sums integral doubles (< 2^53), so "
+    "the sum is exact under any grouping order, cross-engine.",
 )
 def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -986,18 +987,27 @@ def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # ONE lineitem pass (r13): the HAVING subquery's per-order SUM *is*
+    # the outer query's total_qty (o_orderkey is unique per group, so
+    # re-summing the joined lineitem rows reproduces the same number) —
+    # the old semi-join form scanned and shuffled lineitem twice and
+    # re-aggregated after the join. Keep the aggregate, filter it to the
+    # ~hundreds of qualifying orders, and broadcast THAT to the orders
+    # join: lineitem is scanned once, and nothing re-aggregates.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .filter(F.col("_q") > 250)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
-        orders.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"]
+        )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
     )

@@ -429,11 +429,17 @@ def test_knn_join_shuffles_only_candidate_partials(spark):
     ), tree
 
 
-def test_q18_semi_join_before_reaggregation(spark):
+def test_q18_single_lineitem_aggregate(spark):
+    # r13 shape: the HAVING subquery's per-order SUM *is* total_qty, so
+    # lineitem is scanned and aggregated exactly ONCE; the ~hundreds of
+    # qualifying orders broadcast to the orders join (no semi join + second
+    # lineitem pass + post-join re-aggregation, which the pre-r13 form had)
     plan = _plan(spark, "large_volume_customers_q18")
-    assert "LeftSemi" in plan  # the IN-subquery decorrelates to a semi join
+    assert plan.count("Scan parquet") <= 6  # lineitem + orders + customer
+    assert "BroadcastHashJoin" in plan  # qualifying-order aggregate broadcasts
+    assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
-    assert "partial_sum" in plan  # both aggregates keep map-side partials
+    assert "partial_sum" in plan  # the one aggregate keeps map-side partials
 
 
 def test_q10_pushdown_and_topk(spark):
