@@ -332,18 +332,29 @@ def minhash_lsh_near_dup_pairs(
     touched = df.join(
         F.broadcast(cand_ids.select(F.col("id").alias(id_col))), id_col, "left_semi"
     )
-    # Lazy localCheckpoint: the verify join consumes `sets` TWICE (id_a
-    # and id_b sides), and Spark performs no cross-subtree CSE — the r13
-    # executed plan re-ran the candidate-doc scan + shingle collect_set
-    # once per side. Materializing the candidates-only shingle sets (the
-    # vanishing subset) makes the verify pass shingle each touched doc
-    # exactly once; computed inside the caller's first action.
-    sets = distinct_shingle_sets(
-        touched, text_col, id_col, shingle_n
-    ).localCheckpoint(eager=False)
+    # SHUFFLE_HASH pin (the winnowing_overlap_pairs idiom): the verify
+    # join consumes `sets` TWICE (id_a and id_b sides). Left unhinted the
+    # planner broadcasts the sets side per join, and the two
+    # BroadcastExchanges hash different keys — no reuse, so the executed
+    # plan re-ran the candidate-doc scan + shingle collect_set once per
+    # side. Hinting shuffle_hash keys both sides on the SAME
+    # hashpartitioning(id) exchange; the second side is a ReusedExchange
+    # at runtime, so each touched doc is shingled exactly once, inside
+    # the query's own action (fully lazy — a localCheckpoint here would
+    # run the shingle stages at build time under AQE, outside the
+    # caller's timed action). At corpus scale broadcasting per-doc
+    # shingle SETS was never viable anyway — the shuffle join IS the
+    # scale plan.
+    sets = distinct_shingle_sets(touched, text_col, id_col, shingle_n)
+    sets_a = sets.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    sets_b = sets.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     pairs = (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
         .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jaccard = F.col("shared").cast("double") / (

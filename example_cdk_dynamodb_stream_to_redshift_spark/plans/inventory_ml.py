@@ -1890,16 +1890,18 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash = phash + F.when(
             F.element_at("features", i + 1) >= 0.5, F.lit(1 << i)
         ).otherwise(F.lit(0))
-    # Lazy localCheckpoint (the simhash_near_dup_pairs idiom): the block
-    # self-join consumes `sig` on BOTH sides, and with no materialization
-    # the r13 executed plan ran the decode MapInPandas twice — once per
-    # side — doubling the only expensive stage (guide §8: decide on small
-    # rows, decode heavy bytes ONCE). The checkpointed rows are 16
-    # bytes/doc; computed inside the caller's first action, then read by
-    # both join sides.
-    sig = feats.select(
-        "media_id", phash.cast("bigint").alias("phash")
-    ).localCheckpoint(eager=False)
+    # SHUFFLE_HASH pin (the winnowing_overlap_pairs idiom): the block
+    # self-join consumes `sig` on BOTH sides, and left unhinted the
+    # planner broadcast one side — the two exchanges don't canonicalize
+    # equal, so the executed plan ran the decode MapInPandas twice, once
+    # per side, doubling the only expensive stage (guide §8: decide on
+    # small rows, decode heavy bytes ONCE). Hinting shuffle_hash keys
+    # both sides on the SAME hashpartitioning(bi, bv) exchange; the
+    # second side is a ReusedExchange at runtime, so the decode runs
+    # exactly once — fully lazy, inside the query's own action (a
+    # localCheckpoint would run the decode at build time under AQE,
+    # outside the timed action). Measured 1.7s -> 1.2s at sf0.1.
+    sig = feats.select("media_id", phash.cast("bigint").alias("phash"))
     blocks = sig.select(
         "media_id",
         "phash",
@@ -1918,10 +1920,10 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
     a = blocks.select(
         F.col("media_id").alias("id_a"), F.col("phash").alias("pa"), "bi", "bv"
-    )
+    ).hint("shuffle_hash")
     b = blocks.select(
         F.col("media_id").alias("id_b"), F.col("phash").alias("pb"), "bi", "bv"
-    )
+    ).hint("shuffle_hash")
     cands = (
         a.join(b, ["bi", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -2283,30 +2285,32 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "float threshold to ulp-diverge at the boundary): the oracle-provable "
     "twin of frequent_tokens_sketch, proving the same explode -> "
     "partial-agg plumbing. One uniform token-key shuffle carrying (token, "
-    "partial count); the 1-row total broadcast. At 100 TB the sketch form "
+    "partial count); the total an unpartitioned window over the "
+    "vocabulary-bounded count table. At 100 TB the sketch form "
     "(freqItems, O(1/support) map-side state, no token shuffle) is the "
     "swap-in; this exact form is the audit path and the sketch's "
     "verification harness.",
 )
 def frequent_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.lineage import truncate_lineage
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
     # ONE tokenize pass (r13): the grand total is the SUM of the grouped
-    # counts, so it re-aggregates the vocabulary-bounded count table
-    # instead of exploding the corpus a second time (the dsir/bigram
-    # count-table idiom). Checkpointed because its two consumers (the
-    # total and the HAVING-filtered output) are separate subtrees —
-    # without it each re-ran the scan + explode + aggregation. LAZY: it
-    # materializes inside the query's own first action, not at build.
-    counts = truncate_lineage(
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tokens")),
-        eager=False,
-    )
-    total = counts.agg(F.sum("n_tokens").cast("bigint").alias("n_total"))
+    # counts — computed as an unpartitioned window over the
+    # vocabulary-bounded count table, so the corpus is never exploded a
+    # second time AND the plan stays one lazy subtree (a second
+    # reference to `counts` — broadcast-total crossJoin or a
+    # localCheckpoint — either re-runs the explode per consumer or runs
+    # it at build time under AQE; the window keeps everything inside the
+    # query's own action). The single-partition window holds only
+    # (token, count) vocabulary rows, the same bounded frame the old
+    # 1-row broadcast carried. Measured 5.6s -> 0.66s at sf0.1 vs the
+    # two-reference form.
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn(
+            "n_total",
+            F.sum("n_tokens").over(Window.partitionBy()).cast("bigint"),
+        )
         .filter(F.col("n_tokens") * 200 >= F.col("n_total"))
         .select("token", "n_tokens")
         .orderBy(F.desc("n_tokens"), F.asc("token"))

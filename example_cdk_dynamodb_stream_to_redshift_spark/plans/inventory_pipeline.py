@@ -120,38 +120,32 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joined with corpus document frequency, score = tf/df (the monotone "
     "idf-free core — a single exact-integer IEEE division, so the ranking "
     "is bit-stable cross-engine where ln(N/df) would not be), top term "
-    "per doc. Plan: ONE explode feeds the checkpointed (doc, term, tf) "
-    "postings; df is a row count of that table per term (tf rows are "
-    "unique per (doc, term)), so its shuffle carries vocabulary-sized "
-    "partials, never the token stream -> broadcast df join -> per-doc "
-    "window. The df table is vocabulary-sized, naturally broadcast at "
-    "any corpus scale.",
+    "per doc. Plan: ONE explode feeds the (doc, term, tf) postings; df "
+    "is a row count of that table per term (tf rows are unique per "
+    "(doc, term)) computed as a count window over partitionBy(term), so "
+    "the whole query is one lazy subtree — postings-keyed shuffles only, "
+    "never a second pass over the token stream.",
 )
 def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.lineage import truncate_lineage
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     # ONE tokenize pass (r13): tf rows are unique per (doc, term), so the
-    # corpus document frequency is a plain row count of tf per term — the
-    # separate count_distinct branch re-tokenized the whole corpus and
-    # shuffled (term, doc) partial-distinct rows a second time. tf is
-    # checkpointed (the bm25/tfidf postings idiom) because its two
-    # consumers are separate subtrees and Spark does no cross-subtree
-    # CSE; the df aggregation then collapses map-side to vocabulary-sized
-    # partials instead of a token-stream shuffle. LAZY (eager=False): it
-    # materializes inside the query's own first action, not as a
-    # build-time job.
-    tf = truncate_lineage(
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
-        eager=False,
-    )
-    df = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    scored = tf.join(F.broadcast(df), "term").withColumn(
+    # corpus document frequency is a plain row count of tf rows per term
+    # — the old separate count_distinct branch re-tokenized the whole
+    # corpus and shuffled (term, doc) partial-distinct rows a second
+    # time. df rides the tf rows as a count window over partitionBy(term)
+    # — ONE lazy subtree, so the explode+aggregate runs exactly once
+    # inside the query's own action (a second reference to tf — df-agg +
+    # broadcast join back, or a localCheckpoint — either re-runs the
+    # explode per consumer or runs it at build time under AQE). The
+    # window shuffle carries the postings rows on the term key, the same
+    # magnitude the per-doc ranking shuffle below already pays.
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    ).withColumn(
         "score", F.col("tf").cast("double") / F.col("df").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))

@@ -95,18 +95,19 @@ def test_no_null_text_precondition(con):
 
 
 def test_staged_plan_shape(spark):
-    """What the promotion will fence: four parquet scans (the
-    bins-sized histogram control subtree appears under each of the two
-    branches — execution dedupes identical exchanges — plus the two
-    branch scans), three Windows none of which totals the corpus (two
-    bins-sized boundary locators + the boundary-bucket-only cumsum),
-    the one-row control frame broadcast onto the corpus, and no Python
-    eval anywhere — one fully lazy query, no build-time Spark job."""
+    """What the promotion will fence (r13 single-reference-tail form,
+    budget_select): two parquet scans (one histogram control subtree +
+    one output branch — the second tail reference and its duplicated
+    control subtree are gone), two Windows neither of which totals the
+    corpus (ONE bins-sized boundary locator + the boundary-bucket-only
+    cumsum), the one-row control frame broadcast onto the corpus, and
+    no Python eval anywhere — one fully lazy query, no build-time
+    Spark job."""
     fn, _ = STAGED_R11["token_budget_corpus"]
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 4
-    assert plan.count("Window") == 3
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Window") == 2
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row control join
     for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert marker not in plan, plan
