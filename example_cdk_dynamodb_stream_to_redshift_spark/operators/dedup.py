@@ -318,12 +318,20 @@ def minhash_lsh_near_dup_pairs(
     as incremental_near_dup_pairs), so the corpus is shingled once for
     signatures and the verify pass touches the (vanishing) candidate
     subset instead of re-shingling everything for each join side —
-    measured 5.3s -> ~2s on the sf0.1 pair generation. Candidates are
-    materialized once (localCheckpoint): three consumers (id extraction
-    + the verify join) would otherwise re-run the whole LSH subtree."""
+    measured 5.3s -> ~2s on the sf0.1 pair generation. Candidates have
+    three consumers (the two id-extraction branches + the verify join);
+    they share ONE computation fully lazily (r14): each consumer
+    references the same DataFrame, whose plan ends in the distinct's
+    hashpartitioning(id_a, id_b) exchange — the three exchanges
+    canonicalize equal, so at runtime AQE executes one and the other two
+    are ReusedExchange. (The r10-r13 form ran localCheckpoint(eager=True)
+    here, which executed the whole LSH subtree at spark_fn-construction
+    time — build-time work the caller's action never saw; converting it
+    to the reuse idiom keeps candidate generation inside the timed
+    action, per the r13 honest-lazy finding.)"""
     cands = minhash_lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n, band_index
-    ).localCheckpoint(eager=True)
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))

@@ -83,7 +83,18 @@ simhash64 = _make_simhash64()
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    # Non-deterministic marking (guide §4.4, the bloom-probe idiom): the
+    # kernel is pure, but left deterministic the pigeonhole join's
+    # inferred isnotnull(blk) constraint pushes BELOW the signature
+    # projection and the optimizer duplicates the ArrowEvalPython — each
+    # join side then evaluates the kernel twice (filter copy + projection
+    # copy), observed in the r14 executed plan. Marking it
+    # non-deterministic keeps exactly one evaluation per side, which the
+    # join's ReusedExchange then collapses to one per query.
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash64.asNondeterministic()(F.col(text_col)).alias("sig"),
+    )
 
 
 def simhash_near_dup_pairs(
@@ -99,12 +110,19 @@ def simhash_near_dup_pairs(
     strict ``id_a < id_b`` guard (no self-pairs even for duplicate ids);
     union + distinct, then exact Hamming verify with bit_count(XOR).
 
-    The signature pipeline runs ONCE: signatures are materialized via a
-    lazy localCheckpoint before the join (computed inside the caller's
-    first action, then read back by every consumer), so the Pandas UDF
-    never re-evaluates per join side. The checkpointed rows are 16
-    bytes/doc and are released by Spark's ContextCleaner when the
-    DataFrame is dereferenced — unlike an executor-lifetime cache.
+    The signature pipeline runs ONCE, fully lazily (r14): the block
+    self-join is pinned SHUFFLE_HASH so both sides key on the SAME
+    hashpartitioning(bi, blk) exchange over an identical
+    scan->ArrowEvalPython->explode subtree — at runtime AQE executes one
+    side and the other is a ReusedExchange, so the Pandas UDF evaluates
+    each doc exactly once INSIDE the caller's own action. (The r6-r13
+    form materialized signatures via localCheckpoint before the join;
+    under AQE even the lazy variant runs its upstream stages at plan
+    time — i.e. during spark_fn construction, OUTSIDE the timed action —
+    the same finding that drove r13's honest-lazy rewrites. At corpus
+    scale broadcasting a signature index was never viable; the shuffle
+    join IS the 100 TB plan, hash not merge because the equi-probe
+    needs no sort.)
     Enumerating pairs inside collected buckets instead would build
     |bucket|^2 structs in ONE row (duplicate-heavy corpora have a giant
     all-identical bucket — e.g. every empty doc shares one signature —
@@ -112,7 +130,7 @@ def simhash_near_dup_pairs(
     pairs across the shuffle. The d+1 block keys are built in one
     projection and posexploded, so all blocks ride ONE equi-join on
     (block_idx, key) instead of d+1 separate joins."""
-    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
+    sigs = simhash_signatures(df, text_col, id_col)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
 
@@ -134,10 +152,10 @@ def simhash_near_dup_pairs(
     )
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bi", "blk"
-    )
+    ).hint("shuffle_hash")
     b = exploded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bi", "blk"
-    )
+    ).hint("shuffle_hash")
     cands = (
         a.join(b, ["bi", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -492,72 +492,79 @@ DRIVER_WINDOW_SIZE = 50
 # to earn their green row in CORRECTNESS_r{CURRENT_ROUND}. Bump on every
 # rotation; tests/test_driver_window.py uses it to enforce the staleness
 # bound (no oracle-bearing entry's last green row more than 3 rounds old).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round 13 window: the 50-entry r10 cohort (every oracle-bearing
-    # entry whose latest green hash row is CORRECTNESS_r10 — re-derived
-    # from the artifacts via scripts/predrive.py --cohort 10 and
-    # pre-driven foreign-CWD at sf0.01 one round AHEAD on the closing
-    # r12 code: 50/50 oracle-equal) MINUS token_length_histogram
-    # (deferred to the r14 window — its r10 green row satisfies the
-    # 3-round staleness bound through round 13; one r10 name must yield
-    # a slot because the window also carries the new registration) PLUS
-    # uniform_sample_by_source, the FUNDED r13 promotion
-    # (plans/staged_r13.py via inventory_pipeline.py — oracle population
-    # back to 150). r14 plan per COVERAGE.md: window = deferred
-    # token_length_histogram + 49 of the r11 cohort, funded by the
-    # earmarked stratified_sample_by_source retirement.
-    "bpe_pair_candidates",
-    "cluster_balanced_sample",
-    "contrastive_negatives",
-    "corpus_pipeline_summary",
-    "customer_order_trailing_30d",
-    "doc_bigram_logprob",
-    "doc_link_pagerank_exact",
-    "doc_lm_quality_buckets",
-    "doc_quality_scored_frozen",
-    "doc_unigram_logprob",
-    "domain_mixture_weights",
-    "dsir_select_docs",
-    "embedding_contamination_audit",
-    "embedding_dup_clusters",
-    "embedding_norm_quantize",
-    "event_type_grouping_sets",
-    "event_type_salted_join",
-    "events_hourly_anomalies",
-    "events_hourly_gapfill",
-    "events_value_drift_profile",
-    "funnel_conversion",
-    "gopher_filter_docs",
-    "ivfpq_ann_exact_topk",
-    "knn_join_topk",
-    "late_ship_priority",
-    "lone_late_supplier",
-    "media_frame_sample",
+    # ---- round 14 window (optimization round — no new registrations,
+    # rotation only, per the documented policy above):
+    # (a) the 4 oracle-bearing queries whose implementation changed in
+    #     the r14 optimization work — media_phash_near_dups additionally
+    #     changed RESULTS (the verdict-ordered 64-bit pHash fixture
+    #     widening; plan and oracle changed in lockstep, foreign-CWD
+    #     pre-driven EQUAL), so its r13 hash row no longer describes the
+    #     current behavior and it MUST re-earn its green row;
+    #     simhash_exact_near_dups / minhash_lsh_near_dups (build-time
+    #     localCheckpoints -> fully-lazy ReusedExchange forms) and
+    #     ngram_decontamination_bloom (session-cached bitset broadcast)
+    #     are result-identical but re-proven by the driver anyway;
+    # (b) token_length_histogram, deferred from r13 exactly as that
+    #     window's comment promised (its r10 green row ages out now);
+    # (c) 45 of the 50-entry r11 cohort (scripts/predrive.py --cohort 11).
+    #     The 5 deferred r11 names (date_trunc_filter, prefix_like_filter,
+    #     high_watermark_filter, customers_with_orders,
+    #     users_view_not_signup — trivially-stable scalar filters/set
+    #     ops) keep r11 green rows, exactly at the 3-round staleness
+    #     floor for round 14.
     "media_phash_near_dups",
-    "media_resize_batch",
-    "minhash_incremental_dedup",
-    "mixture_sampled_corpus",
-    "nation_revenue_q5",
-    "near_dedup_corpus_keep_first",
-    "orders_zorder_keys",
-    "part_revenue_share",
-    "pq_ann_exact_topk",
-    "purchase_attribution_asof",
-    "quantized_ann_topk",
-    "retention_cohorts",
-    "sequence_packing",
     "simhash_exact_near_dups",
-    "small_quantity_part_revenue",
-    "substring_dup_stats",
-    "sync_run_log",
-    "tfidf_similar_docs",
-    "training_shard_manifest",
-    "typed_pii_scrub_docs",
-    "udtf_word_ngrams_topk",
-    "uniform_sample_by_source",
-    "winnowing_overlap_pairs",
+    "minhash_lsh_near_dups",
+    "ngram_decontamination_bloom",
+    "token_length_histogram",
+    "ann_bruteforce_topk",
+    "cdc_merge_latest_state",
+    "corpus_clean_keep",
+    "dedup_corpus_keep_first",
+    "disjunctive_part_revenue_q19",
+    "distinct_users_per_type",
+    "doc_binary_features",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
+    "embedding_near_dup_pairs",
+    "event_stream_union_all",
+    "event_type_stats",
+    "events_hourly_tumbling",
+    "events_sliding_window",
+    "frequent_tokens_exact",
+    "incremental_mv_user_value",
+    "ivf_knn_join_fullprobe",
+    "large_volume_customers_q18",
+    "latest_event_argmax",
+    "latest_event_per_user",
+    "lineitem_pricing_summary",
+    "media_feature_extract",
+    "ngram_jaccard_pairs",
+    "order_rank_in_priority",
+    "orders_quality_report",
+    "purchases_in_error_windows",
+    "region_customer_counts",
+    "returned_item_customers_q10",
+    "rewards_by_member",
+    "rewards_by_quest",
+    "rollup_event_daily",
+    "shipping_priority_q3",
+    "span_dedup_docs",
+    "srp_bucket_near_dups",
+    "token_budget_corpus",
+    "top_orders_by_revenue",
+    "user_reach_kmv_sketch",
+    "user_running_spend",
+    "user_sessions",
+    "users_click_and_purchase",
+    "volume_shipping_q7",
+    "weighted_sample_per_source",
+    "weighted_sample_topk",
 ]
 
 assert len(_DRIVER_WINDOW_PRIORITY) == DRIVER_WINDOW_SIZE, (

@@ -1853,10 +1853,29 @@ def doc_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-_PHASH_BIT_SQL = " + ".join(
-    f"CASE WHEN CAST('0x' || substr(h, {8 * i + 1}, 8) AS BIGINT)"
-    f" >= 2147483648 THEN {1 << i} ELSE 0 END"
-    for i in range(8)
+# 64-bit pHash (r14, verdict-ordered fixture widening): each of the stub
+# decoder's 8 features quantized to its 8 MOST-SIGNIFICANT fractional
+# bits (feature = word/2^32, so those bits are the word's top byte —
+# with a real decoder this is coarse DCT-coefficient quantization). The
+# r13 form thresholded each feature to ONE bit: an 8-bit hash whose
+# pigeonhole blocks had only 2x16 distinct keys, capping the block
+# join's parallelism at 32 tasks — three orders of magnitude narrower
+# than the production key space the plan is designed for. 64 bits give
+# 4 16-bit blocks (~65k keys each), so pair enumeration spreads over
+# the full shuffle width at any scale. Byte 7 lands in the sign byte of
+# the BIGINT phash: both engines place it via the SAME signed
+# arithmetic (b7 - 256 when b7 >= 128), so the two's-complement bit
+# pattern — what xor/bit_count read — is identical cross-engine.
+_PHASH64_BYTE_SQL = [
+    f"CAST('0x' || substr(h, {8 * i + 1}, 2) AS BIGINT)" for i in range(8)
+]
+_PHASH64_SQL = " + ".join(
+    [f"({_PHASH64_BYTE_SQL[i]}) * {1 << (8 * i)}" for i in range(7)]
+    + [
+        f"(CASE WHEN {_PHASH64_BYTE_SQL[7]} >= 128 "
+        f"THEN {_PHASH64_BYTE_SQL[7]} - 256 "
+        f"ELSE {_PHASH64_BYTE_SQL[7]} END) * {1 << 56}"
+    ]
 )
 
 
@@ -1864,7 +1883,8 @@ _PHASH_BIT_SQL = " + ".join(
     "media_phash_near_dups",
     f"""
     WITH f AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
-    p AS (SELECT media_id, CAST({_PHASH_BIT_SQL} AS BIGINT) AS phash FROM f)
+    p AS (SELECT media_id, CAST({_PHASH64_SQL} AS BIGINT) AS phash FROM f
+          WHERE h IS NOT NULL)
     SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM p a JOIN p b ON a.media_id < b.media_id
@@ -1873,23 +1893,38 @@ _PHASH_BIT_SQL = " + ".join(
     """,
     "Perceptual-hash near-dup detection on the MULTIMODAL path: the "
     "decode kernel's feature vector (Arrow mapInPandas, "
-    "operators/multimodal.py) thresholds into an 8-bit pHash "
-    "(bit_i = feature_i >= 0.5 — with a real decoder this is the "
-    "sign-of-DCT pHash; the stub's features are sha256-dyadic so DuckDB "
-    "re-derives the SAME bits from hex), and Hamming<=1 pairs come from a "
-    "pigeonhole BLOCK equi-join (2 nibble blocks; budget 1 < 2 blocks => "
-    "recall 1.0 by construction, the simhash trick) + exact bit_count "
-    "verify on candidates only — never the all-pairs theta join the "
-    "oracle runs.",
+    "operators/multimodal.py) quantizes into a 64-bit pHash (8 "
+    "most-significant bits per feature — with a real decoder this is "
+    "coarse DCT quantization; the stub's features are sha256-dyadic so "
+    "DuckDB re-derives the SAME bytes from hex), and Hamming<=1 pairs "
+    "come from a pigeonhole BLOCK equi-join (4 16-bit blocks, ~65k keys "
+    "each; budget 1 < 4 blocks => recall 1.0 by construction, the "
+    "simhash trick) + exact bit_count verify on candidates only — never "
+    "the all-pairs theta join the oracle runs. Docs with NULL text have "
+    "no decodable content and emit no pairs (NULL join keys) in both "
+    "engines.",
 )
 def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = MM.extract_media_features(MM.text_as_media(docs))
-    phash = F.lit(0)
-    for i in range(8):
-        phash = phash + F.when(
-            F.element_at("features", i + 1) >= 0.5, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+    # feature i is word_i/2^32 (dyadic): the multiply-back is exact, and
+    # its top byte is the feature's 8 most-significant fractional bits
+    fbytes = [
+        F.shiftright(
+            (F.element_at("features", i + 1) * F.lit(4294967296.0)).cast(
+                "long"
+            ),
+            24,
+        ).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    phash = sum(
+        [fbytes[i] * F.lit(1 << (8 * i)) for i in range(7)],
+        start=F.lit(0),
+    ) + (
+        F.when(fbytes[7] >= 128, fbytes[7] - F.lit(256)).otherwise(fbytes[7])
+        * F.lit(1 << 56)
+    )
     # SHUFFLE_HASH pin (the winnowing_overlap_pairs idiom): the block
     # self-join consumes `sig` on BOTH sides, and left unhinted the
     # planner broadcast one side — the two exchanges don't canonicalize
@@ -1907,14 +1942,15 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("bi"),
-                    F.shiftright("phash", 4).bitwiseAND(F.lit(15)).alias("bv"),
-                ),
-                F.struct(
-                    F.lit(1).alias("bi"),
-                    F.col("phash").bitwiseAND(F.lit(15)).alias("bv"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftrightunsigned("phash", 16 * j)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for j in range(4)
+                ]
             )
         ).alias("b"),
     ).select("media_id", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))

@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for headline queries into plans/r13/.
+"""Dump .explain("formatted") for headline queries into plans/r14/.
 
 Usage:
     python scripts/dump_plans.py before [name ...]
     python scripts/dump_plans.py after  [name ...]
 
 With no names, dumps every bench HEADLINE registry query. The files are
-the judge-auditable evidence for plan-shape claims in OPTIMIZATION_r13.md
+the judge-auditable evidence for plan-shape claims in OPTIMIZATION_r14.md
 (Exchange counts, join strategies, PushedFilters, BatchEvalPython nodes).
 Plans are captured against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 read directly — plan shape does not depend on the bench's file re-chunking.
@@ -32,7 +32,7 @@ def main() -> int:
     from example_cdk_dynamodb_stream_to_redshift_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_DIR", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     if not names:
