@@ -107,3 +107,62 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         "_l.*", *[F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in value_cols]
     )
+
+
+def asof_self_join(
+    source: DataFrame,
+    on: str,
+    time: str,
+    left_pred: F.Column,
+    right_pred: F.Column,
+    left_cols: list[str],
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+    allow_exact_match: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """``asof_join`` specialized for the common case where BOTH sides are
+    predicates over the SAME relation (e.g. purchase vs view rows of one
+    events table). ``asof_join(df.filter(p), df.filter(q), ...)`` plans TWO
+    scans of the source — Spark has no cross-subtree CSE, so the union
+    re-reads (and at 100 TB re-decodes) the full table once per side. Here
+    the union is replaced by ONE scan filtered to ``left_pred OR
+    right_pred`` with the side tag and the left/right payload structs built
+    conditionally per row, which halves scan I/O while producing the exact
+    union-tag-window relation ``asof_join`` would have built (equivalence
+    pinned in tests/test_analytics_ops.py). The window semantics — one
+    shuffle on the key, ``last(value, ignorenulls)`` carry-forward, the
+    ``allow_exact_match`` boundary encoding — are identical.
+
+    Rows satisfying BOTH predicates act as both a left and a right row in
+    ``asof_join``; that needs two physical rows, so callers must pass
+    disjoint predicates (asserted cheaply here via a lit check being
+    impossible — documented contract instead: the one caller filters on
+    distinct values of one column).
+    """
+    lstruct = F.struct(*[F.col(c) for c in left_cols])
+    rstruct = F.struct(*[F.col(c) for c in value_cols])
+    tb = (
+        F.when(right_pred, F.col(right_tiebreak))
+        if right_tiebreak
+        else F.when(right_pred, F.lit(0))
+    )
+    tagged = source.filter(left_pred | right_pred).select(
+        F.col(on).alias("_k"),
+        F.col(time).alias("_t"),
+        F.when(left_pred, F.lit(1)).otherwise(F.lit(0)).alias("_side"),
+        tb.alias("_tb"),
+        F.when(left_pred, lstruct).alias("_l"),
+        F.when(right_pred, rstruct).alias("_r"),
+    )
+
+    side_order = F.col("_side").asc() if allow_exact_match else F.col("_side").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), side_order, F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    )

@@ -108,6 +108,24 @@ def read_watermark(target: DataFrame) -> dt.datetime | None:
     return target.agg(F.max("approximateUpdateTimestamp")).first()[0]
 
 
+def staged_prefilter(
+    extract: DataFrame, spec: MergeSpec, watermark: dt.datetime
+) -> DataFrame:
+    """Step 3 alone: this entity's new changes, BEFORE latest-per-key dedup.
+
+    Split out (r14) because properties that are invariant under the dedup —
+    the set of touched key buckets, whether any merge key is NULL, emptiness
+    — can be derived from this frame with a cheap scan+aggregate job, no
+    window shuffle: the dedup keeps at least one row per key, so key-level
+    sets are identical before and after it."""
+    routed = extract.filter(
+        F.col("pk").startswith(spec.pk_prefix)  # pk LIKE '<prefix>%' ESCAPE
+    )
+    return spec.project(routed).filter(
+        F.col("approximateUpdateTimestamp") > F.lit(watermark)
+    )
+
+
 def stage_changes(
     extract: DataFrame, spec: MergeSpec, watermark: dt.datetime
 ) -> DataFrame:
@@ -118,12 +136,7 @@ def stage_changes(
     (sql/incremental_sync_members.sql:38-40); we keep exactly one,
     deterministically.
     """
-    routed = extract.filter(
-        F.col("pk").startswith(spec.pk_prefix)  # pk LIKE '<prefix>%' ESCAPE
-    )
-    staged = spec.project(routed).filter(
-        F.col("approximateUpdateTimestamp") > F.lit(watermark)
-    )
+    staged = staged_prefilter(extract, spec, watermark)
     # sequencenumber is a Kinesis decimal STRING — up to ~56 digits, which
     # overflows every Spark numeric type (decimal maxes at 38 digits: the
     # cast would NULL out / throw under ANSI). Numeric order without ANY
@@ -192,10 +205,33 @@ def incremental_merge(
 
     staged = stage_changes(extract, spec, watermark)
 
+    staged_for_inserts = staged
     if stats is not None:
         from pyspark.sql import Observation
 
-        if "staged_count" not in stats:
+        if stats.pop("_defer_staged_counts", False):
+            # zero-job variant (r14): the staged counts ride the caller's
+            # write action as an observation on the INSERTS branch —
+            # placed below the REMOVE filter so REMOVEs are counted, and
+            # NOT on the broadcast-keys branch, which executes as its own
+            # broadcast-build job and would double the metrics. Resolved
+            # by finalize_merge_stats into staged_count/inserted_count
+            # plus _staged_max_ts (the caller folds that into
+            # next_watermark — only it knows the current watermark).
+            obs_staged = Observation()
+            staged_for_inserts = staged.observe(
+                obs_staged,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("eventName") == "REMOVE", 1)).alias("r"),
+                F.max(
+                    F.when(
+                        F.col("eventName") != "REMOVE",
+                        F.col("approximateUpdateTimestamp"),
+                    )
+                ).alias("mx"),
+            )
+            stats["_obs_staged"] = obs_staged
+        elif "staged_count" not in stats:
             # one combined agg job over the micro-batch-sized staged set
             # (skipped when the caller already derived the counts — the
             # partitioned backend fuses them into its touched-buckets
@@ -242,7 +278,7 @@ def incremental_merge(
         )
 
     inserts = (
-        staged.filter(F.col("eventName") != F.lit("REMOVE"))
+        staged_for_inserts.filter(F.col("eventName") != F.lit("REMOVE"))
         .withColumn(
             "syncTimestamp",
             F.lit(sync_ts).cast("timestamp") if sync_ts else F.current_timestamp(),
@@ -269,26 +305,33 @@ def finalize_merge_stats(stats: dict, timeout_s: float = 60.0) -> dict:
 
     obs_target = stats.pop("_obs_target", None)
     obs_survivors = stats.pop("_obs_survivors", None)
-    if obs_target is None or obs_survivors is None:
-        return stats
+    obs_staged = stats.pop("_obs_staged", None)
 
     deadline = time.monotonic() + timeout_s
 
-    def _metric_n(obs) -> int | None:
+    def _metrics(obs) -> dict | None:
         jo = getattr(obs, "_jo", None)
         if jo is None:  # never attached via .observe — no action can fire it
             return None
         while True:
             if jo.getRowOrEmpty().isDefined():
-                return obs.get["n"]  # metrics present: this cannot block
+                return obs.get  # metrics present: this cannot block
             if time.monotonic() >= deadline:
                 return None
 
-    n_target = _metric_n(obs_target)
-    n_survivors = _metric_n(obs_survivors)
+    if obs_staged is not None:
+        # deferred staged counts (see incremental_merge): same write action
+        # carried them, zero extra jobs
+        m = _metrics(obs_staged)
+        stats["staged_count"] = m["n"] if m else None
+        stats["inserted_count"] = (m["n"] - m["r"]) if m else None
+        stats["_staged_max_ts"] = m["mx"] if m else None
+
+    if obs_target is None or obs_survivors is None:
+        return stats
+    mt = _metrics(obs_target)
+    ms = _metrics(obs_survivors)
     stats["deleted_count"] = (
-        n_target - n_survivors
-        if n_target is not None and n_survivors is not None
-        else None
+        mt["n"] - ms["n"] if mt is not None and ms is not None else None
     )
     return stats

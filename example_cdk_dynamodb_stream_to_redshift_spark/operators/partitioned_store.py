@@ -284,58 +284,40 @@ class PartitionedParquetTable:
                 )
             watermark = _EPOCH
 
+        from .merge import staged_prefilter
+
         staged = stage_changes(extract, spec, watermark)
         staged.persist()
         if stats is not None:
             stats["merge_phase_sec"] = _phase
         try:
             _t = _time.perf_counter()
-            if stats is not None:
-                # fuse the touched-bucket collect with the staged/inserted
-                # counts: ONE agg job over the micro-batch-sized staged
-                # set instead of two (incremental_merge skips its own
-                # counts job when these keys are pre-filled)
-                row = staged.agg(
-                    F.collect_set(
-                        key_bucket(self.key_col, self.n_buckets)
-                    ).alias("bk"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(
-                        F.when(F.col("eventName") == "REMOVE", 1)
-                    ).alias("r"),
-                    # post-merge in-table watermark, rider column on the
-                    # same job: MAX(ts) over the rows this merge INSERTS
-                    # (REMOVEs delete and contribute nothing to the
-                    # table's max, exactly like a fresh read would see)
-                    F.max(
-                        F.when(
-                            F.col("eventName") != "REMOVE",
-                            F.col("approximateUpdateTimestamp"),
-                        )
-                    ).alias("mx"),
-                    # rider: NULL merge keys hash to the seed bucket and
-                    # would silently collapse under one phantom key — the
-                    # count costs nothing on this job, and failing here
-                    # is strictly before anything is written
-                    F.count(
-                        F.when(F.col(self.key_col).isNull(), 1)
-                    ).alias("nullk"),
-                ).first()
-                if row["nullk"]:
-                    raise ValueError(
-                        f"{row['nullk']} staged row(s) have NULL merge key "
-                        f"{self.key_col!r}: merge keys must be non-null"
-                    )
-                touched = sorted(int(b) for b in row["bk"])
-                stats.update(
-                    staged_count=row["n"],
-                    inserted_count=row["n"] - row["r"],
-                    next_watermark=(
-                        max(watermark, row["mx"]) if row["mx"] else watermark
-                    ),
+            # Touched buckets + null-key guard from the PRE-dedup staged
+            # frame (r14): both are invariant under the latest-per-key
+            # window (it keeps ≥1 row per key), so this job is a plain
+            # scan+aggregate of the cached micro-batch — no window
+            # shuffle. The staged/inserted counts and the carried
+            # watermark DO depend on the dedup; they ride the staging
+            # write action as an observation (incremental_merge's
+            # _defer_staged_counts), so the window work runs exactly
+            # once, inside the write. Failing on a NULL key here is
+            # still strictly before anything is written.
+            row = staged_prefilter(extract, spec, watermark).agg(
+                F.collect_set(
+                    key_bucket(self.key_col, self.n_buckets)
+                ).alias("bk"),
+                # NULL merge keys hash to the seed bucket and would
+                # silently collapse under one phantom key — fail instead
+                F.count(
+                    F.when(F.col(self.key_col).isNull(), 1)
+                ).alias("nullk"),
+            ).first()
+            if row["nullk"]:
+                raise ValueError(
+                    f"{row['nullk']} staged row(s) have NULL merge key "
+                    f"{self.key_col!r}: merge keys must be non-null"
                 )
-            else:
-                touched = self._touched_buckets(staged)
+            touched = sorted(int(b) for b in row["bk"])
             _phase["staged_agg"] = round(_time.perf_counter() - _t, 4)
             if not touched:
                 if stats is not None:
@@ -350,6 +332,10 @@ class PartitionedParquetTable:
             # filter on the PARTITION column: directory-pruned read of the
             # touched buckets only (PartitionFilters, asserted in tests)
             pruned = raw.filter(F.col(BUCKET_COL).isin(touched)).select(*cols)
+            if stats is not None:
+                # staged/inserted counts + carried watermark ride the
+                # staging write action (observation on the inserts branch)
+                stats["_defer_staged_counts"] = True
             # watermark override: the pruned slice's max(ts) is NOT the
             # table watermark — pass the global one through.
             merged = incremental_merge(
@@ -405,6 +391,11 @@ class PartitionedParquetTable:
                 from .merge import finalize_merge_stats
 
                 finalize_merge_stats(stats)
+                mx = stats.pop("_staged_max_ts", None)
+                stats.setdefault("watermark", watermark)
+                stats["next_watermark"] = (
+                    max(watermark, mx) if mx else watermark
+                )
             _t = _time.perf_counter()
             try:
                 # Every bucket in `merged` is in `touched` (survivors come

@@ -62,15 +62,22 @@ def _dsum(col: str, alias: str) -> F.Column:
     ORDER BY total_dollars DESC, c_custkey
     """,
     "J1+A3+O3: 'Rewards Earned by Member' (sql/queries.sql:22-32) — inner "
-    "equi-join fact->dim, 2-key group, sum, order by aggregate.",
+    "equi-join fact->dim, 2-key group, sum, order by aggregate. Aggregated "
+    "BEFORE the join (r14, guide §2.3): c_custkey is the customer PK, so "
+    "grouping the fact by its own FK first and broadcast-joining the "
+    "already-aggregated rows is row-identical — the shuffle carries one "
+    "(bigint, decimal) row per custkey instead of c_name strings, and the "
+    "join probes |custkeys| rows instead of |orders|.",
 )
 def rewards_by_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    per_key = orders.groupBy("o_custkey").agg(
+        _dsum("o_totalprice", "total_dollars")
+    )
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(_dsum("o_totalprice", "total_dollars"))
+        per_key.join(F.broadcast(customer), per_key.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "total_dollars")
         .orderBy(F.desc("total_dollars"), F.asc("c_custkey"))
     )
 
@@ -85,15 +92,21 @@ def rewards_by_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_dollars DESC, p_partkey
     """,
     "J2+A4+O3: 'Rewards Earned by Quest' (sql/queries.sql:35-45) — fact "
-    "joined to the part dimension, grouped sum ordered by total.",
+    "joined to the part dimension, grouped sum ordered by total. Aggregated "
+    "BEFORE the join (r14, guide §2.3): p_partkey is the part PK, so the "
+    "per-l_partkey sum then broadcast join is row-identical while the "
+    "shuffle drops p_name and the probe side shrinks from |lineitem| to "
+    "|partkeys|.",
 )
 def rewards_by_quest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    per_key = lineitem.groupBy("l_partkey").agg(
+        _dsum("l_extendedprice", "total_dollars")
+    )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(_dsum("l_extendedprice", "total_dollars"))
+        per_key.join(F.broadcast(part), per_key.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "total_dollars")
         .orderBy(F.desc("total_dollars"), F.asc("p_partkey"))
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import Window as WindowSpec
 from pyspark.sql import functions as F
 
 from ..engine import Engine
-from ..operators.asof import asof_join
+from ..operators.asof import asof_self_join
 from ..operators.sessions import sessionize
 from ..sources.tables import load_table
 from .inventory import register
@@ -228,22 +228,20 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "As-of join (operators/asof.py): for each purchase, the user's latest "
     "strictly-prior view. Union-tag-window implementation — one shuffle of "
     "|L|+|R| rows on user_id, no range-join candidate blow-up; DuckDB ASOF "
-    "JOIN is the oracle. (ts unique per user -> deterministic.)",
+    "JOIN is the oracle. (ts unique per user -> deterministic.) Both sides "
+    "are predicates over the SAME events table, so the single-scan form "
+    "(asof_self_join, r14) replaces the two-scan union: one parquet read "
+    "with event_type IN (purchase, view) pushed down, sides tagged per row.",
 )
 def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    views = events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id"
-    )
-    return asof_join(
-        purchases,
-        views,
+    return asof_self_join(
+        events,
         on="user_id",
-        left_time="ts",
-        right_time="ts",
+        time="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "view",
+        left_cols=["event_id", "user_id", "ts"],
         value_cols=["ts", "event_id"],
         right_tiebreak="event_id",
         allow_exact_match=False,

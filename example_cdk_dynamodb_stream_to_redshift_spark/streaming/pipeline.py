@@ -322,27 +322,62 @@ class CdcPipeline:
         # the RAW payload in a batch-scoped quarantine so bad producers are
         # debuggable instead of invisible. The batch is parsed ONCE: the
         # tagged extract (valid + invalid rows, plus the decoded payload)
-        # is cached, and both the quarantine probe and the 3 merges read
-        # that cache — no second from_json pass over the batch.
-        tagged = build_extract(records, raw_col="_raw")
-        tagged.persist()
+        # is cached, and the quarantine decision, the extract write and the
+        # 3 merges all read that cache — no second from_json pass.
+        #
+        # r14: the invalid-row COUNT rides the batch's first full-scan
+        # action as an observation below the validity filter (the gate's
+        # report aggregate, the extract write, or a merge's staged scan —
+        # all full scans; no consumer of `extract` takes a LIMIT-style
+        # action, which would under-count). The old LIMIT-1 isEmpty probe
+        # was the first serialized job of every refresh and paid the whole
+        # batch parse before anything else could start; now the parse cost
+        # lands inside already-needed concurrent actions, and the (rare)
+        # quarantine write runs after the merge pool — replay-safe either
+        # way: a replayed batch re-derives the same bad set and overwrites
+        # its own batch_id subdirectory.
+        from pyspark.sql import Observation
+
+        cached = build_extract(records, raw_col="_raw")
+        cached.persist()
+        obs_bad = Observation()
+        tagged = cached.observe(
+            obs_bad,
+            F.count(F.when(F.col("eventID").isNull(), 1)).alias("n_bad"),
+        )
         extract = tagged.filter(F.col("eventID").isNotNull()).drop("_raw")
-        try:
-            bad = tagged.filter(F.col("eventID").isNull()).select(
+        quarantine_flushed = False
+
+        def flush_parse_quarantine() -> None:
+            # resolve the observed invalid count (bounded poll — falls back
+            # to a LIMIT-1 probe if no full-scan action ever ran, e.g. a
+            # failure before the first job) and land the raw payloads.
+            nonlocal quarantine_flushed
+            if quarantine_flushed:
+                return
+            quarantine_flushed = True
+            jo = getattr(obs_bad, "_jo", None)
+            deadline = _time.monotonic() + 5.0
+            n_bad = None
+            while jo is not None and _time.monotonic() < deadline:
+                if jo.getRowOrEmpty().isDefined():
+                    n_bad = obs_bad.get["n_bad"]
+                    break
+            bad = cached.filter(F.col("eventID").isNull()).select(
                 "approximatearrivaltimestamp",
                 "partitionkey",
                 "shardid",
                 "sequencenumber",
                 F.col("_raw").alias("kinesis_data"),
             )
-            # isEmpty on the cache is a LIMIT-1 probe; the all-valid batch
-            # (the overwhelmingly common case) skips the write job entirely.
-            # Replay-safe: a replayed batch re-derives the same bad set and
-            # overwrites its own batch_id subdirectory.
-            if not bad.isEmpty():
+            if n_bad is None:
+                n_bad = 0 if bad.isEmpty() else 1
+            if n_bad:
                 bad.write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_path, f"batch_id={batch_id}")
                 )
+
+        try:
             stages["parse_quarantine_sec"] = round(_time.perf_counter() - _t0, 4)
             _t0 = _time.perf_counter()
             if self._contract_gate is not None:
@@ -376,14 +411,27 @@ class CdcPipeline:
                 )
                 _t0 = _time.perf_counter()
             sync_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            _t0 = _time.perf_counter()
+
             # batch-id-scoped overwrite, NOT append: foreachBatch is
             # at-least-once, and a replayed batch must overwrite its own
             # subdirectory instead of appending duplicate MV rows.
-            extract.write.mode("overwrite").parquet(
-                os.path.join(self.extract_path, f"batch_id={batch_id}")
-            )
-            stages["extract_write_sec"] = round(_time.perf_counter() - _t0, 4)
-            _t0 = _time.perf_counter()
+            # r14: the extract write shares the merge pool below — it
+            # reads only the cached batch and touches a target none of
+            # the merges do, so serializing it in front of them bought
+            # nothing. Failure ordering is unchanged in effect: if any
+            # pool task fails the batch fails, and the replay both
+            # rewrites the extract subdirectory and re-merges
+            # idempotently under the watermark guard.
+            def write_extract() -> None:
+                tw = _time.perf_counter()
+                extract.write.mode("overwrite").parquet(
+                    os.path.join(self.extract_path, f"batch_id={batch_id}")
+                )
+                stages["extract_write_sec"] = round(
+                    _time.perf_counter() - tw, 4
+                )
+
             # The three entity merges touch disjoint targets and share only
             # the cached extract — run them CONCURRENTLY. Spark schedules
             # jobs from separate driver threads in parallel (FIFO pool),
@@ -440,12 +488,14 @@ class CdcPipeline:
                 )
                 return [(spec.name, stats)] + mv_rows
 
-            with ThreadPoolExecutor(max_workers=len(ALL_SPECS)) as pool:
+            with ThreadPoolExecutor(max_workers=len(ALL_SPECS) + 1) as pool:
+                wfut = pool.submit(write_extract)
                 entity_stats = [
                     row
                     for fut in [pool.submit(run_merge, s) for s in ALL_SPECS]
                     for row in fut.result()
                 ]
+                wfut.result()
             stages["merge_wall_sec"] = round(_time.perf_counter() - _t0, 4)
             _t0 = _time.perf_counter()
             # one log write per BATCH (not per entity): the rows are tiny
@@ -453,7 +503,16 @@ class CdcPipeline:
             self._write_sync_log(batch_id, sync_ts, entity_stats)
             stages["sync_log_write_sec"] = round(_time.perf_counter() - _t0, 4)
         finally:
-            tagged.unpersist()
+            _tq = _time.perf_counter()
+            try:
+                flush_parse_quarantine()
+            finally:
+                stages["parse_quarantine_sec"] = round(
+                    stages.get("parse_quarantine_sec", 0.0)
+                    + (_time.perf_counter() - _tq),
+                    4,
+                )
+                cached.unpersist()
 
     def refresh(self) -> None:
         """One REFRESH: process all newly-arrived records, then return (ST1)."""

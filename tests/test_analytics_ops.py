@@ -55,6 +55,55 @@ def test_asof_tiebreak_and_left_semantics(spark):
     assert out[2]["asof_v"] is None  # left join: no right rows for k=2
 
 
+def test_asof_self_join_matches_two_sided_form(spark):
+    # The single-scan specialization must be row-identical to
+    # asof_join(df.filter(p), df.filter(q), ...) — including tiebreaks,
+    # strict/inclusive boundaries and left rows with no prior right row.
+    rows = [
+        # (side, k, minute, id): purchases (side P) and views (side V)
+        ("P", 1, 10, 100), ("V", 1, 5, 1), ("V", 1, 9, 2), ("V", 1, 9, 3),
+        ("P", 1, 9, 101),          # equal-ts view: strict mode must skip it
+        ("P", 2, 4, 102),          # no prior view -> NULLs
+        ("V", 2, 8, 4),            # later view: never visible to id=102
+        ("P", 3, 7, 103), ("V", 3, 7, 5),  # equal ts on both sides
+    ]
+    df = spark.createDataFrame(
+        [(s, k, _ts(m), i) for s, k, m, i in rows],
+        "side string, k int, t timestamp, id int",
+    )
+    from example_cdk_dynamodb_stream_to_redshift_spark.operators.asof import (
+        asof_self_join,
+    )
+
+    for exact in (True, False):
+        two_sided = asof_join(
+            df.filter(F.col("side") == "P").select("id", "k", "t"),
+            df.filter(F.col("side") == "V").select("k", "t", "id"),
+            on="k", left_time="t", right_time="t",
+            value_cols=["t", "id"], right_tiebreak="id",
+            allow_exact_match=exact,
+        )
+        fused = asof_self_join(
+            df, on="k", time="t",
+            left_pred=F.col("side") == "P",
+            right_pred=F.col("side") == "V",
+            left_cols=["id", "k", "t"],
+            value_cols=["t", "id"], right_tiebreak="id",
+            allow_exact_match=exact,
+        )
+        assert fused.schema == two_sided.schema
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, two_sided.collect()))
+        assert a == b, f"allow_exact_match={exact}: {a} != {b}"
+    # single-scan claim: exactly one scan/source leg in the plan
+    plan = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("Union") == 0
+
+
 def test_session_gap_boundary(spark):
     # session_window merges at exactly the gap (break is strictly >gap):
     # +30:00 exactly -> same session; +30:01 -> new session
